@@ -1,0 +1,130 @@
+"""Blocking-key builders and skew tooling.
+
+The reference's blocking is a dense all-pairs similarity matrix
+(R/candidates.R:65-116) — impossible at web scale. Here blocking is a family
+of derived equi-join keys + explicit skew handling:
+
+* soundex key (blocktype "soundex", R/candidates.R:113-116) — native
+  ``F.soundex``;
+* first-letter key (the vignette's A–L subsetting trick,
+  vignettes/example.rmd:119-121, generalized);
+* sorted-neighborhood (the classic scale analog of the reference's
+  "sort by blockvariable" labeling order, R/label.R:55);
+* banded numeric key for the Gaussian-kernel blocktype (R/candidates.R:74-81);
+* character-bigram explosion for the (idf-)bigram-cosine blocktypes
+  (R/candidates.R:82-112), long-form ``(string, bigram, cnt)``;
+* salting: deterministic salt columns to defuse mega-blocks (the BOTHA
+  problem — ``namefreq`` max 1606 in the reference's stel data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def soundex_key(col: Column) -> Column:
+    return F.soundex(col)
+
+
+def first_letter_key(col: Column) -> Column:
+    return F.substring(col, 1, 1)
+
+
+def numeric_band_key(col: Column, width: float) -> Column:
+    """Bucket key for banded numeric blocking: floor(x / width)."""
+    return F.floor(col / F.lit(float(width))).cast("long")
+
+
+def explode_neighbor_bands(df: DataFrame, key_col: str, out: str = "_band") -> DataFrame:
+    """Replicate each row into its bucket and the two neighbors, so a plain
+    equi-join on ``out`` sees every pair within one band width. 3× one side
+    instead of a range join — a shuffle Catalyst can hash-partition."""
+    return df.withColumn(
+        out, F.explode(F.array(F.col(key_col) - 1, F.col(key_col), F.col(key_col) + 1))
+    )
+
+
+def bigrams(col: Column, boundary: str = "#") -> Column:
+    """Boundary-padded character bigrams as an array, replicating
+    qlcMatrix::splitStrings(boundary=TRUE, '#') (R/candidates.R:83-87):
+    '#jong#' → ['#j','jo','on','ng','g#']. NULL → NULL; '' → ['##']."""
+    padded = F.concat(F.lit(boundary), col, F.lit(boundary))
+    n = F.length(padded) - 1
+    return F.transform(F.sequence(F.lit(1), n), lambda i: padded.substr(i, F.lit(2)))
+
+
+def bigram_counts(df: DataFrame, str_col: str) -> DataFrame:
+    """Long-form bigram count vectors over the DISTINCT strings of ``str_col``
+    (dedup-before-expensive-op, R/util.R:146-148): (string, bigram, cnt, norm).
+    """
+    distinct = df.select(F.col(str_col).alias("_s")).where(F.col("_s").isNotNull()).distinct()
+    exploded = distinct.select("_s", F.explode(bigrams(F.col("_s"))).alias("_bg"))
+    counts = exploded.groupBy("_s", "_bg").agg(F.count("*").cast("double").alias("_cnt"))
+    norms = counts.groupBy("_s").agg(F.sqrt(F.sum(F.col("_cnt") ** 2)).alias("_norm"))
+    return counts.join(norms, "_s")
+
+
+def add_salt(df: DataFrame, id_col: str, n: int, out: str = "_salt") -> Column:
+    """Deterministic salt in [0, n) from the row id (NOT rand(): resumable)."""
+    return df.withColumn(out, F.pmod(F.xxhash64(F.col(id_col)), F.lit(n)).cast("int"))
+
+
+def explode_salt(df: DataFrame, n: int, out: str = "_salt") -> DataFrame:
+    """Replicate each row once per salt value — the broadcast-free side of a
+    salted equi-join (north rule: salted repartition-by-key)."""
+    return df.withColumn(
+        out, F.explode(F.sequence(F.lit(0), F.lit(n - 1)).cast("array<int>"))
+    )
+
+
+def block_stats(pairs: DataFrame, key_col: str) -> DataFrame:
+    """Per-block lineage metrics: pair count per blocking key (feeds the
+    qa.lineage rows; also the input to choosing a salt count)."""
+    return pairs.groupBy(key_col).agg(F.count("*").alias("pair_count"))
+
+
+def sorted_neighborhood_pairs(
+    df_from: DataFrame,
+    df_to: DataFrame,
+    key: str,
+    id_from: str,
+    id_to: str,
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking: global sort of both sides' keys merged,
+    pair rows within ``window`` positions.
+
+    Implemented as: union with side tags → global dense position by key →
+    bucket join on floor(pos/window) ±1 → exact |Δpos| ≤ window filter.
+    The global sort is a range-partitioned Spark sort (scales); positions come
+    from a window over the sorted key. Returns (id_from, id_to, score=NULL).
+    """
+    from pyspark.sql import Window
+
+    a = df_from.select(F.col(id_from).alias("_id"), F.col(key).alias("_k")).withColumn(
+        "_side", F.lit("f")
+    )
+    b = df_to.select(F.col(id_to).alias("_id"), F.col(key).alias("_k")).withColumn(
+        "_side", F.lit("t")
+    )
+    u = a.unionByName(b).where(F.col("_k").isNotNull())
+    # deterministic total order: key, then side, then id
+    w = Window.orderBy("_k", "_side", "_id")
+    pos = u.withColumn("_pos", F.row_number().over(w))
+    lhs = pos.where(F.col("_side") == "f").select(
+        F.col("_id").alias("id_from"), F.col("_pos").alias("_pf")
+    )
+    rhs = pos.where(F.col("_side") == "t").select(
+        F.col("_id").alias("id_to"), F.col("_pos").alias("_pt")
+    )
+    lhs = explode_neighbor_bands(
+        lhs.withColumn("_bf", (F.col("_pf") / window).cast("long")), "_bf", "_band"
+    )
+    rhs = rhs.withColumn("_band", (F.col("_pt") / window).cast("long"))
+    return (
+        lhs.join(rhs, "_band")
+        .where(F.abs(F.col("_pf") - F.col("_pt")) <= window)
+        .select("id_from", "id_to")
+        .distinct()
+    )

@@ -1,0 +1,232 @@
+"""Pairwise feature computation — ``distcalc`` (R/distances.R:23-45) plus the
+training-script feature family (SURVEY §2.4, F1-F15).
+
+All features are native expressions except the JW/OSA string metrics, which
+run in Arrow-vectorized pandas UDFs batched into a single projection (one
+Arrow round-trip for all UDF columns in the same select).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from capelinker_spark.functions.strdist import (
+    gk,
+    make_jw_udf,
+    osa_norm_udf,
+    soundex_dist,
+)
+from capelinker_spark.operators.blocking import bigrams
+
+DEFAULT_CHARACTER_VARIABLES = (
+    "mlast",
+    "mfirst",
+    "wfirst",
+    "minitials",
+    "winitials",
+    "mprof",
+)
+DEFAULT_NUMERIC_VARIABLES = ("year",)
+
+
+def distcalc(
+    dat: DataFrame,
+    character_variables=DEFAULT_CHARACTER_VARIABLES,
+    numeric_variables=DEFAULT_NUMERIC_VARIABLES,
+    jw_p: float = 0.1,
+    osa_variables=(),
+) -> DataFrame:
+    """Add ``{v}dist`` (jw p=0.1) + ``{v}sdx`` (0/1 soundex) per character
+    variable and ``{v}dist = from - to`` per numeric variable
+    (R/distances.R:27-43); ``{v}dist_osa`` (normalized OSA) for
+    ``osa_variables`` (data_raw/pretrained.R:381-385).
+
+    Variables not present in the frame are skipped (the reference would
+    error; skipping lets one call serve several model feature sets).
+    """
+    jw = make_jw_udf(jw_p)
+    cols = list(dat.columns)
+    exprs: list[Column] = []
+    for v in character_variables:
+        if f"{v}_from" not in cols or f"{v}_to" not in cols:
+            continue
+        a, b = F.col(f"{v}_from"), F.col(f"{v}_to")
+        exprs.append(jw(a, b).alias(f"{v}dist"))
+        exprs.append(soundex_dist(a, b).alias(f"{v}sdx"))
+    for v in osa_variables:
+        if f"{v}_from" not in cols or f"{v}_to" not in cols:
+            continue
+        exprs.append(
+            osa_norm_udf(F.col(f"{v}_from"), F.col(f"{v}_to")).alias(f"{v}dist_osa")
+        )
+    for v in numeric_variables:
+        if f"{v}_from" not in cols or f"{v}_to" not in cols:
+            continue
+        exprs.append((F.col(f"{v}_from") - F.col(f"{v}_to")).alias(f"{v}dist"))
+    return dat.select("*", *exprs)
+
+
+def add_matches(dat: DataFrame, id_from: str = "persid_from") -> DataFrame:
+    """Block-size feature: candidates per from-record
+    (vignettes/example.rmd:106, ``cnd[, matches := .N, by = persid_from]``)."""
+    return dat.withColumn(
+        "matches", F.count("*").over(Window.partitionBy(id_from))
+    )
+
+
+def add_gauss(
+    dat: DataFrame, variable: str = "settlerchildren", sigma: float = 1.0
+) -> DataFrame:
+    """``{v}gauss = gk(v_from, v_to)`` (feature at data_raw/pretrained.R:41)."""
+    return dat.withColumn(
+        f"{variable}gauss",
+        gk(F.col(f"{variable}_from"), F.col(f"{variable}_to"), sigma),
+    )
+
+
+def add_wifeinboth(dat: DataFrame) -> DataFrame:
+    """Conjunction of wifepresent across sides (data_raw/pretrained.R:38-40)."""
+    return dat.withColumn(
+        "wifeinboth",
+        (
+            F.col("wifepresent_from").cast("boolean")
+            & F.col("wifepresent_to").cast("boolean")
+        ).cast("double"),
+    )
+
+
+def add_namefreq(records: DataFrame, name_col: str = "mlast", out: str = "namefreq") -> DataFrame:
+    """Name frequency: count per (canonicalized) surname
+    (data_raw/traindata_graafreinet.R:121-123). The reference counts over
+    ``uniformise_string`` output; pass a pre-canonicalized column for parity,
+    or the raw surname for the linear-cost variant."""
+    return records.withColumn(
+        out, F.count(name_col).over(Window.partitionBy(name_col))
+    )
+
+
+def add_cos_uniqueness(
+    records: DataFrame,
+    name_col: str = "mfirst",
+    by: str = "year",
+    out: str = "mfirst_cos_uniqueness",
+    id_col: str = "persid",
+) -> DataFrame:
+    """Per-group cosine name uniqueness, LINEAR form.
+
+    Reference: ``1 - rowMeans(qlcMatrix::sim.strings(x)) by year``
+    (data_raw/traindata_graafreinet.R:117-127) — an O(n²)-per-group matrix.
+    Identity used here: mean_j cos(u_i, u_j) = dot(u_i, mean_j u_j) over the
+    group's unit bigram vectors, so one groupBy(bigram) aggregation + a join
+    back computes it exactly in linear time (SURVEY §2.4 F9).
+    NULL names keep NULL uniqueness (reference filters !is.na).
+    """
+    base = records.select(id_col, by, F.col(name_col).alias("_s")).where(
+        F.col("_s").isNotNull()
+    )
+    exploded = base.select(id_col, by, "_s", F.explode(bigrams(F.col("_s"))).alias("_bg"))
+    cnt = exploded.groupBy(id_col, by, "_s", "_bg").agg(
+        F.count("*").cast("double").alias("_cnt")
+    )
+    norm = cnt.groupBy(id_col, by).agg(F.sqrt(F.sum(F.col("_cnt") ** 2)).alias("_norm"))
+    unit = cnt.join(norm, [id_col, by]).withColumn("_u", F.col("_cnt") / F.col("_norm"))
+    group_n = base.groupBy(by).agg(F.count("*").alias("_gn"))
+    mean_vec = (
+        unit.groupBy(by, "_bg")
+        .agg(F.sum("_u").alias("_su"))
+        .join(group_n, by)
+        .withColumn("_mu", F.col("_su") / F.col("_gn"))
+    )
+    dots = (
+        unit.join(mean_vec.select(by, "_bg", "_mu"), [by, "_bg"])
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_u") * F.col("_mu")).alias("_dot"))
+        .select(id_col, (1 - F.col("_dot")).alias(out))
+    )
+    return records.join(dots, id_col, "left")
+
+
+def stringdist_closest(
+    records: DataFrame,
+    name_col: str,
+    block_col: str,
+    id_col: str = "persid",
+    out: str = "nextdist",
+    jw_p: float = 0.0,
+) -> DataFrame:
+    """Distance to the nearest OTHER string (R/util.R:233-256), blocked.
+
+    The reference computes the full n×n similarity matrix; here the self-join
+    is bounded by ``block_col`` (e.g. soundex of the name, or year). Records
+    whose block has no other member get 1.0 (the reference's length-1
+    convention, R/util.R:236).
+    """
+    jw = make_jw_udf(jw_p)
+    lhs = records.select(
+        F.col(id_col).alias("_ida"),
+        F.col(name_col).alias("_sa"),
+        F.col(block_col).alias("_blk"),
+    ).where(F.col("_sa").isNotNull() & F.col("_blk").isNotNull())
+    rhs = records.select(
+        F.col(id_col).alias("_idb"),
+        F.col(name_col).alias("_sb"),
+        F.col(block_col).alias("_blk"),
+    ).where(F.col("_sb").isNotNull() & F.col("_blk").isNotNull())
+    pairs = lhs.join(rhs, "_blk").where(F.col("_ida") != F.col("_idb"))
+    uniq = pairs.select("_sa", "_sb").distinct().withColumn(
+        "_d", jw(F.col("_sa"), F.col("_sb"))
+    )
+    nearest = (
+        pairs.join(uniq, ["_sa", "_sb"])
+        .groupBy("_ida")
+        .agg(F.min("_d").alias(out))
+        .withColumnRenamed("_ida", id_col)
+    )
+    return records.join(nearest, id_col, "left").fillna({out: 1.0})
+
+
+def paste_similar(
+    records: DataFrame,
+    name_col: str,
+    block_col: str,
+    id_col: str = "persid",
+    threshold: float = 0.85,
+    sep: str = " | ",
+    out: str = "similar_strings",
+) -> DataFrame:
+    """Concat of all other strings with JW similarity > threshold
+    (R/util.R:357-368), blocked self-join + collect_list. Deterministic
+    ordering by the paired string."""
+    jw = make_jw_udf(0.0)
+    lhs = records.select(F.col(id_col).alias("_ida"), F.col(name_col).alias("_sa"),
+                         F.col(block_col).alias("_blk"))
+    rhs = records.select(F.col(id_col).alias("_idb"), F.col(name_col).alias("_sb"),
+                         F.col(block_col).alias("_blk"))
+    pairs = (
+        lhs.join(rhs, "_blk")
+        .where(F.col("_ida") != F.col("_idb"))
+        .withColumn("_sim", 1 - jw(F.col("_sa"), F.col("_sb")))
+        .where(F.col("_sim") > threshold)
+    )
+    agg = (
+        pairs.groupBy("_ida")
+        .agg(F.array_join(F.array_sort(F.collect_list("_sb")), sep).alias(out))
+        .withColumnRenamed("_ida", id_col)
+    )
+    return records.join(agg, id_col, "left").fillna({out: ""})
+
+
+def min_max_normalise(dat: DataFrame, cols: list[str]) -> DataFrame:
+    """(x - min)/(max - min) per column (R/util.R:169-175), one agg pass +
+    literal broadcast — no per-row Python."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    mm = dat.agg(*aggs).collect()[0]
+    out = dat
+    for c in cols:
+        lo, hi = mm[f"_min_{c}"], mm[f"_max_{c}"]
+        span = (hi - lo) or 1.0
+        out = out.withColumn(c, (F.col(c) - F.lit(lo)) / F.lit(span))
+    return out

@@ -1,0 +1,107 @@
+"""Link prediction & selection — ``predict_links`` (R/pred.R:27-57).
+
+Scoring is pluggable (a score column, a native logistic expression from
+``capelinker_spark.ml.logistic``, or a Spark ML model's transform); selection
+is the reference's dual-rank top-1 rule.
+
+Rank semantics: R's ``rank(-predicted)`` uses average ranks for ties
+(ties at the top → rank 1.5 → NO link selected). Reproduced exactly as
+``rank + (tie_count - 1)/2`` so one:one selection never picks an arbitrary
+member of a tie — the determinism the north rule requires.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _avg_rank(score: Column, by: Column) -> Column:
+    w = Window.partitionBy(by).orderBy(F.desc_nulls_last(score))
+    ties = Window.partitionBy(by, score)
+    return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
+
+
+def rank_links(
+    dat: DataFrame,
+    id_from: str,
+    id_to: str,
+    score_col: str = "predicted",
+) -> DataFrame:
+    """Add ``rank_from`` / ``rank_to`` (R/pred.R:47-48)."""
+    s = F.col(score_col)
+    return dat.withColumn(
+        "rank_from", _avg_rank(s, F.col(id_from))
+    ).withColumn("rank_to", _avg_rank(s, F.col(id_to)))
+
+
+def select_links(
+    dat: DataFrame,
+    minimum_confidence: float = 0.5,
+    linktype: str = "one:one",
+    score_col: str = "predicted",
+) -> DataFrame:
+    """R/pred.R:50-54: many:one → rank_from==1 & p>τ;
+    one:one → both ranks 1 & p>τ."""
+    cond = (F.col("rank_from") == 1) & (F.col(score_col) > minimum_confidence)
+    if linktype == "one:one":
+        cond = cond & (F.col("rank_to") == 1)
+    elif linktype != "many:one":
+        raise ValueError(f"unknown linktype {linktype!r}")
+    return dat.where(cond)
+
+
+def predict_links(
+    dat_candidates: DataFrame,
+    id_from: str,
+    id_to: str,
+    scorer,
+    minimum_confidence: float = 0.5,
+    linktype: str = "one:one",
+) -> DataFrame:
+    """Score + dual-rank + select. ``scorer`` is either a Column expression
+    (native logistic), or a callable DataFrame → DataFrame that adds a
+    ``predicted`` column (Spark ML transform)."""
+    if callable(scorer) and not isinstance(scorer, Column):
+        scored = scorer(dat_candidates)
+    else:
+        scored = dat_candidates.withColumn("predicted", scorer)
+    ranked = rank_links(scored, id_from, id_to)
+    return select_links(ranked, minimum_confidence, linktype)
+
+
+def group_split(
+    dat: DataFrame,
+    group_col: str,
+    train_frac: float = 0.7,
+    seed: int = 210421,
+) -> tuple[DataFrame, DataFrame]:
+    """Group-consistent train/test split: sample GROUPS, not rows
+    (vignettes/example.rmd:129-137 samples 70% of unique persid_from).
+    Deterministic: a group is train iff pmod(xxhash64(group, seed), 10^6) <
+    frac·10^6 — stable under repartitioning, unlike ``sample``."""
+    bucket = F.pmod(F.xxhash64(F.col(group_col), F.lit(seed)), F.lit(1_000_000))
+    train = dat.where(bucket < int(train_frac * 1_000_000))
+    test = dat.where(bucket >= int(train_frac * 1_000_000))
+    return train, test
+
+
+def confusion(
+    dat: DataFrame, label_col: str = "correct", score_col: str = "predicted",
+    threshold: float = 0.5,
+) -> dict[str, int]:
+    """Confusion cells + P/R/F1 at τ (vignettes/example.rmd:184-197)."""
+    agg = dat.agg(
+        F.sum(((F.col(score_col) > threshold) & F.col(label_col)).cast("long")).alias("tp"),
+        F.sum(((F.col(score_col) > threshold) & ~F.col(label_col)).cast("long")).alias("fp"),
+        F.sum(((F.col(score_col) <= threshold) & F.col(label_col)).cast("long")).alias("fn"),
+        F.sum(((F.col(score_col) <= threshold) & ~F.col(label_col)).cast("long")).alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0, agg["tn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": precision, "recall": recall, "f1": f1,
+    }

@@ -1,0 +1,149 @@
+"""candidates() toy examples from the reference docs (R/candidates.R:27-29,
+R/distances.R:16-20) across blocktypes."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.candidates import candidates
+from capelinker_spark.operators.features import distcalc
+
+
+@pytest.fixture(scope="module")
+def d1(spark):
+    return spark.createDataFrame(
+        [("jong", 1), ("smid", 2), ("nauda", 3)], "mlast string, persid int"
+    )
+
+
+@pytest.fixture(scope="module")
+def d2(spark):
+    return spark.createDataFrame(
+        [("jongh", 1), ("jong", 2), ("smit", 3), ("veld", 4)],
+        "mlast string, persid int",
+    )
+
+
+def _pairs(df):
+    return {
+        (r["persid_from"], r["persid_to"])
+        for r in df.where(F.col("persid_to").isNotNull()).collect()
+    }
+
+
+def test_string_distance_toy(spark, d1, d2):
+    out = candidates(
+        d1, d2, blocktype="string distance", maxdist=0.15, preblock=None
+    )
+    # jw(jong,jongh)=.04, jw(jong,jong)=0, jw(smid,smit)=.1167 — nauda none
+    assert _pairs(out) == {(1, 1), (1, 2), (2, 3)}
+    # unmatched from-rows survive as NA rows (R/candidates.R:11)
+    nauda = out.where(F.col("persid_from") == 3).collect()
+    assert len(nauda) == 1 and nauda[0]["persid_to"] is None
+    # scores are the JW distances
+    scores = {
+        (r["persid_from"], r["persid_to"]): r["score"]
+        for r in out.where(F.col("persid_to").isNotNull()).collect()
+    }
+    assert scores[(1, 1)] == pytest.approx(0.04)
+    assert scores[(1, 2)] == 0.0
+    assert scores[(2, 3)] == pytest.approx(1 - (5 / 6 + 3 * 0.1 * (1 / 6)), abs=1e-9)
+
+
+def test_string_distance_preblock_first_letter(spark, d1, d2):
+    exact = candidates(d1, d2, blocktype="string distance", maxdist=0.15, preblock=None)
+    blocked = candidates(
+        d1, d2, blocktype="string distance", maxdist=0.15, preblock="first_letter"
+    )
+    # same-first-letter pairs: identical result on this toy
+    assert _pairs(exact) == _pairs(blocked)
+
+
+def test_bigram_toy(spark, d1, d2):
+    out = candidates(d1, d2, blocktype="bigram distance", maxdist=0.5)
+    # cos(#jong#,#jongh#)=4/sqrt(30)≈.7303>.5 ; cos(#smid#,#smit#)=3/5=.6>.5
+    assert _pairs(out) == {(1, 1), (1, 2), (2, 3)}
+    scores = {
+        (r["persid_from"], r["persid_to"]): r["score"]
+        for r in out.where(F.col("persid_to").isNotNull()).collect()
+    }
+    assert scores[(1, 1)] == pytest.approx(1 - 4 / math.sqrt(30), abs=1e-9)
+    assert scores[(1, 2)] == pytest.approx(0.0, abs=1e-9)
+    assert scores[(2, 3)] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_bigram_strict_threshold(spark, d1, d2):
+    out = candidates(d1, d2, blocktype="bigram distance", maxdist=0.15)
+    assert _pairs(out) == {(1, 2)}  # only the exact jong→jong survives
+
+
+def test_idf_bigram(spark, d1, d2):
+    out = candidates(d1, d2, blocktype="idf bigram distance", maxdist=0.5)
+    # idf re-weights but identical strings still at sim 1
+    assert (1, 2) in _pairs(out)
+
+
+def test_soundex_block(spark, d1, d2):
+    out = candidates(d1, d2, blocktype="soundex")
+    # soundex: jong→J52, jongh→J52, smid→S53, smit→S53, nauda→N3, veld→V43
+    assert _pairs(out) == {(1, 1), (1, 2), (2, 3)}
+    # score column exists and is NULL (reference quirk: score_list undefined,
+    # R/candidates.R:113-119 — we emit explicit NULL)
+    assert all(
+        r["score"] is None for r in out.where(F.col("persid_to").isNotNull()).collect()
+    )
+
+
+def test_soundex_block_salted_equivalence(spark, d1, d2):
+    plain = candidates(d1, d2, blocktype="soundex")
+    salted = candidates(d1, d2, blocktype="soundex", salt=4)
+    assert _pairs(plain) == _pairs(salted)
+
+
+def test_numeric_band(spark):
+    y1 = spark.createDataFrame([(1828.0, 1), (1800.0, 2)], "year double, persid int")
+    y2 = spark.createDataFrame(
+        [(1828.0, 1), (1827.0, 2), (1820.0, 3)], "year double, persid int"
+    )
+    out = candidates(
+        y1, y2, blockvariable_from="year", blockvariable_to="year",
+        blocktype="numeric", maxdist=0.5, sigma=1.0,
+    )
+    # gk > 0.5 ⟺ |Δ| < ln2 ≈ .693 → only exact year matches
+    assert _pairs(out) == {(1, 1)}
+    s = {r["persid_to"]: r["score"] for r in out.where(F.col("persid_to").isNotNull()).collect()}
+    assert s[1] == pytest.approx(0.0)
+
+
+def test_distcalc_toy(spark):
+    """R/distances.R:16-20 example."""
+    d1 = spark.createDataFrame([("jong", 1), ("smid", 2)], "mlast string, persid int")
+    d2 = spark.createDataFrame(
+        [("jongh", 1), ("jong", 2), ("smit", 3)], "mlast string, persid int"
+    )
+    cnd = candidates(d1, d2, blocktype="string distance", maxdist=0.5, preblock=None)
+    feat = distcalc(cnd, character_variables=["mlast"], numeric_variables=[])
+    rows = {
+        (r["persid_from"], r["persid_to"]): r
+        for r in feat.where(F.col("persid_to").isNotNull()).collect()
+    }
+    assert rows[(1, 1)]["mlastdist"] == pytest.approx(0.04)
+    assert rows[(1, 1)]["mlastsdx"] == 0.0  # same soundex J52
+    assert rows[(2, 3)]["mlastsdx"] == 0.0  # S53 == S53
+    # NA row: distances NULL
+    feat_cols = feat.where(F.col("persid_to").isNull()).collect()
+    for r in feat_cols:
+        assert r["mlastdist"] is None and r["mlastsdx"] is None
+
+
+def test_keep_unmatched_both(spark, d1, d2):
+    out = candidates(d1, d2, blocktype="soundex", keep_unmatched="both")
+    # veld (persid_to=4) has no candidates but survives as an NA row
+    veld = out.where(F.col("persid_to") == 4).collect()
+    assert len(veld) == 1 and veld[0]["persid_from"] is None
+    inner = candidates(d1, d2, blocktype="soundex", keep_unmatched="none")
+    assert inner.where(F.col("persid_to").isNull()).count() == 0
+    assert inner.where(F.col("persid_from").isNull()).count() == 0

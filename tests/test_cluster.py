@@ -1,0 +1,73 @@
+"""expand_index truth table (R/util.R:8-12) + connected-components properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.cluster import (
+    cluster_links,
+    connected_components,
+    expand_index,
+)
+
+
+def test_expand_index_truth_table(spark):
+    index = [1, 1, 1, 2, 2, None, 2, None, None, None, 4, 4, None]
+    cand = [5, 5, None, 6, 6, 6, 6, 7, 7, None, 8, 8, 8]
+    df = spark.createDataFrame(
+        [(i, ix, c) for i, (ix, c) in enumerate(zip(index, cand))],
+        "row int, index int, index_candidate int",
+    )
+    out = expand_index(df).orderBy("row").collect()
+    got = [r["index"] for r in out]
+    # group 5: fully indexed → no-op; group 6: bridge → fill 2;
+    # group 7: all-NA → adopt 7; group 8: bridge → fill 4; NULL cand untouched
+    assert got == [1, 1, 1, 2, 2, 2, 2, 7, 7, None, 4, 4, 4]
+
+
+def test_expand_index_no_bridge_on_conflict(spark):
+    # two distinct existing indexes + NA in one candidate group → NA stays
+    df = spark.createDataFrame(
+        [(1, 9), (2, 9), (None, 9)], "index int, index_candidate int"
+    )
+    got = sorted(
+        [r["index"] for r in expand_index(df).collect()], key=lambda x: (x is None, x)
+    )
+    assert got == [1, 2, None]
+
+
+def test_connected_components_chain(spark):
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1  # min-id
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
+
+
+def test_connected_components_deterministic_under_repartition(spark):
+    import random
+
+    rnd = random.Random(7)
+    edges = [(rnd.randint(0, 200), rnd.randint(0, 200)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    b = {
+        r["node"]: r["component"]
+        for r in connected_components(df.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_cluster_links(spark):
+    links = spark.createDataFrame(
+        [(1, 101, 0.9), (2, 101, 0.8)], "persid_from long, persid_to long, predicted double"
+    )
+    records = spark.createDataFrame(
+        [(1,), (2,), (101,), (555,)], "persid long"
+    )
+    out = {r["persid"]: r for r in cluster_links(links, records).collect()}
+    assert out[1]["entity_id"] == out[2]["entity_id"] == out[101]["entity_id"] == 1
+    assert out[555]["entity_id"] == 555 and out[555]["confidence"] is None
+    assert out[101]["confidence"] == 0.9

@@ -1,0 +1,87 @@
+"""Dual-rank selection semantics (R/pred.R:47-54) incl. R's average-rank ties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.ml.logistic import train_logistic
+from capelinker_spark.operators.predict import (
+    confusion,
+    group_split,
+    predict_links,
+    rank_links,
+    select_links,
+)
+
+
+def test_rank_and_select_many_one(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, 0.9), (1, 11, 0.4),      # from 1: top is 10
+            (2, 10, 0.95),                   # from 2: top is 10 (beats from 1 on to-side)
+            (3, 12, 0.3),                    # below threshold
+        ],
+        "pf long, pt long, predicted double",
+    )
+    ranked = rank_links(df, "pf", "pt")
+    many = select_links(ranked, 0.5, "many:one")
+    got = {(r["pf"], r["pt"]) for r in many.collect()}
+    assert got == {(1, 10), (2, 10)}
+    one = select_links(ranked, 0.5, "one:one")
+    got = {(r["pf"], r["pt"]) for r in one.collect()}
+    assert got == {(2, 10)}  # rank_to==1 required → from 1 loses to-contest
+
+
+def test_tied_top_scores_select_nothing(spark):
+    # R's rank(-p) gives 1.5/1.5 on a tie → rank_from==1 never true
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.9)], "pf long, pt long, predicted double"
+    )
+    ranked = rank_links(df, "pf", "pt")
+    rows = ranked.collect()
+    assert all(r["rank_from"] == 1.5 for r in rows)
+    assert select_links(ranked, 0.5, "many:one").count() == 0
+
+
+def test_group_split_consistency(spark):
+    df = spark.createDataFrame([(i % 20, i) for i in range(200)], "g int, row int")
+    train, test = group_split(df, "g", 0.7, seed=1)
+    tg = {r["g"] for r in train.select("g").distinct().collect()}
+    sg = {r["g"] for r in test.select("g").distinct().collect()}
+    assert tg.isdisjoint(sg)
+    assert len(tg) + len(sg) == 20
+    # deterministic under repartition
+    train2, _ = group_split(df.repartition(7), "g", 0.7, seed=1)
+    assert {r["g"] for r in train2.select("g").distinct().collect()} == tg
+
+
+def test_confusion_and_logistic(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(0)
+    n = 400
+    y = rng.random(n) < 0.3
+    x1 = np.where(y, rng.normal(0.05, 0.03, n), rng.normal(0.5, 0.15, n))
+    x2 = np.where(y, rng.normal(0.1, 0.05, n), rng.normal(0.6, 0.2, n))
+    x1[rng.random(n) < 0.05] = np.nan  # missing features
+    pdf = pd.DataFrame({"d1": x1, "d2": x2, "correct": y})
+    model = train_logistic(pdf, ["d1", "d2"])
+    # native-expression scoring ≡ driver-side prediction
+    sdf = spark.createDataFrame(pdf)
+    scored = model.transform(sdf)
+    got = np.array([r["predicted"] for r in scored.select("predicted").collect()])
+    exp = model.predict_pdf(pdf)
+    assert np.allclose(np.sort(got), np.sort(exp), atol=1e-9)
+    m = confusion(scored.withColumn("correct", F.col("correct").cast("boolean")))
+    assert m["f1"] > 0.95
+
+
+def test_predict_links_with_expr_scorer(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 0.1), (1, 11, 0.9), (2, 11, 0.2)],
+        "pf long, pt long, s double",
+    )
+    out = predict_links(df, "pf", "pt", scorer=F.col("s"), minimum_confidence=0.5)
+    assert {(r["pf"], r["pt"]) for r in out.collect()} == {(1, 11)}
