@@ -1,0 +1,1148 @@
+"""Driver-contract query registry: every implemented operator from SURVEY §2
+registered as a (Spark callable, DuckDB oracle SQL) pair over the driver's
+test tables (TESTDATA.md).
+
+Conventions that keep the two engines hash-identical:
+* every computed float is ``round(x, 6)`` on BOTH sides; money sums go
+  through DECIMAL(18,2) before the final double cast (order-independent);
+* thresholds filter on the ROUNDED value so boundary pairs can't diverge;
+* timestamps in outputs are formatted to 'yyyy-MM-dd' strings;
+* ranks are R-style average ranks (rank + (ties-1)/2) on both sides;
+* soundex / Jaro-Winkler oracles use SQL transcriptions of the exact
+  Spark/stringdist semantics (see ``duckdb_soundex_sql`` / ``duckdb_jw_sql``
+  — the Winkler boost is applied unconditionally, unlike DuckDB's built-in
+  jaro_winkler_similarity which gates it at jaro > 0.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capelinker_spark.functions import normalize as N
+from capelinker_spark.functions.strdist import gk, jw_udf, soundex_dist
+from capelinker_spark.operators import dedup as DD
+from capelinker_spark.operators import simsearch as SS
+from capelinker_spark.operators import textstats as TS
+from capelinker_spark.operators.cluster import connected_components, expand_index
+
+# ---------------------------------------------------------------------------
+# SQL transcription helpers
+# ---------------------------------------------------------------------------
+
+
+def duckdb_soundex_sql(col: str) -> str:
+    """DuckDB expression reproducing Spark's soundex exactly (verified against
+    the JVM implementation over the fixture name pool — see
+    tests/test_oracle_parity.py). State machine via list_reduce with the
+    accumulator encoded 'RESULT|last'."""
+    code = (
+        "CASE WHEN upper(x) IN ('B','F','P','V') THEN '1' "
+        "WHEN upper(x) IN ('C','G','J','K','Q','S','X','Z') THEN '2' "
+        "WHEN upper(x) IN ('D','T') THEN '3' "
+        "WHEN upper(x) = 'L' THEN '4' "
+        "WHEN upper(x) IN ('M','N') THEN '5' "
+        "WHEN upper(x) = 'R' THEN '6' "
+        "WHEN upper(x) IN ('H','W') THEN '7' "
+        "WHEN upper(x) BETWEEN 'A' AND 'Z' THEN '0' "
+        "ELSE 'X' END"
+    )
+    first_code = code.replace("upper(x)", f"upper({col}[1])")
+    step = (
+        "CASE"
+        " WHEN length(string_split(acc,'|')[1]) >= 4 THEN acc"
+        f" WHEN {code} = 'X' THEN string_split(acc,'|')[1] || '|0'"
+        f" WHEN {code} = '7' THEN acc"
+        f" WHEN {code} <> '0' AND {code} <> string_split(acc,'|')[2]"
+        f"  THEN string_split(acc,'|')[1] || {code} || '|' || {code}"
+        f" ELSE string_split(acc,'|')[1] || '|' || {code} "
+        "END"
+    )
+    return (
+        f"CASE WHEN {col} IS NULL THEN NULL"
+        f" WHEN NOT upper({col}[1]) BETWEEN 'A' AND 'Z' THEN {col}"
+        f" ELSE rpad(string_split(list_reduce(list_prepend("
+        f"upper({col}[1]) || '|' || {first_code},"
+        f" list_slice(string_split({col}, ''), 2, length({col}))),"
+        f" (acc, x) -> {step}), '|')[1], 4, '0') END"
+    )
+
+
+def duckdb_jw_sql(a: str, b: str, p: float = 0.1) -> str:
+    """Jaro-Winkler DISTANCE with UNCONDITIONAL Winkler boost (stringdist
+    semantics) from DuckDB's jaro_similarity + a manual prefix term."""
+    prefs = []
+    conds = []
+    for i in range(1, 5):
+        conds.append(
+            f"(length({a}) >= {i} AND length({b}) >= {i} "
+            f"AND substr({a},{i},1) = substr({b},{i},1))"
+        )
+        prefs.append("(" + " AND ".join(conds) + ")::INT")
+    l = " + ".join(prefs)
+    j = f"jaro_similarity({a}, {b})"
+    return (
+        f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+        f"WHEN {a} = {b} THEN 0.0 "
+        f"ELSE 1.0 - ({j} + ({l}) * {p} * (1.0 - {j})) END"
+    )
+
+
+WORDS_SQL = "string_split_regex(trim({c}), '\\s+')"
+
+
+def word_shingles_sql(c: str, n: int = 3) -> str:
+    """Mirror of operators.dedup.word_shingles (distinct word n-grams)."""
+    w = WORDS_SQL.format(c=c)
+    return (
+        f"(CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(range(0, len({w}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({w}, i + 1, i + {n}), ' '))) "
+        f"ELSE [array_to_string({w}, ' ')] END)"
+    )
+
+
+def char_ngrams_sql(c: str, n: int = 3) -> str:
+    """Mirror of operators.dedup.char_ngrams."""
+    return (
+        f"(CASE WHEN length({c}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, length({c}) - {n - 2}), "
+        f"i -> substr({c}, i, {n}))) ELSE [{c}] END)"
+    )
+
+
+def initials_sql(c: str) -> str:
+    """Mirror of functions.normalize.initials (R/util.R:121-137)."""
+    return (
+        f"CASE WHEN {c} IS NULL THEN NULL ELSE coalesce(list_aggregate("
+        f"list_transform(regexp_extract_all({c}, '^[A-z]|\\s[A-z]|[.][A-z]'), "
+        f"x -> regexp_replace(x, '[ .]', '', 'g')), 'string_agg', ''), '') END"
+    )
+
+
+DIACRITICS_SQL_FROM = N.DIACRITICS_FROM
+DIACRITICS_SQL_TO = N.DIACRITICS_TO
+
+_HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- S/P: scans, projections, filters, cleaning ------------------------------
+
+
+@register(
+    "s1_scan_projection",
+    """SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
+              l_quantity AS qty,
+              round(l_extendedprice * (1 - l_discount), 2) AS net
+       FROM lineitem WHERE l_orderkey < 500""",
+)
+def s1_scan_projection(spark, sf_dir):
+    """P1: projection + rename + arithmetic; filter pushed to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") < 500).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+    )
+
+
+@register(
+    "p2_filter_predicates",
+    """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+              o_orderstatus AS status, o_orderpriority AS priority
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+         AND regexp_matches(o_orderpriority, '^[13]-')""",
+)
+def p2_filter_predicates(spark, sf_dir):
+    """P2: range + regex predicates (both pushed/codegen'd)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & F.col("o_orderpriority").rlike("^[13]-")
+    ).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+
+
+@register(
+    "p3_conditional_update",
+    """SELECT c_custkey AS custkey,
+              CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+                   WHEN c_acctbal > 9000 THEN 'VIP'
+                   ELSE c_mktsegment END AS segment2,
+              nullif(c_mktsegment, 'FURNITURE') AS seg_nulled
+       FROM customer""",
+)
+def p3_conditional_update(spark, sf_dir):
+    """P3: conditional update (the data.table ``dat[cond, col := x]`` shape)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "NEGATIVE")
+        .when(F.col("c_acctbal") > 9000, "VIP")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment2"),
+        F.nullif(F.col("c_mktsegment"), F.lit("FURNITURE")).alias("seg_nulled"),
+    )
+
+
+_JUNK_SQL = (
+    "CASE c_custkey % 5 WHEN 0 THEN c_mktsegment || ' (WED)' "
+    "WHEN 1 THEN c_mktsegment || 'é' "
+    "WHEN 2 THEN '  ' || c_mktsegment || ' ' "
+    "WHEN 3 THEN c_mktsegment || '/JR' "
+    "ELSE c_mktsegment END"
+)
+
+
+@register(
+    "p4_clean_name_chain",
+    f"""SELECT custkey, raw,
+               nullif(nullif(trim(regexp_replace(translate(raw,
+                   '{DIACRITICS_SQL_FROM}', '{DIACRITICS_SQL_TO}'),
+                   '[^A-Z .].*', '')), ''), 'X') AS cleaned
+        FROM (SELECT c_custkey AS custkey, {_JUNK_SQL} AS raw
+              FROM customer WHERE c_custkey < 600) t""",
+)
+def p4_clean_name_chain(spark, sf_dir):
+    """P4-P8 + U3: the full reference cleaning chain (diacritic fold →
+    analphabetic truncation → trim → ''/X → NULL) on synthesized noisy
+    strings — the graft's extractor chain on oracle-checkable data."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 600)
+    seg = F.col("c_mktsegment")
+    raw = (
+        F.when(F.col("c_custkey") % 5 == 0, F.concat(seg, F.lit(" (WED)")))
+        .when(F.col("c_custkey") % 5 == 1, F.concat(seg, F.lit("é")))
+        .when(F.col("c_custkey") % 5 == 2, F.concat(F.lit("  "), seg, F.lit(" ")))
+        .when(F.col("c_custkey") % 5 == 3, F.concat(seg, F.lit("/JR")))
+        .otherwise(seg)
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"), raw.alias("raw")
+    ).withColumn("cleaned", N.clean_name(F.col("raw")))
+
+
+@register(
+    "u1_initials_longest_word",
+    f"""SELECT p_partkey AS partkey, p_name AS name,
+               {initials_sql('p_name')} AS initials,
+               list_max(list_transform(regexp_extract_all(p_name, '[A-Za-z]+'),
+                        x -> length(x))) AS longest_word
+        FROM part""",
+)
+def u1_initials_longest_word(spark, sf_dir):
+    """U1 + U7: initials() ([A-z] quirk) and len_longest_word."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+        N.initials(F.col("p_name")).alias("initials"),
+        N.len_longest_word(F.col("p_name")).alias("longest_word"),
+    )
+
+
+def _prefix_sql_pattern() -> str:
+    return N.prefix_pattern()
+
+
+@register(
+    "u2_split_prefixes",
+    f"""SELECT custkey, surname,
+               nullif(regexp_extract(surname, '(?i)({_prefix_sql_pattern()})', 1), '') AS prefix,
+               regexp_replace(surname, '(?i)(?:{_prefix_sql_pattern()})', '') AS wo_prefix
+        FROM (SELECT c_custkey AS custkey,
+                     CASE c_custkey % 3
+                       WHEN 0 THEN 'VAN DER ' || c_mktsegment
+                       WHEN 1 THEN 'DU ' || c_mktsegment
+                       ELSE c_mktsegment END AS surname
+              FROM customer WHERE c_custkey < 400) t""",
+)
+def u2_split_prefixes(spark, sf_dir):
+    """U2: surname-particle extraction, longest-first alternation."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 400)
+    seg = F.col("c_mktsegment")
+    surname = (
+        F.when(F.col("c_custkey") % 3 == 0, F.concat(F.lit("VAN DER "), seg))
+        .when(F.col("c_custkey") % 3 == 1, F.concat(F.lit("DU "), seg))
+        .otherwise(seg)
+    )
+    base = c.select(F.col("c_custkey").alias("custkey"), surname.alias("surname"))
+    pfx, wo = N.split_prefix(F.col("surname"))
+    return base.withColumn("prefix", pfx).withColumn("wo_prefix", wo)
+
+
+# -- J: the join family -------------------------------------------------------
+
+_WORDS_A = (
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "FROM documents WHERE source IN ('src0','src2','src4')"
+)
+_WORDS_B = (
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "FROM documents WHERE source IN ('src1','src3','src5')"
+)
+
+
+def _words(spark, sf_dir, sources):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("source").isin(*sources))
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+
+
+@register(
+    "j5_soundex_blocking_join",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B})
+        SELECT a.w AS word_a, b.w AS word_b,
+               {duckdb_soundex_sql('a.w')} AS block_key
+        FROM wa a JOIN wb b
+          ON {duckdb_soundex_sql('a.w')} = {duckdb_soundex_sql('b.w')}""",
+)
+def j5_soundex_blocking_join(spark, sf_dir):
+    """J5: soundex equi-join — THE blocking key of the linkage pipeline."""
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("word_a"), F.soundex("w").alias("block_key")
+    )
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("word_b"), F.soundex("w").alias("block_key")
+    )
+    return a.join(b, "block_key").select("word_a", "word_b", "block_key")
+
+
+@register(
+    "j1_jw_similarity_join",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B})
+        SELECT a.w AS word_a, b.w AS word_b,
+               round({duckdb_jw_sql('a.w', 'b.w')}, 6) AS jwdist
+        FROM wa a JOIN wb b ON substr(a.w, 1, 1) = substr(b.w, 1, 1)
+        WHERE round({duckdb_jw_sql('a.w', 'b.w')}, 6) < 0.3""",
+)
+def j1_jw_similarity_join(spark, sf_dir):
+    """J1: string-distance blocking (JW p=0.1, stringdist semantics) with
+    first-letter pre-block; Arrow-vectorized UDF on the Spark side."""
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("word_a"), F.substring("w", 1, 1).alias("_k")
+    )
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("word_b"), F.substring("w", 1, 1).alias("_k")
+    )
+    return (
+        a.join(b, "_k")
+        .withColumn("jwdist", F.round(jw_udf(F.col("word_a"), F.col("word_b")), 6))
+        .where(F.col("jwdist") < 0.3)
+        .select("word_a", "word_b", "jwdist")
+    )
+
+
+@register(
+    "j2_numeric_band_join",
+    """SELECT a.s_suppkey AS key_a, b.s_suppkey AS key_b,
+              round(exp(-abs(a.s_acctbal - b.s_acctbal) / 2500.0), 6) AS gauss_sim
+       FROM supplier a JOIN supplier b
+         ON a.s_suppkey < b.s_suppkey
+        AND abs(a.s_acctbal - b.s_acctbal) < 50""",
+)
+def j2_numeric_band_join(spark, sf_dir):
+    """J2: banded numeric blocking — bucketed equi-join (floor(x/w) ±1
+    neighbor explosion), exact band filter, Gaussian-kernel score (σ=50)."""
+    from capelinker_spark.operators.blocking import (
+        explode_neighbor_bands,
+        numeric_band_key,
+    )
+
+    s = _t(spark, sf_dir, "supplier")
+    lhs = explode_neighbor_bands(
+        s.select(
+            F.col("s_suppkey").alias("key_a"), F.col("s_acctbal").alias("_ba")
+        ).withColumn("_b", numeric_band_key(F.col("_ba"), 50.0)),
+        "_b",
+        "_band",
+    )
+    rhs = s.select(
+        F.col("s_suppkey").alias("key_b"), F.col("s_acctbal").alias("_bb")
+    ).withColumn("_band", numeric_band_key(F.col("_bb"), 50.0))
+    return (
+        lhs.join(rhs, "_band")
+        .where(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("_ba") - F.col("_bb")) < 50)
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.round(gk(F.col("_ba"), F.col("_bb"), sigma=50.0), 6).alias("gauss_sim"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "j6_left_outer_assembly",
+    """SELECT c.c_custkey AS custkey,
+              count(o.o_orderkey) AS n_big_orders,
+              round(coalesce(sum(o.o_totalprice::DECIMAL(18,2)), 0)::DOUBLE, 2) AS big_total
+       FROM customer c LEFT JOIN orders o
+         ON o.o_custkey = c.c_custkey AND o.o_totalprice > 9500
+       GROUP BY c.c_custkey""",
+)
+def j6_left_outer_assembly(spark, sf_dir):
+    """J6: the candidates-assembly shape — left join keeping unmatched rows
+    as NA rows (R/candidates.R:125-132), then per-from aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 9500)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+                ).cast("double"),
+                2,
+            ).alias("big_total"),
+        )
+    )
+
+
+@register(
+    "j7_semi_anti",
+    """SELECT c_custkey AS custkey, TRUE AS has_big_order FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 9000)
+       UNION ALL
+       SELECT c_custkey AS custkey, FALSE AS has_big_order FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 9000)""",
+)
+def j7_semi_anti(spark, sf_dir):
+    """Semi + anti joins (the reference's %in% / !%in% subsetting)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 9000)
+    keys = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(keys, "c_custkey", "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.lit(True).alias("has_big_order")
+    )
+    anti = c.join(keys, "c_custkey", "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.lit(False).alias("has_big_order")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "j8_composite_key_join",
+    """SELECT l.l_orderkey AS orderkey, l.l_linenumber AS lineno,
+              o.o_custkey AS custkey
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate AND l.l_orderkey < 2000""",
+)
+def j8_composite_key_join(spark, sf_dir):
+    """Inner merge + cross-table predicate (data_raw/pretrained.R:340-343)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("lineno"),
+            F.col("o_custkey").alias("custkey"),
+        )
+    )
+
+
+# -- F/A/M: features, aggregations, windows, selection ------------------------
+
+
+@register(
+    "f7_namefreq_grouped_count",
+    f"""SELECT w AS word, count(*) AS namefreq
+        FROM (SELECT unnest({WORDS_SQL.format(c='text')}) AS w FROM documents) t
+        GROUP BY w HAVING count(*) > 3""",
+)
+def f7_namefreq_grouped_count(spark, sf_dir):
+    """F7/A1: frequency count per token (the namefreq feature shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("namefreq"))
+        .where(F.col("namefreq") > 3)
+    )
+
+
+@register(
+    "f6_window_matches",
+    """SELECT DISTINCT l_orderkey AS orderkey,
+              count(*) OVER (PARTITION BY l_orderkey) AS matches
+       FROM lineitem WHERE l_orderkey < 3000""",
+)
+def f6_window_matches(spark, sf_dir):
+    """F6: block-size window count (``matches := .N by persid_from``)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 3000)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.count("*").over(Window.partitionBy("l_orderkey")).alias("matches"),
+    ).distinct()
+
+
+@register(
+    "m2_dual_rank_select",
+    """WITH ranked AS (
+         SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                o_totalprice AS price,
+                rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+                + (count(*) OVER (PARTITION BY o_custkey, o_totalprice) - 1) / 2.0
+                  AS rank_from
+         FROM orders)
+       SELECT custkey, orderkey, price FROM ranked
+       WHERE rank_from = 1 AND price > 5000""",
+)
+def m2_dual_rank_select(spark, sf_dir):
+    """M2/M3: R-average-rank top-1 selection (R/pred.R:47-54 semantics —
+    tied tops select nothing)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    ties = Window.partitionBy("o_custkey", "o_totalprice")
+    return (
+        o.withColumn(
+            "rank_from", F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
+        )
+        .where((F.col("rank_from") == 1) & (F.col("o_totalprice") > 5000))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+
+
+@register(
+    "a2_grouped_bool_agg",
+    """SELECT event_type,
+              bool_and(value > 0) AS all_positive,
+              bool_or(value > 99) AS any_large,
+              count(*) AS n
+       FROM events GROUP BY event_type""",
+)
+def a2_grouped_bool_agg(spark, sf_dir):
+    """A2: grouped boolean aggregates (expand_index group rules shape)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 99).alias("any_large"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a3_null_share_profile",
+    """SELECT 'documents' AS variable,
+              round(avg((lang IS NULL)::INT), 6) AS share_na,
+              round(avg((length(text) < 100)::INT), 6) AS share_short,
+              round(avg((n_chars)::DOUBLE), 6) AS mean_chars
+       FROM documents""",
+)
+def a3_null_share_profile(spark, sf_dir):
+    """A3/§2.10 preflight: conditional-mean QA profile in one agg pass."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.lit("documents").alias("variable"),
+        F.round(F.avg(F.col("lang").isNull().cast("int")), 6).alias("share_na"),
+        F.round(F.avg((F.length("text") < 100).cast("int")), 6).alias("share_short"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("mean_chars"),
+    )
+
+
+@register(
+    "a4_minmax_range",
+    """SELECT min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+              round(min(l_extendedprice), 2) AS price_min,
+              round(max(l_extendedprice), 2) AS price_max,
+              strftime(min(l_shipdate), '%Y-%m-%d') AS ship_min,
+              strftime(max(l_shipdate), '%Y-%m-%d') AS ship_max
+       FROM lineitem""",
+)
+def a4_minmax_range(spark, sf_dir):
+    """A4: range profiling (R/prep.R:200-204)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("ship_min"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("ship_max"),
+    )
+
+
+@register(
+    "a5_dedup_keep_min",
+    """SELECT user_id, event_type, min(event_id) AS first_event
+       FROM events GROUP BY user_id, event_type""",
+)
+def a5_dedup_keep_min(spark, sf_dir):
+    """A5: dedup keep-first via row_number window (≡ min per group)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event"))
+    )
+
+
+@register(
+    "a6_distinct_count",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+       GROUP BY event_type""",
+)
+def a6_distinct_count(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+@register(
+    "a8_sort_topk",
+    """SELECT o_orderkey AS orderkey, o_totalprice AS price FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+)
+def a8_sort_topk(spark, sf_dir):
+    """A8/A9: global sort + top-k with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("o_totalprice").alias("price"))
+    )
+
+
+@register(
+    "a10_union_fill",
+    """SELECT 'cust' AS entity, c_custkey AS key, c_acctbal AS acctbal,
+              c_mktsegment AS mktsegment FROM customer
+       UNION ALL
+       SELECT 'supp' AS entity, s_suppkey AS key, s_acctbal AS acctbal,
+              NULL AS mktsegment FROM supplier""",
+)
+def a10_union_fill(spark, sf_dir):
+    """A10: rbindlist(fill=TRUE) → unionByName(allowMissingColumns)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("entity"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("entity"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "a11_unpivot_melt",
+    """SELECT o_orderkey AS orderkey, 'totalprice' AS variable,
+              o_totalprice AS value FROM orders WHERE o_orderkey < 1000
+       UNION ALL
+       SELECT o_orderkey AS orderkey, 'custkey' AS variable,
+              o_custkey::DOUBLE AS value FROM orders WHERE o_orderkey < 1000""",
+)
+def a11_unpivot_melt(spark, sf_dir):
+    """A11: melt wide→long (data_raw/traindata_graafreinet.R:176-179)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot("orderkey", ["totalprice", "custkey"], "variable", "value")
+
+
+@register(
+    "a12_onehot",
+    """SELECT n_nationkey AS nationkey,
+              (n_regionkey = 0)::INT AS region0, (n_regionkey = 1)::INT AS region1,
+              (n_regionkey = 2)::INT AS region2, (n_regionkey = 3)::INT AS region3,
+              (n_regionkey = 4)::INT AS region4
+       FROM nation""",
+)
+def a12_onehot(spark, sf_dir):
+    """A12: one-hot region columns (data_raw/pretrained.R:24-25)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").alias("nationkey"),
+        *[
+            (F.col("n_regionkey") == r).cast("int").alias(f"region{r}")
+            for r in range(5)
+        ],
+    )
+
+
+@register(
+    "f5_gaussian_kernel",
+    """SELECT event_id, round(exp(-abs(value - 50.0) / 100.0), 6) AS gauss
+       FROM events WHERE event_id < 2000""",
+)
+def f5_gaussian_kernel(spark, sf_dir):
+    """F5/U9: the Gaussian similarity kernel gk (R/util.R:271-273), σ²=100."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return e.select(
+        "event_id", F.round(gk(F.col("value"), F.lit(50.0), sigma=10.0), 6).alias("gauss")
+    )
+
+
+@register(
+    "f2_soundex_distance",
+    f"""WITH wa AS ({_WORDS_A})
+        SELECT w AS word,
+               CASE WHEN {duckdb_soundex_sql('w')} =
+                         {duckdb_soundex_sql("(w || 'h')")} THEN 0.0
+                    ELSE 1.0 END AS sdx_dist_to_variant
+        FROM wa""",
+)
+def f2_soundex_distance(spark, sf_dir):
+    """F2: the 0/1 soundex distance feature (R/distances.R:33-37)."""
+    wa = _words(spark, sf_dir, ["src0", "src2", "src4"])
+    return wa.select(
+        F.col("w").alias("word"),
+        soundex_dist(F.col("w"), F.concat(F.col("w"), F.lit("h"))).alias(
+            "sdx_dist_to_variant"
+        ),
+    )
+
+
+@register(
+    "j9_json_regex_extract",
+    """SELECT event_id, regexp_extract(props, '"k": ([0-9]+)', 1)::INT AS k_val
+       FROM events WHERE event_id < 2000""",
+)
+def j9_json_regex_extract(spark, sf_dir):
+    """Props payload field extraction via regex (engine-portable)."""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("int").alias("k_val"),
+    )
+
+
+@register(
+    "q1_flagship_agg",
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+              sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+              sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6))::DOUBLE
+                  AS sum_disc_price,
+              round(avg(l_quantity), 6) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_flagship_agg(spark, sf_dir):
+    """The TPC-H-Q1-shaped flagship aggregation (decimal-exact sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(24,6)"
+            )
+        )
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# -- clustering ---------------------------------------------------------------
+
+
+@register(
+    "c1_connected_components",
+    """WITH RECURSIVE
+       edges AS (SELECT l_orderkey AS a, 1000000 + l_partkey AS b
+                 FROM lineitem WHERE l_orderkey < 40),
+       sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+       reach(node, r) AS (
+         SELECT a, a FROM sym
+         UNION
+         SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node)
+       SELECT node, min(r) AS component FROM reach GROUP BY node""",
+)
+def c1_connected_components(spark, sf_dir):
+    """§2.7: transitive closure as iterative min-label propagation,
+    cross-checked against a recursive-CTE closure."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 40)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.lit(1000000) + F.col("l_partkey")).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+_EXPAND_VALUES = (
+    "(1,1,5),(2,1,5),(3,1,NULL),(4,2,6),(5,2,6),(6,NULL,6),(7,2,6),"
+    "(8,NULL,7),(9,NULL,7),(10,NULL,NULL),(11,4,8),(12,4,8),(13,NULL,8)"
+)
+
+
+@register(
+    "c2_expand_index",
+    f"""WITH dat(row, index, index_candidate) AS (VALUES {_EXPAND_VALUES}),
+        grp AS (SELECT index_candidate,
+                       count(DISTINCT index) AS nn,
+                       bool_or(index IS NULL) AS has_null,
+                       min(index) AS the_idx
+                FROM dat WHERE index_candidate IS NOT NULL
+                GROUP BY index_candidate)
+        SELECT row,
+               CASE WHEN dat.index_candidate IS NULL THEN index
+                    WHEN nn = 0 THEN dat.index_candidate
+                    WHEN has_null AND nn = 1 AND index IS NULL THEN the_idx
+                    ELSE index END AS index
+        FROM dat LEFT JOIN grp USING (index_candidate)""",
+)
+def c2_expand_index(spark, sf_dir):
+    """§2.7: expand_index truth table (R/util.R:8-12) — exact group rules."""
+    index = [1, 1, 1, 2, 2, None, 2, None, None, None, 4, 4, None]
+    cand = [5, 5, None, 6, 6, 6, 6, 7, 7, None, 8, 8, 8]
+    df = spark.createDataFrame(
+        [(i + 1, ix, c) for i, (ix, c) in enumerate(zip(index, cand))],
+        "row int, index int, index_candidate int",
+    )
+    return expand_index(df).select("row", "index")
+
+
+# -- dedup family --------------------------------------------------------------
+
+_DOCS_PLUS_DUPS = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40 "
+    "UNION ALL SELECT doc_id + 200000, text || ' zzextra' FROM documents WHERE doc_id < 40"
+)
+
+
+def _docs_plus_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "dd1_exact_dedup",
+    f"""WITH all_docs AS ({_DOCS_PLUS_DUPS}),
+        h AS (SELECT doc_id, md5(text) AS content_hash FROM all_docs),
+        c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h
+              GROUP BY content_hash)
+        SELECT h.doc_id, c.canonical_id, h.content_hash
+        FROM h JOIN c USING (content_hash)""",
+)
+def dd1_exact_dedup(spark, sf_dir):
+    """Exact dedup: md5 → min-id canonicalization (planted duplicates)."""
+    return DD.exact_duplicates(_docs_plus_dups(spark, sf_dir))
+
+
+def _mh_sql(num: int) -> str:
+    sh = word_shingles_sql("text", 3)
+    cols = ", ".join(
+        f"list_min(list_transform({sh}, s -> md5('{i}:' || s))) AS mh{i}"
+        for i in range(num)
+    )
+    return cols
+
+
+@register(
+    "dd2_minhash_signature",
+    f"""SELECT doc_id, {_mh_sql(8)} FROM documents WHERE doc_id < 100""",
+)
+def dd2_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 md5-min hashes over word 3-shingles)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return DD.minhash_table(d, num_hashes=8)
+
+
+@register(
+    "dd3_minhash_lsh_neardup",
+    f"""WITH all_docs AS ({_DOCS_PLUS_DUPS}),
+        mh AS (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
+        banded AS (
+          SELECT doc_id, b.band,
+                 CASE b.band
+                   WHEN 0 THEN md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)
+                   WHEN 1 THEN md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)
+                   WHEN 2 THEN md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11)
+                   ELSE md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)
+                 END AS key
+          FROM mh, (SELECT unnest(range(0, 4)) AS band) b),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs)
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+                     len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+                    len(list_distinct(list_concat(sa.s, sb.s))), 6) >= 0.5""",
+)
+def dd3_minhash_lsh_neardup(spark, sf_dir):
+    """MinHash-LSH near-dup: 16 hashes, 4 bands, exact-Jaccard verify ≥0.5."""
+    out = DD.minhash_near_duplicates(
+        _docs_plus_dups(spark, sf_dir), threshold=0.0, num_hashes=16, bands=4
+    )
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6)).where(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _simhash_sql(bits: int) -> str:
+    bitcols = " || ".join(
+        f"(CASE WHEN avg((substr(md5(tok), {i + 1}, 1) IN {_HEX_HIGH_SQL})::INT) > 0.5 "
+        f"THEN '1' ELSE '0' END)"
+        for i in range(bits)
+    )
+    return bitcols
+
+
+@register(
+    "dd4_simhash",
+    f"""SELECT doc_id, {_simhash_sql(16)} AS simhash
+        FROM (SELECT doc_id, unnest({WORDS_SQL.format(c='text')}) AS tok
+              FROM documents WHERE doc_id < 100) t
+        GROUP BY doc_id""",
+)
+def dd4_simhash(spark, sf_dir):
+    """SimHash (16-bit, per-hex-digit majority over token md5s)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return DD.simhash(d, bits=16)
+
+
+@register(
+    "dd5_ngram_jaccard",
+    f"""WITH g AS (SELECT doc_id, {char_ngrams_sql('text', 3)} AS ng
+                   FROM documents WHERE doc_id < 25)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.ng, b.ng))::DOUBLE /
+                     len(list_distinct(list_concat(a.ng, b.ng))), 6) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id""",
+)
+def dd5_ngram_jaccard(spark, sf_dir):
+    """Exact character-3-gram Jaccard over all doc pairs (bounded subset)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 25)
+    g = d.select("doc_id", DD.char_ngrams(F.col("text"), 3).alias("ng"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("_na"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(DD.ngram_jaccard(F.col("_na"), F.col("_nb")), 6).alias("jaccard"),
+        )
+    )
+
+
+# -- text analysis --------------------------------------------------------------
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    out = {}
+    for lang, ws in sorted(TS.LANG_STOPWORDS.items()):
+        pat = r"\b(" + "|".join(ws) + r")\b"
+        out[lang] = f"len(regexp_extract_all(lower(text), '{pat}'))"
+    return out
+
+
+def _lang_id_sql() -> str:
+    s = _lang_scores_sql()
+    best = "greatest(" + ", ".join(s.values()) + ")"
+    n_best = " + ".join(f"({expr} = {best})::INT" for expr in s.values())
+    pick = " ".join(
+        f"WHEN {expr} = {best} THEN '{lang}'" for lang, expr in s.items()
+    )
+    return (
+        f"CASE WHEN {best} > 0 AND ({n_best}) = 1 THEN (CASE {pick} END) "
+        f"ELSE 'und' END"
+    )
+
+
+@register(
+    "ts1_lang_id",
+    f"""SELECT doc_id, {_lang_id_sql()} AS lang_detected FROM documents""",
+)
+def ts1_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-profile argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.detect_language(F.col("text")).alias("lang_detected"))
+
+
+@register(
+    "ts2_token_counts",
+    f"""SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len({WORDS_SQL.format(c='text')}) END AS n_tokens_ws,
+               len(regexp_extract_all(text, '{TS.BPE_ISH_PATTERN}')) AS n_tokens_bpe
+        FROM documents""",
+)
+def ts2_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TS.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TS.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "ts3_quality_ratios",
+    f"""SELECT doc_id,
+               round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+                     / length(text), 6) AS alpha_ratio,
+               round(len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+                     / length(text), 6) AS digit_ratio,
+               round({_lang_scores_sql()['en']}::DOUBLE
+                     / len({WORDS_SQL.format(c='text')}), 6) AS stopword_ratio
+        FROM documents WHERE length(text) > 0""",
+)
+def ts3_quality_ratios(spark, sf_dir):
+    """Quality-score component ratios."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    c = F.col("text")
+    n = F.length(c)
+    return d.select(
+        "doc_id",
+        F.round(F.regexp_count(c, F.lit("[A-Za-z]")) / n, 6).alias("alpha_ratio"),
+        F.round(F.regexp_count(c, F.lit("[0-9]")) / n, 6).alias("digit_ratio"),
+        F.round(
+            TS._stopword_hits(c, TS.LANG_STOPWORDS["en"])
+            / TS.token_count_ws(c),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "ts4_fingerprint",
+    f"""SELECT doc_id,
+               list_min(list_transform({word_shingles_sql('text', 8)},
+                                        s -> md5(s))) AS fingerprint
+        FROM documents""",
+)
+def ts4_fingerprint(spark, sf_dir):
+    """Winnowing-style min-shingle-hash document fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TS.fingerprint(F.col("text"), 8).alias("fingerprint"))
+
+
+# -- similarity search -----------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "ann1_brute_force_topk",
+    f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 round({_COS_SQL}, 6) AS cos_sim
+          FROM q a JOIN e b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+        WHERE rank <= 5""",
+)
+def ann1_brute_force_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline); ranking on the rounded
+    similarity so both engines rank identically."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    out = SS.brute_force_topk(q, e, k=500_000)  # rank later on rounded sim
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_r"), F.asc("neighbor_id")
+    )
+    return (
+        out.withColumn("cos_sim_r", F.round(F.col("cos_sim"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", F.col("cos_sim_r").alias("cos_sim"), "rank"
+        )
+    )
+
+
+@register(
+    "ann2_embedding_neardup",
+    f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                   FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+                   FROM embeddings WHERE vec_id < 10)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 6) >= 0.995""",
+)
+def ann2_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup (planted exact copies; threshold 0.995).
+    Spark side uses the L-table LSH index + exact verify — same result set
+    as the oracle's exhaustive scan at this threshold."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = e.unionByName(planted)
+    out = SS.embedding_near_duplicates(
+        df, threshold=0.0, n_tables=8, bits_per_table=4
+    )
+    return out.withColumn("cos_sim", F.round(F.col("cos_sim"), 6)).where(
+        F.col("cos_sim") >= 0.995
+    )

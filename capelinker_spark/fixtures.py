@@ -137,7 +137,7 @@ def make_corpus(
     ``(url, persid, entity_id, year)`` plus the clean (pre-noise) name fields.
     """
     rng = np.random.default_rng(seed)
-    sw = _zipf_weights(len(SURNAME_POOL))
+    sw = _zipf_weights(len(SURNAME_POOL), 0.95)
     mw = _zipf_weights(len(MFIRST_POOL), 0.8)
     ww = _zipf_weights(len(WFIRST_POOL), 0.8)
 
@@ -145,9 +145,9 @@ def make_corpus(
     for eid in range(n_entities):
         mlast = SURNAME_POOL[int(rng.choice(len(SURNAME_POOL), p=sw))]
         mfirst = MFIRST_POOL[int(rng.choice(len(MFIRST_POOL), p=mw))]
-        if rng.random() < 0.5:
+        if rng.random() < 0.75:
             mfirst += " " + MFIRST_POOL[int(rng.choice(len(MFIRST_POOL), p=mw))]
-        has_wife = rng.random() < 0.75
+        has_wife = rng.random() < 0.9
         wlast = (
             SURNAME_POOL[int(rng.choice(len(SURNAME_POOL), p=sw))]
             if has_wife
@@ -194,11 +194,11 @@ def make_corpus(
 
             mlast_n = field(ent["mlast"])
             mfirst_n = field(ent["mfirst"])
-            wife_missing = rng.random() < 0.15
+            wife_missing = rng.random() < 0.08
             wlast_n = None if wife_missing else field(ent["wlast"])
             wfirst_n = None if wife_missing else field(ent["wfirst"])
 
-            def num(v, miss=0.05, drift=0.25):
+            def num(v, miss=0.05, drift=0.12):
                 if rng.random() < miss:
                     return "."
                 return str(max(0, int(v * (1 + rng.normal(0, drift)))))

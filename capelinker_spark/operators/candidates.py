@@ -211,6 +211,58 @@ def candidates(
             .select("_idf", "_idt", (1 - F.col("_sim")).alias("score"))
         )
 
+    return _assemble(dat_from, dat_to, pairs, idf_, idt, keep_unmatched)
+
+
+def candidates_multikey(
+    dat_from: DataFrame,
+    dat_to: DataFrame,
+    key_exprs: list,
+    idvariable_from: str = "persid",
+    idvariable_to: str = "persid",
+    salt: int | None = None,
+    keep_unmatched: str = "from",
+) -> DataFrame:
+    """Multi-key blocking: the union of equi-joins over several derived keys
+    (e.g. soundex(mlast), soundex(mlast_woprefix), soundex(mfirst)) — a pair
+    is a candidate if ANY key agrees. The reference documents exactly this
+    composition ("using candidates() repeatedly and merging the results",
+    R/candidates.R:5); here it is one distinct-union of shuffle joins, the
+    standard recall fix for noisy blocking keys at scale.
+
+    ``key_exprs``: list of callables DataFrame-column-builder (df → Column).
+    """
+    pair_sets = []
+    for i, key_fn in enumerate(key_exprs):
+        lhs = dat_from.select(
+            F.col(idvariable_from).alias("_idf"), key_fn(dat_from).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        rhs = dat_to.select(
+            F.col(idvariable_to).alias("_idt"), key_fn(dat_to).alias("_k")
+        ).where(F.col("_k").isNotNull())
+        if salt:
+            lhs = B.add_salt(lhs, "_idf", salt)
+            rhs = B.explode_salt(rhs, salt)
+            pair_sets.append(lhs.join(rhs, ["_k", "_salt"]).select("_idf", "_idt"))
+        else:
+            pair_sets.append(lhs.join(rhs, "_k").select("_idf", "_idt"))
+    pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        pairs = pairs.union(p)
+    pairs = pairs.distinct().withColumn("score", F.lit(None).cast("double"))
+    return _assemble(
+        dat_from, dat_to, pairs, idvariable_from, idvariable_to, keep_unmatched
+    )
+
+
+def _assemble(
+    dat_from: DataFrame,
+    dat_to: DataFrame,
+    pairs: DataFrame,
+    idf_: str,
+    idt: str,
+    keep_unmatched: str,
+) -> DataFrame:
     # assembly (R/candidates.R:118-134): suffix shared columns, attach score,
     # keep unmatched rows as NA rows
     shared = set(dat_from.columns) & set(dat_to.columns)

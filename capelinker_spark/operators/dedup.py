@@ -1,0 +1,235 @@
+"""Document deduplication family for web-scale corpora.
+
+Beyond the reference's record-linkage scope: the dedup operators a training-
+data pipeline needs over the page/document tables, each expressed in pure
+native Spark SQL (portable to a DuckDB oracle):
+
+* exact dedup — md5 hash → groupBy → keep min id;
+* MinHash + LSH — shingle → k min-wise hashes (md5-string min, one hash agg)
+  → banded bucket join → exact n-gram Jaccard verification;
+* SimHash — per-hex-position majority over token md5s → banded hamming join;
+* n-gram Jaccard — exact set similarity on character n-grams (native array
+  intersect/union).
+
+All hashes are md5-based so every step is reproducible in ANSI-ish SQL
+(the DuckDB oracle runs the same algorithm); no JVM-specific hash functions
+leak into results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams (shingles) of a string, native."""
+    length = F.length(col)
+    return F.array_distinct(
+        F.when(
+            length >= n,
+            F.transform(
+                F.sequence(F.lit(1), length - (n - 1)),
+                lambda i: col.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array(col))
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, native (split on whitespace)."""
+    words = F.split(F.trim(col), r"\s+")
+    k = F.size(words)
+    return F.array_distinct(
+        F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, content_hash) for every row; canonical_id =
+    min id sharing the same md5(text). Filter canonical_id != doc_id for the
+    duplicate set; groupBy canonical for the survivor set."""
+    h = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    canon = h.groupBy("content_hash").agg(F.min(id_col).alias("canonical_id"))
+    return h.join(canon, "content_hash").select(id_col, "canonical_id", "content_hash")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (the min-id row)."""
+    dups = exact_duplicates(df, text_col, id_col)
+    keep = dups.where(F.col(id_col) == F.col("canonical_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, prefix: str = "mh"
+) -> list[Column]:
+    """k min-wise hashes of a shingle array: min(md5(seed || shingle)).
+    md5-string min is a valid min-wise hash family member per seed; string
+    ordering is engine-portable (lowercase hex)."""
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"{prefix}{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_words)
+    return df.select(F.col(id_col), *minhash_signature(sh, num_hashes))
+
+
+def lsh_candidate_pairs(
+    mh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs agreeing on ≥1 full band.
+    Returns (id_a, id_b) with id_a < id_b. The band join is the classic LSH
+    shuffle: key = (band_index, md5(concat of the band's rows))."""
+    rows = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = mh.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two shingle arrays, native."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band join → exact
+    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    mh = minhash_table(df, text_col, id_col, num_hashes, shingle_words)
+    cand = lsh_candidate_pairs(mh, id_col, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")), "id_b")
+        .withColumn("jaccard", ngram_jaccard(F.col("_sa"), F.col("_sb")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """SimHash over word tokens: bit i = majority of tokens whose md5 hex
+    digit i has its high bit set. Emitted as a '0'/'1' string of length
+    ``bits`` (≤32, one md5 hex digit per bit) — engine-portable, no int
+    conversion needed."""
+    assert bits <= 32
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    ).withColumn("_h", F.md5(F.col("_tok")))
+    bit_exprs = [
+        F.when(
+            F.avg(F.substring(F.col("_h"), i + 1, 1).isin(*_HEX_HIGH).cast("double"))
+            > 0.5,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_exprs)
+    return agg.select(
+        F.col(id_col), F.concat(*[F.col(f"_b{i}") for i in range(bits)]).alias("simhash")
+    )
+
+
+def hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between equal-length bit strings, native."""
+    return F.aggregate(
+        F.zip_with(
+            F.split(a, ""), F.split(b, ""), lambda x, y: (x != y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Banded hamming join: split the simhash into ``chunks`` substrings —
+    any pair with hamming ≤ chunks-1 agrees on ≥1 chunk (pigeonhole) — then
+    verify exact hamming ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    sh = simhash(df, text_col, id_col, bits)
+    width = bits // chunks
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.substring(F.col("simhash"), c * width + 1, width).alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "chunk", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming(F.col("_sa"), F.col("_sb")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

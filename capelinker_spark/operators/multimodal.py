@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery is real and tested — schemas, batch iteration,
+partition-size control, UDF signatures. The actual media decoding is STUBBED
+(the sandbox has no image/audio libraries): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+hash-derived feature vector stands in for the decoder output, so the
+distributed plumbing (what this module is about) is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_DIM = 16
+
+IMAGE_META_SCHEMA = (
+    "width int, height int, format string, n_bytes long"
+)
+
+
+def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic stand-in for a decoder+feature-extractor: expand the
+    sha256 of the payload into ``dim`` floats in [0,1)."""
+    h = hashlib.sha256(payload).digest()
+    raw = (h * ((dim * 4) // len(h) + 1))[: dim * 4]
+    ints = np.frombuffer(raw, dtype="<u4").astype("float64")
+    return ints / 2**32
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to a feature vector.
+
+    STUB: real decoding needs an image library not present in this
+    environment; the Spark plumbing around it is real.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an imaging library not available here; "
+            "pass fake=True for the deterministic stand-in"
+        )
+    return _fake_decode(payload, IMAGE_FEATURE_DIM)
+
+
+def extract_image_features(
+    df: DataFrame,
+    binary_col: str = "html",
+    id_col: str = "url",
+    fake: bool = True,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """binary column → (id, image_features array<double>, n_bytes) via
+    mapInPandas. Arrow-batched; one Python roundtrip per batch, zero per-row
+    Python outside the batch loop."""
+    schema = f"{id_col} string, image_features array<double>, n_bytes long"
+    use_fake = fake
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[binary_col]
+            feats = [
+                decode_image(bytes(p), fake=use_fake) if p is not None else None
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "image_features": [
+                        None if f is None else list(f) for f in feats
+                    ],
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    n_frames: int = 4,
+    duration_col: str = "n_bytes",
+    id_col: str = "url",
+) -> DataFrame:
+    """Video frame-sampling PLAN: explode each asset into ``n_frames``
+    deterministic sample offsets (the decode itself is the stubbed step).
+    Native explode — the distributed part of frame sampling is the row
+    multiplication and partition sizing, which this does for real."""
+    return df.select(
+        id_col,
+        F.col(duration_col).alias("_dur"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_index"),
+    ).withColumn(
+        "frame_offset",
+        (F.col("_dur") * F.col("frame_index") / F.lit(n_frames)).cast("long"),
+    ).drop("_dur")
+
+
+def binary_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
+    """Typed metadata for an opaque binary column, all native: size, magic-
+    byte sniffing for common containers."""
+    b = F.col(binary_col)
+    head = F.substring(b.cast("string"), 1, 64)  # utf8-lossy sniff window
+    fmt = (
+        F.when(head.startswith("<!DOCTYPE html"), "html")
+        .when(head.startswith("\x89PNG"), "png")
+        .when(head.startswith("\xff\xd8"), "jpeg")
+        .when(head.startswith("RIFF"), "riff")
+        .otherwise("unknown")
+    )
+    return df.withColumn("n_bytes", F.length(b).cast("long")).withColumn(
+        "format", fmt
+    )

@@ -1,0 +1,270 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k as the exact baseline; two sub-quadratic scale
+paths: random-hyperplane LSH bucketing and a driver-seeded IVF (inverted
+file) with k-means-lite centroids. All vector math is native (``zip_with`` +
+``aggregate`` run in codegen) — no Python on the scoring path; the only
+driver work is sampling centroids/hyperplanes (seeded, deterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus,
+    rank per query. Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit LSH bucket key from ``len(planes)`` random hyperplanes —
+    a '0'/'1' string. Planes are literal arrays (broadcast by the plan)."""
+    bits = [
+        F.when(dot(vec, _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).normal(size=(n_planes, dim))
+
+
+def multitable_buckets(vec: Column, planes: np.ndarray, n_tables: int) -> Column:
+    """Array of per-table bucket keys: planes are sliced into ``n_tables``
+    bands of ``len(planes)//n_tables`` hyperplanes each (classic L-table LSH —
+    one table's collision probability is p^b; L tables lift recall to
+    1-(1-p^b)^L)."""
+    b = len(planes) // n_tables
+    keys = []
+    for t in range(n_tables):
+        bits = [
+            F.when(dot(vec, _lit_vec(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes[t * b : (t + 1) * b]
+        ]
+        keys.append(F.concat(F.lit(f"{t}:"), *bits))
+    return F.array(*keys)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_tables: int = 8,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: L-table hyperplane LSH — explode each row into its
+    L bucket keys, equi-join, dedup pairs, rank by exact cosine within the
+    candidate set. The scale path when the query set isn't broadcastable."""
+    planes = make_planes(dim, n_tables * bits_per_table, seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(multitable_buckets(F.col(vec_col), planes, n_tables)).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.explode(multitable_buckets(F.col(vec_col), planes, n_tables)).alias("_bucket"),
+    )
+    cand = (
+        q.join(c, "_bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    sample_size: int = 10_000,
+    iterations: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """k-means-lite on a driver-side sample (seeded numpy Lloyd iterations).
+    The centroid table is tiny — classic IVF coarse quantizer."""
+    sample = np.array(
+        [
+            r["v"]
+            for r in corpus.select(F.col(vec_col).alias("v"))
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cents = sample[idx].copy()
+    for _ in range(iterations):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return cents
+
+
+def assign_ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid id, native: argmax of dot-with-centroid minus half
+    squared norm (equivalent to min L2)."""
+    scores = F.array(
+        *[
+            dot(vec, _lit_vec(c)) - F.lit(float((c**2).sum() / 2.0))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus rows live in their nearest-centroid cell; each
+    query probes its ``nprobe`` nearest cells (exploded) and ranks within.
+    One equi-join on cell id — the partition-pruned ANN pattern."""
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        assign_ivf_cell(F.col(vec_col), centroids).alias("_cell"),
+    )
+    cell_scores = F.array(
+        *[
+            F.struct(
+                (dot(F.col("_qv"), _lit_vec(cc)) - F.lit(float((cc**2).sum() / 2.0))).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cc in enumerate(centroids)
+        ]
+    )
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn(
+            "_cells",
+            F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
+        )
+        .withColumn("_cell", F.explode(F.transform(F.col("_cells"), lambda s: s["cell"])))
+        .drop("_cells")
+    )
+    scored = (
+        q.join(c, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    n_tables: int = 6,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: L-table hyperplane-bucket self-join +
+    exact cosine ≥ threshold. Returns (id_a, id_b, cos_sim). Near-identical
+    vectors (cos ≥ 0.95) collide in ≥1 of the L tables with probability
+    ≈ 1-(1-p^b)^L, p = 1-θ/π ≈ 0.94 at the threshold."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = make_planes(dim, n_tables * bits_per_table, seed)
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(multitable_buckets(F.col(vec_col), planes, n_tables)).alias("_bucket"),
+    )
+    a = t.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "_bucket")
+    b = t.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+        .distinct()
+    )

@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting — all pure native expressions
+(regexp_count / split / md5), portable to an ANSI-SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (n-gram heuristic: function words are
+# the highest-signal character sequences for language ID)
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "es"],
+    "fr": ["le", "la", "les", "des", "est", "que", "dans", "une"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "met", "niet"],
+}
+
+
+def _stopword_hits(col: Column, words: list[str]) -> Column:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pattern))
+
+
+def lang_scores(col: Column) -> list[Column]:
+    return [
+        _stopword_hits(col, ws).alias(f"score_{lang}")
+        for lang, ws in LANG_STOPWORDS.items()
+    ]
+
+
+def detect_language(col: Column) -> Column:
+    """argmax of stopword-hit counts; ties and zero-hit texts → 'und'
+    (undetermined). Deterministic: tie goes to the alphabetically-first
+    language among the maxima only when a single language attains the max."""
+    scores = F.array(
+        *[
+            F.struct(
+                _stopword_hits(col, ws).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    n_best = F.size(F.filter(scores, lambda s: s["hits"] == best["hits"]))
+    return (
+        F.when((best["hits"] > 0) & (n_best == 1), best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(col), r"\s+"))
+    )
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish pre-tokenizer count: letter runs, digit runs, single
+    punctuation marks — the standard approximation of subword token counts."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    n_chars = F.length(col)
+    n_tokens = token_count_ws(col)
+    n_alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(col, F.lit("[0-9]"))
+    n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.when(
+            n_tokens > 0, n_chars.cast("double") / n_tokens
+        ).otherwise(F.lit(0.0)),
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards alpha-density, stopword
+    presence, mid-range token length; penalizes punctuation/digit noise.
+    Gopher/C4-style filter signal, deterministic."""
+    f = quality_features(col)
+    length_ok = F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100_000), 1.0).otherwise(0.3)
+    wordlen_ok = F.when(
+        (f["mean_token_len"] >= 3) & (f["mean_token_len"] <= 12), 1.0
+    ).otherwise(0.5)
+    score = (
+        0.3 * f["alpha_ratio"]
+        + 0.2 * F.least(f["stopword_ratio"] * 5, F.lit(1.0))
+        + 0.2 * (1 - F.least(f["punct_ratio"] * 4, F.lit(1.0)))
+        + 0.15 * length_ok
+        + 0.15 * wordlen_ok
+    )
+    return F.round(score, 6)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    out = df
+    for name, expr in quality_features(c).items():
+        out = out.withColumn(name, expr)
+    return (
+        out.withColumn("token_count_bpe", token_count_bpe(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_detected", detect_language(c))
+    )
+
+
+def fingerprint(col: Column, shingle_words: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the MIN md5 over the document's
+    word 8-shingles (a 1-permutation MinHash — robust to small edits at the
+    boundaries, unlike whole-text md5)."""
+    from capelinker_spark.operators.dedup import word_shingles
+
+    return F.array_min(
+        F.transform(word_shingles(col, shingle_words), lambda s: F.md5(s))
+    )
+
+
+def content_hash(col: Column) -> Column:
+    return F.md5(col)

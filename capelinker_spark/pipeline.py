@@ -1,0 +1,212 @@
+"""End-to-end linkage pipeline: pages → records → candidates → features →
+scores → links → clusters, each stage checkpointed with lineage rows so a
+killed run resumes from the last completed stage (north rule).
+
+Checkpoints are parquet directories (the sandbox stand-in for Iceberg tables;
+the write/read pattern — overwrite a stage path, reread for lineage
+truncation — maps 1:1 onto Iceberg table replaces). The stage graph mirrors
+the reference's end-to-end flow (vignettes/example.rmd:64-223, SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capelinker_spark.extract import extract_records
+from capelinker_spark.ml.logistic import LogisticModel, train_logistic
+from capelinker_spark.operators import features as FE
+from capelinker_spark.operators.candidates import candidates, candidates_multikey
+from capelinker_spark.operators.cluster import cluster_links
+from capelinker_spark.operators.predict import group_split, rank_links, select_links
+from capelinker_spark.qa.lineage import LineageLog, score_histogram
+
+DEFAULT_CHAR_VARS = ("mlast", "mfirst", "wlast", "wfirst", "minitials", "winitials")
+DEFAULT_NUM_VARS = ("year", "settlerchildren", "cattle", "sheep", "horses")
+
+
+@dataclass
+class PipelineConfig:
+    year_from: int = 1828
+    year_to: int = 1826
+    blocktype: str = "soundex_multikey"
+    blockvariable: str = "mlast"
+    maxdist: float = 0.15
+    linktype: str = "one:one"
+    minimum_confidence: float = 0.5
+    salt: int | None = None
+    character_variables: tuple = DEFAULT_CHAR_VARS + ("mfullname",)
+    numeric_variables: tuple = DEFAULT_NUM_VARS
+    model_features: tuple = (
+        "mlastdist", "mfirstdist", "wlastdist", "wfirstdist",
+        "minitialsdist", "winitialsdist", "mlastsdx", "mfirstsdx",
+        "mfullnamedist",
+        "yeardist", "matches", "wifeinboth", "settlerchildrengauss",
+        "cattle_reldist", "sheep_reldist", "horses_reldist",
+        "wlastdist_missing", "wfirstdist_missing", "mfirstdist_missing",
+    )
+    train_frac: float = 0.7
+    seed: int = 42
+    max_training_pairs: int = 200_000
+
+
+def add_rel_deltas(df: DataFrame, variables=("cattle", "sheep", "horses")) -> DataFrame:
+    """Relative numeric deltas |a-b|/(|a|+|b|+1): scale-free counterparts of
+    the raw ``{v}dist`` differences, robust to household-size drift."""
+    for v in variables:
+        if f"{v}_from" in df.columns and f"{v}_to" in df.columns:
+            a, b = F.col(f"{v}_from"), F.col(f"{v}_to")
+            df = df.withColumn(
+                f"{v}_reldist", F.abs(a - b) / (F.abs(a) + F.abs(b) + F.lit(1.0))
+            )
+    return df
+
+
+class LinkagePipeline:
+    def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.workdir = workdir
+        self.cfg = config or PipelineConfig()
+        self.lineage = LineageLog(workdir)
+        os.makedirs(workdir, exist_ok=True)
+
+    # -- checkpoint plumbing ------------------------------------------------
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _stage(self, stage: str, fn, resume: bool, score_col: str | None = None,
+               key_metrics_col: str | None = None) -> DataFrame:
+        path = self._path(stage)
+        if resume and self._done(stage):
+            return self.spark.read.parquet(path)
+        t0 = time.time()
+        df = fn()
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        extra = {}
+        if score_col and score_col in out.columns:
+            extra["score_histogram"] = score_histogram(out, score_col)
+        km = None
+        if key_metrics_col and key_metrics_col in out.columns:
+            km = out.groupBy(key_metrics_col).agg(F.count("*").alias("pair_count"))
+        self.lineage.record(
+            stage, time.time() - t0, row_count=out.count(), extra=extra, key_metrics=km
+        )
+        return out
+
+    # -- stages ---------------------------------------------------------------
+    def run(self, pages: DataFrame, truth: DataFrame | None = None, resume: bool = True) -> dict:
+        cfg = self.cfg
+        records = self._stage("records", lambda: extract_records(pages), resume)
+
+        def _candidates():
+            dat_from = records.where(F.col("year") == cfg.year_from)
+            dat_to = records.where(F.col("year") == cfg.year_to)
+            if cfg.blocktype == "soundex_multikey":
+                # union of three derived keys — recall-robust to single-field
+                # noise (the reference's "candidates() repeatedly and merge",
+                # R/candidates.R:5)
+                bv = cfg.blockvariable
+                keys = [
+                    lambda df: F.soundex(F.col(bv)),
+                    lambda df: F.soundex(F.col(f"{bv}_woprefix")),
+                    lambda df: F.soundex(F.col("mfirst")),
+                ]
+                cnd = candidates_multikey(
+                    dat_from, dat_to, keys, salt=cfg.salt
+                )
+            else:
+                cnd = candidates(
+                    dat_from, dat_to,
+                    blockvariable_from=cfg.blockvariable,
+                    blockvariable_to=cfg.blockvariable,
+                    blocktype=cfg.blocktype,
+                    linktype=cfg.linktype,
+                    maxdist=cfg.maxdist,
+                    salt=cfg.salt,
+                )
+            # blocking key retained for lineage
+            return cnd.withColumn(
+                "block_key", F.soundex(F.col(f"{cfg.blockvariable}_from"))
+            )
+
+        cnd = self._stage("candidates", _candidates, resume, key_metrics_col="block_key")
+
+        def _features():
+            pairs = cnd.where(F.col("persid_to").isNotNull())
+            feat = FE.distcalc(
+                pairs,
+                character_variables=cfg.character_variables,
+                numeric_variables=[v for v in cfg.numeric_variables],
+            )
+            feat = FE.add_matches(feat, "persid_from")
+            feat = FE.add_wifeinboth(feat)
+            feat = FE.add_gauss(feat, "settlerchildren")
+            feat = add_rel_deltas(feat)
+            # missingness indicators: xgboost handles missing natively
+            # (vignettes/example.rmd:147); the logistic path gets explicit
+            # indicator features instead
+            for v in ("wlastdist", "wfirstdist", "mfirstdist"):
+                feat = feat.withColumn(
+                    f"{v}_missing", F.col(v).isNull().cast("double")
+                )
+            return feat
+
+        feats = self._stage("features", _features, resume)
+
+        model = None
+        if truth is not None and not (resume and self._done("scores")):
+            model = self._train_model(feats, truth)
+
+        def _scores():
+            if model is None:
+                raise ValueError("scoring requires truth labels (or a saved model)")
+            return model.transform(feats)
+
+        scores = self._stage("scores", _scores, resume, score_col="predicted")
+
+        def _links():
+            ranked = rank_links(scores, "persid_from", "persid_to")
+            return select_links(ranked, cfg.minimum_confidence, cfg.linktype)
+
+        links = self._stage("links", _links, resume, score_col="predicted")
+
+        clusters = self._stage(
+            "clusters", lambda: cluster_links(links, records), resume
+        )
+        return {
+            "records": records,
+            "candidates": cnd,
+            "features": feats,
+            "scores": scores,
+            "links": links,
+            "clusters": clusters,
+            "model": model,
+        }
+
+    # -- training -------------------------------------------------------------
+    def _train_model(self, feats: DataFrame, truth: DataFrame) -> LogisticModel:
+        cfg = self.cfg
+        t_from = truth.select(
+            F.col("persid").alias("persid_from"), F.col("entity_id").alias("_ef")
+        )
+        t_to = truth.select(
+            F.col("persid").alias("persid_to"), F.col("entity_id").alias("_et")
+        )
+        labeled = (
+            feats.join(t_from, "persid_from")
+            .join(t_to, "persid_to")
+            .withColumn("correct", (F.col("_ef") == F.col("_et")).cast("double"))
+        )
+        train, _ = group_split(labeled, "persid_from", cfg.train_frac, cfg.seed)
+        cols = [c for c in cfg.model_features if c in feats.columns] + ["correct"]
+        pdf = train.select(*cols).limit(cfg.max_training_pairs).toPandas()
+        features = [c for c in cols if c != "correct"]
+        return train_logistic(pdf, features, seed=cfg.seed)

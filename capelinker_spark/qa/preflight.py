@@ -1,0 +1,147 @@
+"""Data-QA: the ``preflight`` checks (R/prep.R:67-205) as one wide agg pass.
+
+The reference prints per-column shares of NA / empty / length-1 / multiword /
+case classes / lead-trail whitespace / non-alphabetics, the unique character
+set, and numeric ranges. Here the same metrics come back as a tidy DataFrame
+(one row per variable) from a single aggregation over the input — no
+per-column scans — plus a separate exploded-character pass for the char set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EXPECTED_CLASSES = {
+    # R/prep.R:102-112
+    "mlast": "string",
+    "mfirst": "string",
+    "wlast": "string",
+    "wfirst": "string",
+    "winitials": "string",
+    "minitials": "string",
+    "mprof": "string",
+    "settlerchildren": "double",
+    "year": "numeric",
+}
+
+MODEL_VARIABLES = {
+    # feature lists of the pretrained models (data_raw/pretrained.R:27-53,
+    # 168-181); suffix-stripping per R/prep.R:75-80
+    "m_boost_stel_rein": [
+        "mlastdist", "mfirstdist", "minitialsdist_osa", "mlastsdx", "mfirstsdx",
+        "wlastdist", "wfirstdist", "winitialsdist_osa", "wlastsdx", "wfirstsdx",
+        "namefreq_from", "spousenamedist_from", "namefreq_to", "spousenamedist_to",
+        "wifepresent_from", "wifepresent_to", "wifeinboth", "settlerchildrengauss",
+        "nextmfirst", "mfirst_uniqueness_to", "mfirst_uniqueness_from", "matches",
+        "husb_wife_surnamedist", "region1",
+    ],
+    "m_boost_stel_rein_sparse": [
+        "mlastdist", "mfirstdist", "minitialsdist_osa",
+        "wlastdist", "wfirstdist", "winitialsdist_osa",
+        "settlerchildrengauss", "matches",
+    ],
+    "m_rf_baptisms_full": [
+        "mlastdist", "mlastsdx", "mfirstdist", "mfirstsdx", "wfirstdist",
+        "wfirstsdx", "minitialsdist", "minitialssdx", "winitialsdist",
+        "winitialssdx", "mprofdist", "mprofsdx", "yeardist",
+    ],
+    "m_rf_baptisms_sparse": ["mlastdist", "mfirstdist", "wfirstdist", "yeardist"],
+}
+
+_SUFFIX_PATTERN = r"(dist$|dist_osa$|sdx$|gauss$)"
+
+
+def model_base_variables(modstring: str) -> list[str]:
+    """Strip feature suffixes → base variable names (R/prep.R:75-80)."""
+    import re
+
+    if modstring not in MODEL_VARIABLES:
+        raise KeyError(f"unknown pretrained model {modstring!r}")
+    out = []
+    for v in MODEL_VARIABLES[modstring]:
+        if re.search(_SUFFIX_PATTERN, v):
+            base = re.sub(_SUFFIX_PATTERN, "", v)
+            if base not in out:
+                out.append(base)
+    return out
+
+
+def preflight(
+    dat: DataFrame, vrbs: list[str] | None = None, modstring: str = "m_boost_stel_rein"
+) -> dict:
+    """Run the QA battery. Returns {"report": DataFrame, "missing_in_data":
+    [...], "charset": DataFrame}."""
+    vrbs_model = model_base_variables(modstring)
+    if vrbs is None:
+        vrbs = vrbs_model
+    present = [v for v in vrbs if v in dat.columns]
+    missing = [v for v in vrbs if v not in dat.columns]
+
+    aggs = []
+    string_cols = [
+        v for v in present if dict(dat.dtypes)[v] in ("string",)
+    ]
+    num_cols = [v for v in present if v not in string_cols]
+    for v in string_cols:
+        c = F.col(v)
+        aggs += [
+            F.avg(c.isNull().cast("double")).alias(f"{v}__share_na"),
+            F.avg((F.length(c) == 0).cast("double")).alias(f"{v}__share_empty"),
+            F.avg((F.length(c) == 1).cast("double")).alias(f"{v}__share_len1"),
+            F.avg((F.size(F.split(F.trim(c), r"\s+")) > 1).cast("double")).alias(
+                f"{v}__share_multiword"
+            ),
+            F.avg(c.rlike("[A-Z][a-z]+").cast("double")).alias(f"{v}__share_sentencecase"),
+            F.avg(((F.upper(c) == c) & (c != "")).cast("double")).alias(f"{v}__share_upper"),
+            F.avg(((F.lower(c) == c) & (c != "")).cast("double")).alias(f"{v}__share_lower"),
+            F.avg(c.rlike(r"(^\s+|\s+$)").cast("double")).alias(f"{v}__share_leadtrail_ws"),
+            F.avg(c.rlike("[^a-zA-Z ]").cast("double")).alias(f"{v}__share_nonalpha"),
+        ]
+    for v in num_cols:
+        c = F.col(v).cast("double")
+        aggs += [
+            F.avg(c.isNull().cast("double")).alias(f"{v}__share_na"),
+            F.min(c).alias(f"{v}__min"),
+            F.max(c).alias(f"{v}__max"),
+        ]
+    row = dat.agg(*aggs).collect()[0].asDict() if aggs else {}
+
+    report_rows = {}
+    for k, val in row.items():
+        v, metric = k.split("__", 1)
+        report_rows.setdefault(v, {})[metric] = val
+    spark = dat.sparkSession
+    report = spark.createDataFrame(
+        [
+            {
+                "variable": v,
+                **{m: float(x) if x is not None else None for m, x in metrics.items()},
+            }
+            for v, metrics in report_rows.items()
+        ]
+    )
+
+    charset = None
+    if string_cols:
+        charset = (
+            dat.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(v).alias("variable"),
+                                F.col(v).alias("value"),
+                            )
+                            for v in string_cols
+                        ]
+                    )
+                ).alias("kv")
+            )
+            .select("kv.variable", F.explode(F.split(F.col("kv.value"), "")).alias("ch"))
+            .where(F.col("ch") != "")
+            .groupBy("variable", "ch")
+            .count()
+        )
+
+    return {"report": report, "missing_in_data": missing, "charset": charset}

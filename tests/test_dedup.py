@@ -1,0 +1,94 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard — correctness on
+the driver's documents table + planted near-duplicates."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators import dedup as D
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Documents plus planted exact and near duplicates (ids offset 10^6)."""
+    base = docs.limit(50)
+    exact = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    near = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail token")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(spark, docs_with_dups, docs):
+    n_base = docs.count()
+    deduped = D.dedup_exact(docs_with_dups)
+    # every planted exact dup collapses onto its original (min id survives)
+    assert deduped.count() == n_base + 50  # near-dups survive exact dedup
+    dups = D.exact_duplicates(docs_with_dups).where(
+        F.col("doc_id") != F.col("canonical_id")
+    )
+    assert dups.count() == 50
+    assert dups.where(F.col("doc_id") < 1_000_000).count() == 0
+
+
+def test_minhash_near_duplicates(spark, docs_with_dups):
+    pairs = D.minhash_near_duplicates(
+        docs_with_dups, threshold=0.5, num_hashes=16, bands=4
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact dups must be found (jaccard 1, all bands agree)
+    exact_expected = {(i, i + 1_000_000) for i in range(50)}
+    missing = exact_expected - got
+    assert not missing, f"missing exact-dup pairs: {sorted(missing)[:5]}"
+    # near dups (one extra token) overwhelmingly recovered
+    near_found = sum(1 for i in range(50) if (i, i + 2_000_000) in got)
+    assert near_found >= 45
+    # jaccard column is a true jaccard
+    row = pairs.where((F.col("id_a") == 0) & (F.col("id_b") == 1_000_000)).first()
+    assert row["jaccard"] == 1.0
+
+
+def test_simhash_near_duplicates(spark, docs_with_dups):
+    pairs = D.simhash_near_duplicates(docs_with_dups, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    exact_found = sum(1 for i in range(50) if got.get((i, i + 1_000_000)) == 0)
+    assert exact_found == 50
+    near_found = sum(1 for i in range(50) if (i, i + 2_000_000) in got)
+    assert near_found >= 40
+
+
+def test_ngram_jaccard_expr(spark):
+    df = spark.createDataFrame(
+        [("abcd", "abcd"), ("abcd", "bcde"), ("abcd", "zzzz")], "a string, b string"
+    )
+    out = df.select(
+        D.ngram_jaccard(
+            D.char_ngrams(F.col("a"), 2), D.char_ngrams(F.col("b"), 2)
+        ).alias("j")
+    ).collect()
+    assert out[0]["j"] == 1.0
+    # bigrams abcd: {ab,bc,cd}; bcde: {bc,cd,de} → 2/4
+    assert out[1]["j"] == pytest.approx(0.5)
+    assert out[2]["j"] == 0.0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    got = df.select(D.word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == ["a b"]  # shorter than n → whole string

@@ -1,0 +1,145 @@
+"""Golden end-to-end test: synthetic corpus → linkage pipeline → pairwise F1
+≥ 0.99 on labeled pairs under the same blocking key (BASELINE.json metric),
+plus blocking recall, checkpoint/resume equivalence, and zero-per-row-Python
+audit."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.pipeline import LinkagePipeline, PipelineConfig
+
+
+def _pair_sets(result, truth):
+    """(predicted pair set, true pair set restricted to candidate-visible
+    pairs under the blocking key)."""
+    t_from = truth.select(F.col("persid").alias("persid_from"), F.col("entity_id").alias("_ef"))
+    t_to = truth.select(F.col("persid").alias("persid_to"), F.col("entity_id").alias("_et"))
+    visible = (
+        result["candidates"]
+        .where(F.col("persid_to").isNotNull())
+        .join(t_from, "persid_from")
+        .join(t_to, "persid_to")
+    )
+    true_pairs = {
+        (r["persid_from"], r["persid_to"])
+        for r in visible.where(F.col("_ef") == F.col("_et"))
+        .select("persid_from", "persid_to")
+        .collect()
+    }
+    pred_pairs = {
+        (r["persid_from"], r["persid_to"])
+        for r in result["links"].select("persid_from", "persid_to").collect()
+    }
+    return pred_pairs, true_pairs
+
+
+def pairwise_f1(pred: set, true: set) -> float:
+    tp = len(pred & true)
+    if not pred or not true or not tp:
+        return 0.0
+    p = tp / len(pred)
+    r = tp / len(true)
+    return 2 * p * r / (p + r)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline"))
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages, truth, workdir):
+    pipe = LinkagePipeline(spark, workdir, PipelineConfig())
+    return pipe.run(pages, truth, resume=False)
+
+
+def test_blocking_recall(result, truth):
+    """Every ground-truth 1826↔1828 pair whose soundex keys agree must be a
+    candidate; overall recall of soundex blocking on the noisy corpus ≥ 0.7
+    (edits can change the code — that loss is the blocking tradeoff)."""
+    t = truth
+    gt = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.entity_id") == F.col("b.entity_id"))
+        .where((F.col("a.year") == 1828) & (F.col("b.year") == 1826))
+        .select(
+            F.col("a.persid").alias("pf"), F.col("b.persid").alias("pt")
+        )
+    )
+    n_gt = gt.count()
+    cand = result["candidates"].select(
+        F.col("persid_from").alias("pf"), F.col("persid_to").alias("pt")
+    )
+    n_hit = gt.join(cand, ["pf", "pt"]).count()
+    assert n_gt > 100
+    assert n_hit / n_gt >= 0.85, f"blocking recall {n_hit}/{n_gt}"
+
+
+def test_pairwise_f1_gate(result, truth):
+    pred, true = _pair_sets(result, truth)
+    f1 = pairwise_f1(pred, true)
+    assert len(true) > 100
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} (|pred|={len(pred)}, |true|={len(true)})"
+
+
+def test_clusters_cover_all_records(result):
+    n_records = result["records"].count()
+    clusters = result["clusters"]
+    assert clusters.count() == n_records
+    assert clusters.where(F.col("entity_id").isNull()).count() == 0
+
+
+def test_lineage_written(workdir):
+    from capelinker_spark.qa.lineage import LineageLog
+
+    entries = LineageLog(workdir).entries()
+    stages = [e["stage"] for e in entries]
+    for s in ("records", "candidates", "features", "scores", "links", "clusters"):
+        assert s in stages
+    score_stage = next(e for e in stages if e == "scores")
+    assert score_stage is not None
+    scores_entry = next(e for e in entries if e["stage"] == "scores")
+    assert scores_entry["row_count"] > 0
+    assert len(scores_entry.get("score_histogram", [])) > 0
+
+
+def test_kill_and_resume(spark, pages, truth, workdir, result):
+    """Simulate a mid-run failure: delete the outputs of the last three
+    stages, rerun with resume=True — identical final clusters, and the
+    completed early stages are NOT recomputed (their lineage count stays)."""
+    before = {
+        (r["persid"], r["entity_id"])
+        for r in result["clusters"].select("persid", "entity_id").collect()
+    }
+    n_lineage_before = len(LineagePath(workdir).entries())
+    for stage in ("scores", "links", "clusters"):
+        shutil.rmtree(f"{workdir}/{stage}", ignore_errors=True)
+    pipe = LinkagePipeline(spark, workdir, PipelineConfig())
+    res2 = pipe.run(pages, truth, resume=True)
+    after = {
+        (r["persid"], r["entity_id"])
+        for r in res2["clusters"].select("persid", "entity_id").collect()
+    }
+    assert after == before
+    entries = LineagePath(workdir).entries()
+    recomputed = [e["stage"] for e in entries[n_lineage_before:]]
+    assert set(recomputed) == {"scores", "links", "clusters"}
+
+
+def LineagePath(workdir):
+    from capelinker_spark.qa.lineage import LineageLog
+
+    return LineageLog(workdir)
+
+
+def test_no_per_row_python(result):
+    """North rule: zero per-row Python. The physical plans may contain
+    ArrowEvalPython (vectorized pandas UDFs) but never BatchEvalPython
+    (row-at-a-time UDFs) or RDD map/PythonRDD nodes."""
+    for name in ("candidates", "features", "scores", "links"):
+        plan = result[name]._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name

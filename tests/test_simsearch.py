@@ -1,0 +1,106 @@
+"""Similarity search: brute-force cosine top-k ≡ numpy oracle; LSH/IVF recall."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators import simsearch as S
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype="float64")
+    return ids, vecs
+
+
+def _numpy_topk(ids, vecs, qids, k=5):
+    out = {}
+    normed = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for q in qids:
+        qi = np.where(ids == q)[0][0]
+        sims = normed @ normed[qi]
+        order = sorted(
+            [(s, i) for s, i in zip(sims, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+def test_brute_force_topk_matches_numpy(spark, emb, emb_np):
+    ids, vecs = emb_np
+    qids = list(ids[:10])
+    queries = emb.where(F.col("vec_id").isin(qids))
+    got = S.brute_force_topk(queries, emb, k=5)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    expected = _numpy_topk(ids, vecs, qids, 5)
+    for q in qids:
+        mine = [n for _, n in sorted(got_map[q])]
+        assert mine == expected[q], q
+
+
+def test_lsh_topk_recall(spark, emb, emb_np):
+    ids, vecs = emb_np
+    qids = list(ids[:20])
+    queries = emb.where(F.col("vec_id").isin(qids))
+    exact = _numpy_topk(ids, vecs, qids, 5)
+    got = S.lsh_topk(queries, emb, dim=vecs.shape[1], k=5, n_tables=8, bits_per_table=4)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # recall@5 of the approximate tier on clustered embeddings
+    hits = sum(len(set(exact[q]) & got_map.get(q, set())) for q in qids)
+    assert hits / (5 * len(qids)) >= 0.5
+
+
+def test_ivf_topk_recall(spark, emb, emb_np):
+    ids, vecs = emb_np
+    qids = list(ids[:20])
+    queries = emb.where(F.col("vec_id").isin(qids))
+    cents = S.train_ivf_centroids(emb, n_centroids=8, sample_size=400)
+    exact = _numpy_topk(ids, vecs, qids, 5)
+    got = S.ivf_topk(queries, emb, cents, k=5, nprobe=3)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(set(exact[q]) & got_map.get(q, set())) for q in qids)
+    assert hits / (5 * len(qids)) >= 0.6
+
+
+def test_embedding_near_duplicates_finds_planted(spark, emb):
+    # plant: copies of 5 vectors with tiny perturbation
+    src = emb.limit(5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.000001).alias("embedding"),
+        "label",
+    )
+    df = emb.unionByName(src)
+    pairs = S.embedding_near_duplicates(df, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in [r["vec_id"] for r in emb.limit(5).collect()]:
+        assert (i, i + 1_000_000) in got
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)

@@ -1,0 +1,107 @@
+"""Text analysis + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators import multimodal as M
+from capelinker_spark.operators import textstats as T
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is fine",),
+            ("der hund ist nicht mit der katze und das ist gut",),
+            ("el perro es de la casa y que los gatos",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    got = [r["l"] for r in df.select(T.detect_language(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "es", "und"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! 42 times",), ("",)], "t string")
+    rows = df.select(
+        T.token_count_ws(F.col("t")).alias("ws"),
+        T.token_count_bpe(F.col("t")).alias("bpe"),
+    ).collect()
+    assert rows[0]["ws"] == 4
+    # Hello , world ! 42 times → 6 BPE-ish tokens
+    assert rows[0]["bpe"] == 6
+    assert rows[1]["ws"] == 0 and rows[1]["bpe"] == 0
+
+
+def test_quality_score_orders_texts(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs into the field"
+    bad = "$$$ ### 123 456 !!! @@@ %%%"
+    df = spark.createDataFrame([(good,), (bad,)], "t string")
+    got = [r["q"] for r in df.select(T.quality_score(F.col("t")).alias("q")).collect()]
+    assert got[0] > got[1]
+    assert 0 <= got[1] < got[0] <= 1
+
+
+def test_add_text_stats_on_documents(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = T.add_text_stats(docs)
+    row = out.first()
+    assert row["n_tokens"] > 0
+    assert row["quality"] is not None
+    assert out.count() == docs.count()
+
+
+def test_fingerprint_stable_under_tail_edit(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(base,), (base + " thirteen",), ("completely different words here now ok yes no maybe",)],
+        "t string",
+    )
+    got = [r["fp"] for r in df.select(T.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert got[0] == got[1]  # min-shingle fingerprint survives a tail append
+    assert got[0] != got[2]
+
+
+def test_image_feature_plumbing(spark, pages):
+    out = M.extract_image_features(pages.limit(20), binary_col="html", id_col="url")
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["image_features"]) == M.IMAGE_FEATURE_DIM
+        assert all(0 <= x < 1 for x in r["image_features"])
+        assert r["n_bytes"] > 0
+    # determinism: same payload → same features
+    again = {r["url"]: r["image_features"] for r in M.extract_image_features(
+        pages.limit(20).repartition(3), binary_col="html", id_col="url").collect()}
+    for r in rows:
+        assert again[r["url"]] == r["image_features"]
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG....", fake=False)
+
+
+def test_frame_sample_plan(spark, pages):
+    meta = M.binary_metadata(pages.limit(5), "html")
+    plan = M.frame_sample_plan(meta, n_frames=4)
+    rows = plan.collect()
+    assert len(rows) == 20
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r["frame_index"])
+    for v in by_url.values():
+        assert sorted(v) == [0, 1, 2, 3]
+
+
+def test_binary_metadata(spark, pages):
+    out = M.binary_metadata(pages.limit(5), "html")
+    for r in out.collect():
+        assert r["format"] == "html"
+        assert r["n_bytes"] > 100

@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark AND its oracle_sql() on DuckDB over the same parquet tables, compare
+row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(lambda v: str(v) if v is not None else None)
+        try:
+            import numpy as np
+
+            if pdf[c].dtype.kind in "fc":
+                pdf[c] = pdf[c].round(6)
+            if pdf[c].dtype.kind in "iu" or str(pdf[c].dtype).startswith("Int"):
+                pdf[c] = pdf[c].astype("float64")
+            if pdf[c].dtype.kind == "b":
+                pdf[c] = pdf[c].astype("float64")
+        except Exception:
+            pass
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last").reset_index(
+        drop=True
+    )
+    return pdf
+
+
+def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
+    sp = normalize_pdf(spark_df.toPandas())
+    du = normalize_pdf(con.sql(sql).df())
+    if list(sp.columns) != list(du.columns):
+        return False, f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}"
+    if len(sp) != len(du):
+        return False, f"row counts differ: spark={len(sp)} duck={len(du)}"
+    try:
+        pd.testing.assert_frame_equal(
+            sp, du, check_dtype=False, check_exact=False, atol=1e-6, rtol=1e-6
+        )
+    except AssertionError as e:
+        return False, str(e).split("\n")[0] + " | " + "\n".join(str(e).split("\n")[1:6])
+    return True, f"{len(sp)} rows"
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .appName("oracle-check")
+        .getOrCreate()
+    )
+    from capelinker_spark.entry_queries import ORACLES, QUERIES
+
+    con = duck_con(sf_dir)
+    n_ok = n_bad = 0
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            if name in ORACLES:
+                ok, msg = compare(name, fn(spark, sf_dir), ORACLES[name], con)
+            else:
+                cnt = fn(spark, sf_dir).count()
+                ok, msg = True, f"(rows-only) {cnt} rows"
+        except Exception as e:
+            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+        status = "OK " if ok else "FAIL"
+        n_ok += ok
+        n_bad += not ok
+        print(f"{status} {name:32s} {time.time()-t0:6.1f}s  {msg[:500]}")
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
