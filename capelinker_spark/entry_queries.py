@@ -155,7 +155,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "s1_scan_projection",
     """SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
               l_quantity AS qty,
-              round(l_extendedprice * (1 - l_discount), 2) AS net
+              round(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,4),
+                    2)::DOUBLE AS net
        FROM lineitem WHERE l_orderkey < 500""",
 )
 def s1_scan_projection(spark, sf_dir):
@@ -165,7 +166,13 @@ def s1_scan_projection(spark, sf_dir):
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("lineno"),
         F.col("l_quantity").alias("qty"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net"),
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(8,4)"),
+            2,
+        )
+        .cast("double")
+        .alias("net"),
     )
 
 
@@ -760,7 +767,7 @@ def j9_json_regex_extract(spark, sf_dir):
     """SELECT l_returnflag, l_linestatus,
               sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
               sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
-              sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6))::DOUBLE
+              sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(8,4))::DOUBLE
                   AS sum_disc_price,
               round(avg(l_quantity), 6) AS avg_qty,
               count(*) AS count_order
@@ -776,9 +783,8 @@ def q1_flagship_agg(spark, sf_dir):
         .cast("double")
         .alias("sum_base_price"),
         F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(24,6)"
-            )
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount")).cast("decimal(8,4)")
         )
         .cast("double")
         .alias("sum_disc_price"),
