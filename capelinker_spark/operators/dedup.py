@@ -69,20 +69,6 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, id_col, "left_semi")
 
 
-def minhash_signature(
-    shingles: Column, num_hashes: int = 16, prefix: str = "mh"
-) -> list[Column]:
-    """k min-wise hashes of a shingle array: min(md5(seed || shingle)).
-    md5-string min is a valid min-wise hash family member per seed; string
-    ordering is engine-portable (lowercase hex)."""
-    return [
-        F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"{prefix}{i}")
-        for i in range(num_hashes)
-    ]
-
-
 def minhash_table(
     df: DataFrame,
     text_col: str = "text",
@@ -90,8 +76,24 @@ def minhash_table(
     num_hashes: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    sh = word_shingles(F.col(text_col), shingle_words)
-    return df.select(F.col(id_col), *minhash_signature(sh, num_hashes))
+    """k min-wise hashes per document: min(md5(seed || shingle)) over the
+    distinct word shingles. md5-string min is a valid min-wise hash family
+    member per seed; lowercase-hex string ordering is engine-portable.
+
+    Long-form plan: explode shingles → one hash aggregation computing all k
+    mins (each shingle row hashed k times, ONCE — not k recomputations of
+    the shingle array), with the groupBy shuffle providing parallelism
+    regardless of input file partitioning."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("_sh"),
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_candidate_pairs(

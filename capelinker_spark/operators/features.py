@@ -217,6 +217,98 @@ def paste_similar(
     return records.join(agg, id_col, "left").fillna({out: ""})
 
 
+def uniformise_strings(
+    records: DataFrame,
+    name_col: str,
+    id_col: str = "persid",
+    maxdist: float = 0.2,
+    out: str | None = None,
+) -> DataFrame:
+    """Canonicalize near-identical strings — ``uniformise_string``
+    (R/util.R:145-166) re-expressed for scale.
+
+    The reference greedily absorbs strings within JW ``maxdist`` of the
+    most frequent remaining string. Here: distinct strings + frequencies →
+    soundex-blocked JW self-join at ``maxdist`` → connected components →
+    representative = the component's most frequent string (ties broken
+    alphabetically). Same intent (frequency-priority canonical form),
+    linear plan; the greedy chain-absorption order is approximated by the
+    component closure — documented deviation.
+    """
+    from capelinker_spark.operators.cluster import connected_components
+
+    out = out or f"{name_col}_unif"
+    jw = make_jw_udf(0.1)
+    freq = (
+        records.where(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("_s"))
+        .agg(F.count("*").alias("_n"))
+    )
+    # dense integer ids for the CC loop (deterministic: freq desc, name asc)
+    w = Window.orderBy(F.desc("_n"), F.asc("_s"))
+    nodes = freq.withColumn("_nid", F.row_number().over(w))
+    lhs = nodes.select(
+        F.col("_s").alias("_sa"), F.col("_nid").alias("_ida"),
+        F.soundex("_s").alias("_blk"),
+    )
+    rhs = nodes.select(
+        F.col("_s").alias("_sb"), F.col("_nid").alias("_idb"),
+        F.soundex("_s").alias("_blk"),
+    )
+    cand = lhs.join(rhs, "_blk").where(F.col("_ida") < F.col("_idb"))
+    uniq = cand.select("_sa", "_sb").distinct().withColumn(
+        "_d", jw(F.col("_sa"), F.col("_sb"))
+    )
+    edges = (
+        cand.join(uniq, ["_sa", "_sb"])
+        .where(F.col("_d") < maxdist)
+        .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
+    )
+    comp = connected_components(edges)
+    labeled = nodes.join(
+        comp.withColumnRenamed("node", "_nid"), "_nid", "left"
+    ).withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
+    rep_w = Window.partitionBy("_comp").orderBy(F.desc("_n"), F.asc("_s"))
+    reps = (
+        labeled.withColumn("_rk", F.row_number().over(rep_w))
+        .withColumn("_rep", F.first("_s").over(rep_w))
+        .select(F.col("_s").alias(name_col), F.col("_rep").alias(out))
+        .distinct()
+    )
+    return records.join(reps, name_col, "left")
+
+
+def make_labeling_sheet(
+    cnd: DataFrame,
+    id_from: str = "persid_from",
+    n_blocks: int = 50,
+    seed: int = 42,
+    order_cols: tuple = ("mlastdist", "mfirstdist"),
+) -> DataFrame:
+    """The ``label()`` export flow (R/label.R:54-89): sample candidate
+    blocks, order pairs inside each block by the product of the name
+    distances so likely matches float to the top for the human labeler.
+    Returns the sheet with a ``block_seq`` ordering column (the blank-line
+    insertion of the R version is presentation-side)."""
+    ids = (
+        cnd.select(id_from).distinct()
+        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_from), F.lit(seed)), 1_000_000))
+        .orderBy("_h")
+        .limit(n_blocks)
+        .drop("_h")
+    )
+    sheet = cnd.join(F.broadcast(ids), id_from, "left_semi")
+    score = None
+    for c in order_cols:
+        if c in sheet.columns:
+            term = F.coalesce(F.col(c), F.lit(1.0))
+            score = term if score is None else score * term
+    if score is None:
+        score = F.lit(0.0)
+    w = Window.partitionBy(id_from).orderBy(score.asc(), F.col(id_from).asc())
+    return sheet.withColumn("block_seq", F.row_number().over(w))
+
+
 def min_max_normalise(dat: DataFrame, cols: list[str]) -> DataFrame:
     """(x - min)/(max - min) per column (R/util.R:169-175), one agg pass +
     literal broadcast — no per-row Python."""

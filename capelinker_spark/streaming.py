@@ -1,0 +1,108 @@
+"""Structured-Streaming surface: incremental linkage over a page stream.
+
+The reference is batch-only (SURVEY §2.8: "no streaming of any kind"), but
+the graft's CC-style page table arrives continuously at web scale, so the
+engine exposes the streaming-shaped composition of the same operators:
+
+* ``stream_extract`` — the byte-identical extractor chain is pure narrow
+  transformations, so it runs unchanged on a streaming DataFrame;
+* ``page_ingest_stats`` — watermarked tumbling-window ingest metrics
+  (the lineage row source for a continuous pipeline);
+* ``incremental_link`` — foreachBatch micro-batch linkage of arriving
+  records against a static, broadcast-sized reference table: each batch is
+  soundex-blocked, Arrow-UDF scored with a pretrained model, rank-selected,
+  and appended to the links sink. State lives in the sink (idempotent by
+  persid pair), not in executors — restart-safe with checkpointLocation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from capelinker_spark.extract import extract_records
+from capelinker_spark.operators.candidates import candidates_multikey
+from capelinker_spark.operators.features import add_wifeinboth, distcalc
+from capelinker_spark.operators.predict import rank_links, select_links
+
+
+def stream_extract(pages_stream: DataFrame) -> DataFrame:
+    """Extractor on a streaming pages DataFrame (stateless narrow plan —
+    spousenamedist is skipped because it needs a distinct+join; compute it
+    downstream if needed)."""
+    return extract_records(pages_stream, with_spousenamedist=False)
+
+
+def page_ingest_stats(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed ingest metrics per language."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("text").cast("long")).alias("n_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+            "n_chars",
+        )
+    )
+
+
+def incremental_link(
+    pages_stream: DataFrame,
+    reference_records: DataFrame,
+    scorer,
+    checkpoint_dir: str,
+    output_dir: str,
+    minimum_confidence: float = 0.5,
+    character_variables=("mlast", "mfirst", "wlast", "wfirst"),
+    trigger_available_now: bool = True,
+):
+    """Link arriving pages to a static reference table, micro-batch by
+    micro-batch. ``scorer`` is a LogisticModel-style object with
+    ``transform(df)`` adding a ``predicted`` column. Returns the started
+    StreamingQuery (append sink: parquet at ``output_dir``)."""
+    records_stream = stream_extract(pages_stream)
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bv = "mlast"
+        keys = [
+            lambda df: F.soundex(F.col(bv)),
+            lambda df: F.soundex(F.col(f"{bv}_woprefix")),
+            lambda df: F.soundex(F.col("mfirst")),
+        ]
+        cnd = candidates_multikey(
+            batch_df, reference_records, keys, keep_unmatched="none"
+        )
+        feats = distcalc(
+            cnd,
+            character_variables=character_variables,
+            numeric_variables=("year",),
+        )
+        feats = add_wifeinboth(feats) if "wifepresent_from" in feats.columns else feats
+        scored = scorer.transform(feats)
+        ranked = rank_links(scored, "persid_from", "persid_to")
+        links = select_links(ranked, minimum_confidence, "many:one").select(
+            "persid_from", "persid_to", "predicted",
+            F.lit(batch_id).alias("batch_id"),
+        )
+        links.write.mode("append").parquet(output_dir)
+
+    writer = (
+        records_stream.writeStream.foreachBatch(link_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

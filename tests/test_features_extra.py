@@ -1,0 +1,150 @@
+"""uniformise_string, namefreq, cosine uniqueness, stringdist_closest,
+paste_similar, labeling sheet, preflight."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators import features as FE
+from capelinker_spark.qa.preflight import model_base_variables, preflight
+
+
+def test_uniformise_strings(spark):
+    rows = (
+        [("BOTHA", i) for i in range(10)]
+        + [("BOTHAH", 10), ("BOTA", 11)]
+        + [("COETZEE", 12), ("COETZE", 13)]
+        + [("NAUDE", 14)]
+    )
+    df = spark.createDataFrame(rows, "mlast string, persid long")
+    out = FE.uniformise_strings(df, "mlast")
+    got = {r["mlast"]: r["mlast_unif"] for r in out.collect()}
+    # BOTHA is the most frequent → absorbs its JW-near variants
+    assert got["BOTHA"] == "BOTHA"
+    assert got["BOTHAH"] == "BOTHA"
+    assert got["BOTA"] == "BOTHA"
+    # COETZEE/COETZE tie at freq 1 → representative by (freq desc, name asc)
+    assert got["COETZE"] == got["COETZEE"] == "COETZE"
+    assert got["NAUDE"] == "NAUDE"
+
+
+def test_uniformise_namefreq_composition(spark):
+    rows = [("BOTHA", 1), ("BOTHAH", 2), ("BOTHA", 3), ("NAUDE", 4)]
+    df = spark.createDataFrame(rows, "mlast string, persid long")
+    unif = FE.uniformise_strings(df, "mlast")
+    out = FE.add_namefreq(unif, "mlast_unif", out="namefreq")
+    got = {r["persid"]: r["namefreq"] for r in out.collect()}
+    assert got[1] == got[2] == got[3] == 3  # canonicalized count
+    assert got[4] == 1
+
+
+def test_cos_uniqueness_matches_reference_formula(spark):
+    """Linear form ≡ the rowMeans(sim.strings) definition on a small group."""
+    import numpy as np
+
+    names = ["JOHANNES", "JOHANNES", "JACOBUS", "WILLEM"]
+    df = spark.createDataFrame(
+        [(i, 1826, n) for i, n in enumerate(names)],
+        "persid long, year int, mfirst string",
+    )
+    out = {
+        r["persid"]: r["u"]
+        for r in FE.add_cos_uniqueness(df, "mfirst", out="u").collect()
+    }
+
+    # naive reference computation with bigram count vectors (boundary '#')
+    def vec(s):
+        s = f"#{s}#"
+        grams = {}
+        for i in range(len(s) - 1):
+            grams[s[i : i + 2]] = grams.get(s[i : i + 2], 0) + 1
+        return grams
+
+    def cos(a, b):
+        dot = sum(a[g] * b.get(g, 0) for g in a)
+        na = sum(v * v for v in a.values()) ** 0.5
+        nb = sum(v * v for v in b.values()) ** 0.5
+        return dot / (na * nb)
+
+    vecs = [vec(n) for n in names]
+    for i in range(4):
+        expected = 1 - np.mean([cos(vecs[i], v) for v in vecs])
+        assert out[i] == pytest.approx(expected, abs=1e-9), i
+
+
+def test_stringdist_closest(spark):
+    df = spark.createDataFrame(
+        [(1, "BOTHA", "B"), (2, "BOTHAH", "B"), (3, "NAUDE", "N")],
+        "persid long, mlast string, blk string",
+    )
+    out = {
+        r["persid"]: r["nextdist"]
+        for r in FE.stringdist_closest(df, "mlast", "blk").collect()
+    }
+    assert out[1] == out[2]  # mutual nearest
+    assert 0 < out[1] < 0.2
+    assert out[3] == 1.0  # singleton block → reference's length-1 convention
+
+
+def test_paste_similar(spark):
+    # R/util.R:352-354 example
+    s = ["jan van der merwe", "gerrit coetzee", "johan van der merwe", "jan van merwe"]
+    df = spark.createDataFrame(
+        [(i, x, "x") for i, x in enumerate(s)], "persid long, s string, blk string"
+    )
+    out = {
+        r["s"]: r["similar_strings"]
+        for r in FE.paste_similar(df, "s", "blk", threshold=0.85).collect()
+    }
+    assert "johan van der merwe" in out["jan van der merwe"]
+    assert out["gerrit coetzee"] == ""
+
+
+def test_make_labeling_sheet(spark):
+    rows = [(1, 10, 0.1, 0.2), (1, 11, 0.0, 0.0), (2, 12, 0.5, 0.5)]
+    df = spark.createDataFrame(
+        rows, "persid_from long, persid_to long, mlastdist double, mfirstdist double"
+    )
+    sheet = FE.make_labeling_sheet(df, n_blocks=2, order_cols=("mlastdist", "mfirstdist"))
+    got = [
+        (r["persid_from"], r["persid_to"], r["block_seq"])
+        for r in sheet.orderBy("persid_from", "block_seq").collect()
+    ]
+    # within block 1, the closer pair (11) comes first
+    by_block = {}
+    for pf, pt, seq in got:
+        by_block.setdefault(pf, []).append((seq, pt))
+    if 1 in by_block:
+        assert sorted(by_block[1])[0][1] == 11
+
+
+def test_preflight_report(spark, pages):
+    from capelinker_spark.extract import extract_records
+
+    rec = extract_records(pages, with_spousenamedist=False)
+    out = preflight(rec, vrbs=["mlast", "mfirst", "year", "settlerchildren"])
+    rep = {r["variable"]: r.asDict() for r in out["report"].collect()}
+    assert 0 <= rep["mlast"]["share_na"] < 0.5
+    assert rep["mlast"]["share_upper"] > 0.9  # cleaned names are uppercase
+    assert rep["mlast"]["share_leadtrail_ws"] == 0.0  # trim happened
+    assert rep["year"]["min"] == 1826.0 and rep["year"]["max"] == 1828.0
+    charset = {
+        r["variable"]: r["ch"] for r in out["charset"].collect() if r["ch"] == " "
+    }
+    assert "mlast" in charset or "mfirst" in charset  # multiword names exist
+
+
+def test_model_base_variables():
+    got = model_base_variables("m_rf_baptisms_sparse")
+    assert got == ["mlast", "mfirst", "wfirst", "year"]
+    got_full = model_base_variables("m_boost_stel_rein")
+    assert "settlerchildren" in got_full and "mlast" in got_full
+    with pytest.raises(KeyError):
+        model_base_variables("opgaafrol_full")  # the reference's phantom model
+
+
+def test_min_max_normalise(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    got = sorted(r["x"] for r in FE.min_max_normalise(df, ["x"]).collect())
+    assert got == [0.0, 0.5, 1.0]

@@ -1,0 +1,73 @@
+"""Classifier-parity path: Spark ML GBT (the xgboost analog, M5) reaches the
+same F1 gate as the logistic scorer on the fixture corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.extract import extract_records
+from capelinker_spark.ml.gbt import gbt_scorer, train_gbt
+from capelinker_spark.operators.candidates import candidates_multikey
+from capelinker_spark.operators.features import add_matches, add_wifeinboth, distcalc
+from capelinker_spark.operators.predict import (
+    confusion,
+    group_split,
+    predict_links,
+)
+
+FEATURES = [
+    "mlastdist", "mfirstdist", "wlastdist", "wfirstdist",
+    "minitialsdist", "mlastsdx", "mfirstsdx", "matches",
+]
+
+
+@pytest.fixture(scope="module")
+def labeled_features(spark, pages, truth):
+    records = extract_records(pages, with_spousenamedist=False).cache()
+    keys = [
+        lambda df: F.soundex(F.col("mlast")),
+        lambda df: F.soundex(F.col("mlast_woprefix")),
+        lambda df: F.soundex(F.col("mfirst")),
+    ]
+    cnd = candidates_multikey(
+        records.where(F.col("year") == 1828),
+        records.where(F.col("year") == 1826),
+        keys,
+        keep_unmatched="none",
+    )
+    feats = distcalc(
+        cnd,
+        character_variables=("mlast", "mfirst", "wlast", "wfirst", "minitials"),
+        numeric_variables=("year",),
+    )
+    feats = add_matches(feats, "persid_from")
+    feats = add_wifeinboth(feats)
+    t_from = truth.select(
+        F.col("persid").alias("persid_from"), F.col("entity_id").alias("_ef")
+    )
+    t_to = truth.select(
+        F.col("persid").alias("persid_to"), F.col("entity_id").alias("_et")
+    )
+    return (
+        feats.join(t_from, "persid_from")
+        .join(t_to, "persid_to")
+        .withColumn("correct", F.col("_ef") == F.col("_et"))
+        .cache()
+    )
+
+
+def test_gbt_f1_gate(spark, labeled_features):
+    train, test = group_split(labeled_features, "persid_from", 0.7, seed=1)
+    model = train_gbt(train, FEATURES, max_iter=25, seed=42)
+    scorer = gbt_scorer(model, FEATURES)
+    m = confusion(scorer(test))
+    assert m["f1"] >= 0.95, m
+    # one:one selection on the full set: near-perfect linkage
+    links = predict_links(
+        labeled_features, "persid_from", "persid_to", scorer,
+        minimum_confidence=0.5, linktype="one:one",
+    )
+    sel = links.select("correct").collect()
+    precision = sum(1 for r in sel if r["correct"]) / max(len(sel), 1)
+    assert precision >= 0.97

@@ -1,0 +1,130 @@
+"""Structured-Streaming: extractor runs on a stream; windowed ingest stats;
+incremental micro-batch linkage equals the batch result."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark import streaming as ST
+from capelinker_spark.fixtures import PAGES_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, pages, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages_stream"))
+    pages.write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_extract_matches_batch(spark, pages, pages_dir, tmp_path_factory):
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    out_dir = str(tmp_path_factory.mktemp("records_out"))
+    ck = str(tmp_path_factory.mktemp("ck1"))
+    q = (
+        ST.stream_extract(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    from capelinker_spark.extract import extract_records
+
+    batch = extract_records(pages, with_spousenamedist=False)
+    assert got.count() == batch.count()
+    g = {r["url"]: r["mlast"] for r in got.select("url", "mlast").collect()}
+    b = {r["url"]: r["mlast"] for r in batch.select("url", "mlast").collect()}
+    assert g == b
+
+
+def test_page_ingest_stats_stream(spark, pages_dir, tmp_path_factory):
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    stats = ST.page_ingest_stats(stream, window="60 minutes")
+    ck = str(tmp_path_factory.mktemp("ck2"))
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("ingest_stats")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ingest_stats").collect()
+    assert sum(r["n_pages"] for r in rows) > 0
+    assert all(r["lang"] in ("af", "nl", "en") for r in rows)
+
+
+def test_incremental_link_matches_batch(
+    spark, pages, truth, pages_dir, tmp_path_factory
+):
+    """Micro-batch linkage of 1828 pages against the static 1826 reference
+    produces the same accepted links as the equivalent batch plan."""
+    from capelinker_spark.extract import extract_records
+    from capelinker_spark.ml.logistic import LogisticModel
+
+    import numpy as np
+
+    records = extract_records(pages, with_spousenamedist=False).cache()
+    reference = records.where(F.col("year") == 1826).cache()
+
+    # simple fixed-weight scorer (deterministic; no training dependency)
+    model = LogisticModel(
+        features=["mlastdist", "mfirstdist"],
+        weights=np.array([-3.0, -3.0]),
+        bias=2.0,
+        means=np.array([0.5, 0.5]),
+        stds=np.array([1.0, 1.0]),
+    )
+
+    # batch reference result
+    from capelinker_spark.operators.candidates import candidates_multikey
+    from capelinker_spark.operators.features import distcalc
+    from capelinker_spark.operators.predict import rank_links, select_links
+
+    new_records = records.where(F.col("year") == 1828)
+    keys = [
+        lambda df: F.soundex(F.col("mlast")),
+        lambda df: F.soundex(F.col("mlast_woprefix")),
+        lambda df: F.soundex(F.col("mfirst")),
+    ]
+    cnd = candidates_multikey(new_records, reference, keys, keep_unmatched="none")
+    feats = distcalc(
+        cnd, character_variables=("mlast", "mfirst", "wlast", "wfirst"),
+        numeric_variables=("year",),
+    )
+    from capelinker_spark.operators.features import add_wifeinboth
+
+    feats = add_wifeinboth(feats)
+    batch_links = {
+        (r["persid_from"], r["persid_to"])
+        for r in select_links(
+            rank_links(model.transform(feats), "persid_from", "persid_to"),
+            0.5,
+            "many:one",
+        )
+        .select("persid_from", "persid_to")
+        .collect()
+    }
+
+    # streaming run over only the 1828 pages
+    pages_1828_dir = str(tmp_path_factory.mktemp("pages_1828"))
+    pages.where(F.col("url").rlike("/1828/")).write.mode("overwrite").parquet(
+        pages_1828_dir
+    )
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_1828_dir)
+    out_dir = str(tmp_path_factory.mktemp("links_out"))
+    ck = str(tmp_path_factory.mktemp("ck3"))
+    q = ST.incremental_link(stream, reference, model, ck, out_dir)
+    q.awaitTermination(180)
+    stream_links = {
+        (r["persid_from"], r["persid_to"])
+        for r in spark.read.parquet(out_dir).select("persid_from", "persid_to").collect()
+    }
+    assert stream_links == batch_links
+    assert len(stream_links) > 50
