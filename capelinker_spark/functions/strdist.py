@@ -190,21 +190,31 @@ def gk_py(x1: float, x2: float, sigma: float = 1.0) -> float:
 # ---------------------------------------------------------------------------
 
 
-def _pairwise_unique(a: pd.Series, b: pd.Series, fn):
+_CACHE_MAX = 1 << 20
+
+
+def _pairwise_unique(a: pd.Series, b: pd.Series, fn, cache: dict | None = None):
     """Apply fn over the UNIQUE (a, b) pairs of the batch, then broadcast back.
 
     Candidate-pair batches repeat the same name pairs heavily (frequent
     surnames); the reference itself dedups before the expensive op
-    (``R/util.R:146-148``). This is the per-batch analog.
-    """
+    (``R/util.R:146-148``). This is the per-batch analog, plus a worker-
+    lifetime cache shared ACROSS batches (Python UDF workers are long-lived,
+    so frequent-surname pairs are computed once per executor)."""
+    if cache is None:
+        cache = {}
     df = pd.DataFrame({"a": a, "b": b})
     uniq = df.drop_duplicates()
-    vals = {
-        (ua, ub): fn(None if pd.isna(ua) else ua, None if pd.isna(ub) else ub)
-        for ua, ub in zip(uniq["a"], uniq["b"])
-    }
+    for ua, ub in zip(uniq["a"], uniq["b"]):
+        key = (ua, ub)
+        if key not in cache:
+            if len(cache) > _CACHE_MAX:
+                cache.clear()
+            cache[key] = fn(
+                None if pd.isna(ua) else ua, None if pd.isna(ub) else ub
+            )
     return pd.Series(
-        [vals[(x, y)] for x, y in zip(df["a"], df["b"])],
+        [cache[(x, y)] for x, y in zip(df["a"], df["b"])],
         index=a.index,
         dtype="float64",
     )
@@ -212,10 +222,13 @@ def _pairwise_unique(a: pd.Series, b: pd.Series, fn):
 
 def make_jw_udf(p: float = 0.1):
     """Factory: pandas UDF computing Jaro-Winkler distance with prefix scale p."""
+    cache: dict = {}
 
     @pandas_udf(DoubleType())
     def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return _pairwise_unique(a, b, lambda x, y: jaro_winkler_dist(x, y, p=p))
+        return _pairwise_unique(
+            a, b, lambda x, y: jaro_winkler_dist(x, y, p=p), cache
+        )
 
     return jw
 

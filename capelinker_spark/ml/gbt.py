@@ -62,9 +62,11 @@ def gbt_scorer(model: PipelineModel, features: list[str]):
     operators.predict.predict_links."""
 
     def score(df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import vector_to_array
+
         prepped = _prep(df, features, None)
         scored = model.transform(prepped)
-        p1 = F.element_at(F.col("probability"), 2)
+        p1 = F.element_at(vector_to_array(F.col("probability")), 2)
         return scored.withColumn("predicted", p1).drop(
             "features", "rawPrediction", "probability", "prediction",
             *[f + "_imp" for f in features],

@@ -106,9 +106,18 @@ class LinkagePipeline:
         cfg = self.cfg
         records = self._stage("records", lambda: extract_records(pages), resume)
 
+        # column pruning across checkpoints: the candidate/feature stages
+        # only carry linkage-relevant fields; provenance stays in `records`
+        link_cols = [
+            "persid", "year", "mlast", "mfirst", "wlast", "wfirst",
+            "minitials", "winitials", "mlast_woprefix", "mfullname",
+            "wifepresent", "settlerchildren", "cattle", "sheep", "horses",
+        ]
+
         def _candidates():
-            dat_from = records.where(F.col("year") == cfg.year_from)
-            dat_to = records.where(F.col("year") == cfg.year_to)
+            slim = records.select(*[c for c in link_cols if c in records.columns])
+            dat_from = slim.where(F.col("year") == cfg.year_from)
+            dat_to = slim.where(F.col("year") == cfg.year_to)
             if cfg.blocktype == "soundex_multikey":
                 # union of three derived keys — recall-robust to single-field
                 # noise (the reference's "candidates() repeatedly and merge",
@@ -168,11 +177,16 @@ class LinkagePipeline:
         def _scores():
             if model is None:
                 raise ValueError("scoring requires truth labels (or a saved model)")
-            return model.transform(feats)
+            # checkpoint only (ids, score): the feature table is already
+            # checkpointed — no point rewriting 60 columns to add one
+            return model.transform(feats).select(
+                "persid_from", "persid_to", "predicted"
+            )
 
         scores = self._stage("scores", _scores, resume, score_col="predicted")
 
         def _links():
+            # scores is already the narrow (id_from, id_to, score) projection
             ranked = rank_links(scores, "persid_from", "persid_to")
             return select_links(ranked, cfg.minimum_confidence, cfg.linktype)
 
