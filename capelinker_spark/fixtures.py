@@ -237,6 +237,30 @@ def make_corpus(
     return {"pages": pages, "truth": truth}
 
 
+def rand_strings_like(
+    strings_like: list[str], n_samples: int = 1, seed: int = 42
+) -> list[str]:
+    """Random strings with the empirical char distribution and Normal(μ,σ)
+    length of the input pool — the reference's own synthetic-string recipe
+    (``rand_strings_like``, R/util.R:217-229), transcribed for the seeded
+    numpy generator."""
+    rng = np.random.default_rng(seed)
+    chars: dict[str, int] = {}
+    for s in strings_like:
+        for c in s:
+            chars[c] = chars.get(c, 0) + 1
+    alphabet = list(chars)
+    weights = np.array([chars[c] for c in alphabet], dtype="float64")
+    weights /= weights.sum()
+    lengths = np.array([len(s) for s in strings_like], dtype="float64")
+    mu, sigma = lengths.mean(), lengths.std(ddof=1) if len(lengths) > 1 else 1.0
+    out = []
+    for _ in range(n_samples):
+        n = max(1, abs(int(round(rng.normal(mu, sigma)))))
+        out.append("".join(rng.choice(alphabet, size=n, p=weights)))
+    return out
+
+
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )

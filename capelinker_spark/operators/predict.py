@@ -105,3 +105,53 @@ def confusion(
         "tp": tp, "fp": fp, "fn": fn, "tn": tn,
         "precision": precision, "recall": recall, "f1": f1,
     }
+
+
+def pr_curve(
+    dat: DataFrame,
+    thresholds=None,
+    label_col: str = "correct",
+    score_col: str = "predicted",
+) -> list[dict]:
+    """Threshold sweep for the precision-recall curve
+    (data_raw/pretrained.R:300-316) — ONE aggregation pass: per-bucket
+    TP/FP counts cumulated driver-side, not one scan per threshold."""
+    import numpy as np
+
+    thresholds = list(thresholds if thresholds is not None else np.arange(0.05, 1.0, 0.05))
+    bucket = F.least(F.floor(F.col(score_col) * 1000).cast("int"), F.lit(999))
+    counts = (
+        dat.groupBy(bucket.alias("b"), F.col(label_col).alias("y"))
+        .count()
+        .collect()
+    )
+    pos = [0] * 1000
+    neg = [0] * 1000
+    for r in counts:
+        (pos if r["y"] else neg)[r["b"]] += r["count"]
+    total_pos = sum(pos)
+    out = []
+    for t in thresholds:
+        # thresholds quantized to the 1e-3 bucket grid (documented):
+        # "score > t" counts buckets strictly above t's bucket
+        b = min(int(round(t * 1000)), 999)
+        tp = sum(pos[b + 1 :])
+        fp = sum(neg[b + 1 :])
+        fn = total_pos - tp
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+        out.append(
+            {"threshold": float(t), "precision": precision, "recall": recall, "f1": f1}
+        )
+    return out
+
+
+def format_confusion(m: dict) -> str:
+    """Confusion matrix as a text table (conf2tex analog, R/util.R:329-341)."""
+    return (
+        "            predicted-     predicted+\n"
+        f"actual-     {m['tn']:>10}     {m['fp']:>10}\n"
+        f"actual+     {m['fn']:>10}     {m['tp']:>10}\n"
+        f"precision={m['precision']:.4f} recall={m['recall']:.4f} f1={m['f1']:.4f}"
+    )

@@ -1,0 +1,83 @@
+"""Sources, sorted-neighborhood blocking, PR curve, rand_strings_like."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark import sources
+from capelinker_spark.fixtures import rand_strings_like
+from capelinker_spark.operators.blocking import sorted_neighborhood_pairs
+from capelinker_spark.operators.predict import format_confusion, pr_curve
+
+
+def test_read_csv_null_convention(spark, tmp_path):
+    p = tmp_path / "rolls.csv"
+    p.write_text("persid,mlast,cattle\n1,BOTHA,12\n2,.,.\n3,NEL,7\n")
+    df = sources.read_csv(spark, str(p), schema="persid int, mlast string, cattle int")
+    rows = {r["persid"]: r for r in df.collect()}
+    assert rows[2]["mlast"] is None and rows[2]["cattle"] is None
+    assert rows[1]["cattle"] == 12
+
+
+def test_write_checkpoint_roundtrip(spark, tmp_path):
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    sources.write_checkpoint(df, str(tmp_path / "ck"))
+    back = sources.read_table(spark, str(tmp_path / "ck"))
+    assert back.count() == 10
+
+
+def test_sorted_neighborhood(spark):
+    f = spark.createDataFrame(
+        [(1, "BOTHA"), (2, "COETZEE"), (3, "ZIETSMAN")], "pid long, k string"
+    )
+    t = spark.createDataFrame(
+        [(10, "BOTHAH"), (11, "COETZE"), (12, "NAUDE")], "pid long, k string"
+    )
+    pairs = sorted_neighborhood_pairs(f, t, "k", "pid", "pid", window=2)
+    got = {(r["id_from"], r["id_to"]) for r in pairs.collect()}
+    # adjacent in sort order: BOTHA~BOTHAH, COETZEE~COETZE must pair
+    assert (1, 10) in got
+    assert (2, 11) in got
+    # far-apart keys with window 2: ZIETSMAN pairs only with its neighbors
+    assert (1, 12) not in got
+
+
+def test_sorted_neighborhood_window_widens_recall(spark):
+    f = spark.createDataFrame([(i, f"K{i:03d}") for i in range(20)], "pid long, k string")
+    t = spark.createDataFrame(
+        [(100 + i, f"K{i:03d}X") for i in range(20)], "pid long, k string"
+    )
+    small = sorted_neighborhood_pairs(f, t, "k", "pid", "pid", window=2).count()
+    big = sorted_neighborhood_pairs(f, t, "k", "pid", "pid", window=6).count()
+    assert big > small
+
+
+def test_pr_curve(spark):
+    rows = [(0.9, True)] * 80 + [(0.9, False)] * 5 + [(0.2, True)] * 20 + [(0.2, False)] * 95
+    df = spark.createDataFrame(rows, "predicted double, correct boolean")
+    curve = pr_curve(df, thresholds=[0.1, 0.5])
+    by_t = {round(c["threshold"], 2): c for c in curve}
+    assert by_t[0.5]["precision"] == pytest.approx(80 / 85)
+    assert by_t[0.5]["recall"] == pytest.approx(0.8)
+    assert by_t[0.1]["recall"] == pytest.approx(1.0)
+    assert by_t[0.1]["precision"] == pytest.approx(100 / 200)
+
+
+def test_format_confusion():
+    s = format_confusion(
+        {"tp": 116, "fp": 13, "fn": 22, "tn": 2395,
+         "precision": 0.8992, "recall": 0.8406, "f1": 0.8689}
+    )
+    assert "2395" in s and "116" in s and "f1=0.8689" in s
+
+
+def test_rand_strings_like():
+    pool = ["JOHANNES", "WILLEM", "MARIA", "BOTHA", "COETZEE"]
+    out = rand_strings_like(pool, n_samples=20, seed=7)
+    assert len(out) == 20
+    assert out == rand_strings_like(pool, n_samples=20, seed=7)  # deterministic
+    alphabet = set("".join(pool))
+    assert all(set(s) <= alphabet for s in out)
+    avg = sum(len(s) for s in out) / len(out)
+    assert 3 <= avg <= 12  # length distribution tracks the pool
