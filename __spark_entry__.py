@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from capelinker_spark.entry_queries import _words
     from capelinker_spark.functions.strdist import jw_udf
     from capelinker_spark.operators.predict import rank_links, select_links
+    from capelinker_spark.util import ensure_workers_importable
+
+    ensure_workers_importable(spark)
 
     a = _words(spark, SF_SMOKE, ["src0", "src2", "src4"]).select(
         F.col("w").alias("word_a"), F.soundex("w").alias("block_key")

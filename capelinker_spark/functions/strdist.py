@@ -203,21 +203,21 @@ def _pairwise_unique(a: pd.Series, b: pd.Series, fn, cache: dict | None = None):
     so frequent-surname pairs are computed once per executor)."""
     if cache is None:
         cache = {}
-    df = pd.DataFrame({"a": a, "b": b})
-    uniq = df.drop_duplicates()
-    for ua, ub in zip(uniq["a"], uniq["b"]):
-        key = (ua, ub)
-        if key not in cache:
+    va = a.tolist()  # object series → str/None, no pandas machinery in the loop
+    vb = b.tolist()
+    out = [None] * len(va)
+    get = cache.get
+    sentinel = object()
+    for i in range(len(va)):
+        k = (va[i], vb[i])
+        v = get(k, sentinel)
+        if v is sentinel:
             if len(cache) > _CACHE_MAX:
                 cache.clear()
-            cache[key] = fn(
-                None if pd.isna(ua) else ua, None if pd.isna(ub) else ub
-            )
-    return pd.Series(
-        [cache[(x, y)] for x, y in zip(df["a"], df["b"])],
-        index=a.index,
-        dtype="float64",
-    )
+            v = fn(k[0], k[1])
+            cache[k] = v
+        out[i] = v
+    return pd.Series(out, index=a.index, dtype="float64")
 
 
 def make_jw_udf(p: float = 0.1):

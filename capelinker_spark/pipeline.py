@@ -68,6 +68,9 @@ def add_rel_deltas(df: DataFrame, variables=("cattle", "sheep", "horses")) -> Da
 
 class LinkagePipeline:
     def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
+        from capelinker_spark.util import ensure_workers_importable
+
+        ensure_workers_importable(spark)
         self.spark = spark
         self.workdir = workdir
         self.cfg = config or PipelineConfig()

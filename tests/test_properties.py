@@ -1,0 +1,150 @@
+"""Property tests (SURVEY §5): idempotence of the cleaning chain, Python↔JVM
+parity of every regex-based normalizer on adversarial random strings, and
+metric-space sanity of the string kernels. Random cases are seeded and run
+through Spark in ONE batch per property (not per-example sessions)."""
+
+from __future__ import annotations
+
+import random
+import string
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark import ref_extract as R
+from capelinker_spark.functions import normalize as N
+from capelinker_spark.functions.strdist import (
+    jaro_winkler_dist,
+    osa_dist,
+    soundex,
+)
+
+# include the [A-z] quirk band [\]^_` and diacritics and junk
+_ALPHABET = (
+    string.ascii_uppercase + string.ascii_lowercase + " .[]\\^_`"
+    + "éëêèâáàåüûîïç" + "()/?&0123456789-"
+)
+
+
+def _random_strings(n: int, seed: int) -> list[str]:
+    rnd = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rnd.randint(0, 20)
+        out.append("".join(rnd.choice(_ALPHABET) for _ in range(k)))
+    # targeted edge cases
+    out += ["", " ", "X", ".", "..", "A.B.C", " VAN DER  X ", "van. x",
+            "_", "`a", "[b]", "a\\b", "VAN[.] Y"]
+    return out
+
+
+@pytest.fixture(scope="module")
+def samples():
+    return _random_strings(400, seed=20260816)
+
+
+def _spark_map(spark, values, expr_fn, n_out=1):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    if n_out == 1:
+        return [r["o"] for r in df.select(expr_fn(F.col("s")).alias("o")).collect()]
+    exprs = expr_fn(F.col("s"))
+    return [
+        tuple(r[f"o{i}"] for i in range(n_out))
+        for r in df.select(*[e.alias(f"o{i}") for i, e in enumerate(exprs)]).collect()
+    ]
+
+
+def test_clean_name_idempotent(spark, samples):
+    once = _spark_map(spark, samples, N.clean_name)
+    # feed non-null outputs through again
+    non_null = [v for v in once if v is not None]
+    twice = _spark_map(spark, non_null, N.clean_name)
+    assert twice == non_null
+    for v in non_null:
+        assert R.clean_name(v) == v  # python agrees on the fixpoint
+
+
+def test_clean_name_python_spark_parity(spark, samples):
+    got = _spark_map(spark, samples, N.clean_name)
+    for s, g in zip(samples, got):
+        assert g == R.clean_name(s), repr(s)
+
+
+def test_initials_python_spark_parity(spark, samples):
+    got = _spark_map(spark, samples, N.initials)
+    for s, g in zip(samples, got):
+        assert g == R.initials(s), repr(s)
+
+
+def test_split_prefix_python_spark_parity(spark, samples):
+    got = _spark_map(
+        spark, samples, lambda c: list(N.split_prefix(c)), n_out=2
+    )
+    for s, g in zip(samples, got):
+        assert g == R.split_prefix(s), repr(s)
+
+
+def test_soundex_python_spark_parity(spark, samples):
+    got = _spark_map(spark, samples, F.soundex)
+    for s, g in zip(samples, got):
+        assert g == soundex(s), repr(s)
+
+
+def test_jw_metric_properties(samples):
+    vals = [s for s in samples if s][:80]
+    for i in range(0, len(vals) - 1, 2):
+        a, b = vals[i], vals[i + 1]
+        d = jaro_winkler_dist(a, b)
+        assert 0.0 <= d <= 1.0, (a, b, d)
+        assert d == jaro_winkler_dist(b, a), (a, b)  # symmetry
+        assert jaro_winkler_dist(a, a) == 0.0
+
+
+def test_osa_metric_properties(samples):
+    vals = [s for s in samples if s][:60]
+    for i in range(0, len(vals) - 2, 3):
+        a, b, c = vals[i], vals[i + 1], vals[i + 2]
+        ab, bc, ac = osa_dist(a, b), osa_dist(b, c), osa_dist(a, c)
+        assert ab == osa_dist(b, a)
+        assert ab <= max(len(a), len(b))
+        # OSA is not a true metric, but the triangle holds with factor 2
+        assert ac <= 2 * (ab + bc) + 1e-9
+        assert osa_dist(a, a) == 0.0
+
+
+def test_blocking_recall_property(spark, pages, truth):
+    """Every ground-truth pair whose (noisy) surnames share a soundex code
+    must appear in the soundex candidates — blocking never drops a
+    key-agreeing pair."""
+    from capelinker_spark.extract import extract_records
+    from capelinker_spark.operators.candidates import candidates
+
+    records = extract_records(pages, with_spousenamedist=False).cache()
+    cnd = candidates(
+        records.where(F.col("year") == 1828),
+        records.where(F.col("year") == 1826),
+        blocktype="soundex",
+        keep_unmatched="none",
+    )
+    got = {
+        (r["persid_from"], r["persid_to"])
+        for r in cnd.select("persid_from", "persid_to").collect()
+    }
+    rec = {
+        r["persid"]: r["mlast"]
+        for r in records.select("persid", "mlast").collect()
+    }
+    t = truth.collect()
+    by_entity: dict = {}
+    for r in t:
+        by_entity.setdefault(r["entity_id"], []).append((r["persid"], r["year"]))
+    missed = []
+    for members in by_entity.values():
+        for pf, yf in members:
+            for pt, yt in members:
+                if yf == 1828 and yt == 1826:
+                    a, b = rec.get(pf), rec.get(pt)
+                    if a and b and soundex(a) == soundex(b):
+                        if (pf, pt) not in got:
+                            missed.append((pf, pt, a, b))
+    assert not missed, missed[:5]
