@@ -49,6 +49,37 @@ class LogisticModel:
     def transform(self, df: DataFrame, out: str = "predicted") -> DataFrame:
         return df.withColumn(out, self.expr())
 
+    def save(self, path: str) -> None:
+        """Persist as JSON (the ``pretrained_models`` .rda analog,
+        data_raw/pretrained.R:489-513 — name + variables + weights)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "features": self.features,
+                    "weights": list(map(float, self.weights)),
+                    "bias": self.bias,
+                    "means": list(map(float, self.means)),
+                    "stds": list(map(float, self.stds)),
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "LogisticModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(
+            features=d["features"],
+            weights=np.array(d["weights"]),
+            bias=d["bias"],
+            means=np.array(d["means"]),
+            stds=np.array(d["stds"]),
+        )
+
     def predict_pdf(self, pdf: pd.DataFrame) -> np.ndarray:
         x = pdf[self.features].to_numpy(dtype="float64")
         x = np.where(np.isnan(x), self.means, x)

@@ -173,9 +173,16 @@ class LinkagePipeline:
 
         feats = self._stage("features", _features, resume)
 
+        # model checkpoint: the pretrained-model registry analog — a resumed
+        # run re-scores with the SAME trained model, no truth table needed
         model = None
-        if truth is not None and not (resume and self._done("scores")):
-            model = self._train_model(feats, truth)
+        model_path = os.path.join(self.workdir, "model.json")
+        if resume and os.path.exists(model_path):
+            model = LogisticModel.load(model_path)
+        elif truth is not None:
+            if not (resume and self._done("scores")):
+                model = self._train_model(feats, truth)
+                model.save(model_path)
 
         def _scores():
             if model is None:
