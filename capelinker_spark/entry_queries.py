@@ -1160,3 +1160,161 @@ def ann2_embedding_neardup(spark, sf_dir):
     return out.withColumn("cos_sim", F.round(F.col("cos_sim"), 6)).where(
         F.col("cos_sim") >= 0.995
     )
+
+
+# -- second wave: uniqueness / nearest / similar-strings / sorted-neighborhood
+
+
+_ALL_WORDS = (
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "FROM documents"
+)
+
+
+def _all_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .distinct()
+    )
+
+
+@register(
+    "u5_stringdist_closest",
+    f"""WITH w AS ({_ALL_WORDS}),
+        prs AS (SELECT a.w AS wa, b.w AS wb,
+                       round({duckdb_jw_sql('a.w', 'b.w', 0.0)}, 6) AS d
+                FROM w a JOIN w b
+                  ON substr(a.w,1,1) = substr(b.w,1,1) AND a.w <> b.w)
+        SELECT w.w AS word, coalesce(min(prs.d), 1.0) AS nextdist
+        FROM w LEFT JOIN prs ON prs.wa = w.w
+        GROUP BY w.w""",
+)
+def u5_stringdist_closest(spark, sf_dir):
+    """U5: distance to the nearest OTHER string (R/util.R:233-256), jw p=0
+    (the stringdist default the reference uses), first-letter-blocked;
+    singletons get 1.0 (the length-1 convention)."""
+    from capelinker_spark.operators.features import stringdist_closest
+
+    words = _all_words(spark, sf_dir).withColumn(
+        "fl", F.substring("w", 1, 1)
+    )
+    out = stringdist_closest(
+        words, name_col="w", block_col="fl", id_col="w", out="nextdist", jw_p=0.0
+    )
+    return out.select(
+        F.col("w").alias("word"), F.round(F.col("nextdist"), 6).alias("nextdist")
+    )
+
+
+@register(
+    "u6_paste_similar",
+    f"""WITH w AS ({_ALL_WORDS}),
+        prs AS (SELECT a.w AS wa, b.w AS wb
+                FROM w a JOIN w b
+                  ON substr(a.w,1,1) = substr(b.w,1,1) AND a.w <> b.w
+                WHERE round(1.0 - ({duckdb_jw_sql('a.w', 'b.w', 0.0)}), 6) > 0.75)
+        SELECT w.w AS word,
+               coalesce(string_agg(prs.wb, ' | ' ORDER BY prs.wb), '') AS similar_strings
+        FROM w LEFT JOIN prs ON prs.wa = w.w
+        GROUP BY w.w""",
+)
+def u6_paste_similar(spark, sf_dir):
+    """U6: concat of all other strings above a JW similarity threshold
+    (R/util.R:357-368), first-letter-blocked, deterministic ordering."""
+    from capelinker_spark.functions.strdist import make_jw_udf
+
+    jw = make_jw_udf(0.0)
+    words = _all_words(spark, sf_dir).withColumn("fl", F.substring("w", 1, 1))
+    a = words.select(F.col("w").alias("wa"), "fl")
+    b = words.select(F.col("w").alias("wb"), "fl")
+    prs = (
+        a.join(b, "fl")
+        .where(F.col("wa") != F.col("wb"))
+        .withColumn("_sim", F.round(1 - jw(F.col("wa"), F.col("wb")), 6))
+        .where(F.col("_sim") > 0.75)
+    )
+    agg = prs.groupBy("wa").agg(
+        F.array_join(F.array_sort(F.collect_list("wb")), " | ").alias(
+            "similar_strings"
+        )
+    )
+    return (
+        words.select(F.col("w").alias("word"))
+        .join(agg.withColumnRenamed("wa", "word"), "word", "left")
+        .fillna({"similar_strings": ""})
+    )
+
+
+_BIGRAMS_SQL = (
+    "list_transform(range(1, length('#' || {c} || '#')), "
+    "i -> substr('#' || {c} || '#', i, 2))"
+)
+
+
+@register(
+    "f9_cos_uniqueness",
+    f"""WITH w AS (SELECT w, substr(w,1,1) AS grp FROM ({_ALL_WORDS}) t),
+        g AS (SELECT grp, w, bg, count(*)::DOUBLE AS cnt
+              FROM (SELECT grp, w, unnest({_BIGRAMS_SQL.format(c='w')}) AS bg
+                    FROM w) x
+              GROUP BY grp, w, bg),
+        nrm AS (SELECT grp, w, sqrt(sum(cnt*cnt)) AS nrm FROM g GROUP BY grp, w),
+        dots AS (SELECT a.grp, a.w AS wa, b.w AS wb, sum(a.cnt*b.cnt) AS dot
+                 FROM g a JOIN g b ON a.grp = b.grp AND a.bg = b.bg
+                 GROUP BY a.grp, a.w, b.w),
+        cosims AS (SELECT d.grp, d.wa, d.wb, d.dot / (na.nrm * nb.nrm) AS cosim
+                   FROM dots d
+                   JOIN nrm na ON na.grp = d.grp AND na.w = d.wa
+                   JOIN nrm nb ON nb.grp = d.grp AND nb.w = d.wb),
+        gn AS (SELECT grp, count(*)::DOUBLE AS n FROM w GROUP BY grp)
+        SELECT w.w AS word,
+               round(1.0 - coalesce(s.total, 0) / gn.n, 6) AS uniqueness
+        FROM w
+        JOIN gn ON gn.grp = w.grp
+        LEFT JOIN (SELECT grp, wa, sum(cosim) AS total FROM cosims
+                   GROUP BY grp, wa) s
+          ON s.grp = w.grp AND s.wa = w.w""",
+)
+def f9_cos_uniqueness(spark, sf_dir):
+    """F8/F9: per-group cosine name uniqueness. The Spark side is the
+    LINEAR formulation (dot with the group's mean unit bigram vector,
+    operators/features.add_cos_uniqueness); the oracle is the reference's
+    naive O(n²) rowMeans(sim.strings) definition
+    (data_raw/traindata_graafreinet.R:117-127) — equality of the two IS the
+    correctness claim for the scale-path rewrite."""
+    from capelinker_spark.operators.features import add_cos_uniqueness
+
+    words = _all_words(spark, sf_dir).withColumn("grp", F.substring("w", 1, 1))
+    out = add_cos_uniqueness(
+        words, name_col="w", by="grp", out="uniqueness", id_col="w"
+    )
+    return out.select(
+        F.col("w").alias("word"), F.round(F.col("uniqueness"), 6).alias("uniqueness")
+    )
+
+
+@register(
+    "j3_sorted_neighborhood",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B}),
+        u AS (SELECT w, 'f' AS side FROM wa UNION ALL SELECT w, 't' FROM wb),
+        pos AS (SELECT w, side,
+                       row_number() OVER (ORDER BY w, side) AS rn
+                FROM u)
+        SELECT f.w AS id_from, t.w AS id_to
+        FROM pos f JOIN pos t
+          ON f.side = 'f' AND t.side = 't' AND abs(f.rn - t.rn) <= 3""",
+)
+def j3_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (the scale analog of the reference's
+    sort-by-blockvariable ordering, R/label.R:55): global position by key,
+    pair rows within the window."""
+    from capelinker_spark.operators.blocking import sorted_neighborhood_pairs
+
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("pid"), F.col("w").alias("k")
+    )
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("pid"), F.col("w").alias("k")
+    )
+    return sorted_neighborhood_pairs(a, b, "k", "pid", "pid", window=3)

@@ -57,6 +57,19 @@ def prefix_pattern(more_prefixes: list[str] | None = None) -> str:
 INITIALS_PATTERN = r"^[A-z]|\s[A-z]|[.][A-z]"
 
 
+# the reference's observed mojibake bytes → letters
+# (data_raw/traindata_graafreinet.R:29-31: \x86→U, \x83→E)
+MOJIBAKE_MAP = {"\x86": "U", "\x83": "E"}
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Byte-level fixups of known bad OCR/encoding bytes (P7,
+    data_raw/traindata_graafreinet.R:28-31) — native translate."""
+    return F.translate(
+        col, "".join(MOJIBAKE_MAP.keys()), "".join(MOJIBAKE_MAP.values())
+    )
+
+
 def rm_diacretics(col: Column) -> Column:
     """Fixed-map diacritic folding (R/util.R:203-208) — native ``translate``."""
     return F.translate(col, DIACRITICS_FROM, DIACRITICS_TO)

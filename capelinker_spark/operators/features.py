@@ -67,6 +67,16 @@ def distcalc(
     return dat.select("*", *exprs)
 
 
+def add_cross_dist(
+    dat: DataFrame, col_a: str, col_b: str, out: str, jw_p: float = 0.1
+) -> DataFrame:
+    """Cross-field JW distance — e.g. ``cross_surnamedist = jw(firstnames,
+    wlast)`` and ``husb_wife_surnamedist`` (data_raw/pretrained.R:46,391):
+    catches swapped-field records."""
+    jw = make_jw_udf(jw_p)
+    return dat.withColumn(out, jw(F.col(col_a), F.col(col_b)))
+
+
 def add_matches(dat: DataFrame, id_from: str = "persid_from") -> DataFrame:
     """Block-size feature: candidates per from-record
     (vignettes/example.rmd:106, ``cnd[, matches := .N, by = persid_from]``)."""

@@ -56,6 +56,20 @@ def page_ingest_stats(
     )
 
 
+def dedup_stream(
+    pages_stream: DataFrame,
+    key: str = "url",
+    watermark_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming dedup: keep the first occurrence of each key,
+    with the watermark bounding state (re-crawled urls inside the horizon
+    are dropped — the streaming analog of dedup_exact)."""
+    return pages_stream.withWatermark(watermark_col, watermark).dropDuplicates(
+        [key]
+    )
+
+
 def incremental_link(
     pages_stream: DataFrame,
     reference_records: DataFrame,

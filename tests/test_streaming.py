@@ -60,6 +60,27 @@ def test_page_ingest_stats_stream(spark, pages_dir, tmp_path_factory):
     assert all(r["lang"] in ("af", "nl", "en") for r in rows)
 
 
+def test_dedup_stream(spark, pages, pages_dir, tmp_path_factory):
+    """Streaming dedup keeps one row per url even when the source repeats."""
+    dup_dir = str(tmp_path_factory.mktemp("pages_dup"))
+    pages.limit(100).write.mode("overwrite").parquet(dup_dir)
+    pages.limit(100).write.mode("append").parquet(dup_dir)  # duplicates
+    stream = spark.readStream.schema(PAGES_SCHEMA).parquet(dup_dir)
+    out_dir = str(tmp_path_factory.mktemp("dedup_out"))
+    ck = str(tmp_path_factory.mktemp("ck_dedup"))
+    q = (
+        ST.dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == got.select("url").distinct().count() == 100
+
+
 def test_incremental_link_matches_batch(
     spark, pages, truth, pages_dir, tmp_path_factory
 ):
