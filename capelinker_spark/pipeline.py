@@ -152,7 +152,15 @@ class LinkagePipeline:
         cnd = self._stage("candidates", _candidates, resume, key_metrics_col="block_key")
 
         def _features():
-            pairs = cnd.where(F.col("persid_to").isNotNull())
+            # the candidates checkpoint reads back as few, large scan splits;
+            # spread the Arrow-UDF pass across the full core count (a narrow
+            # shuffle of id+name columns, repaid many times over by the UDFs)
+            n_parts = self.spark.sparkContext.defaultParallelism * 2
+            # partition BY the window key: the matches window then reuses
+            # this exchange instead of shuffling the full feature width
+            pairs = cnd.where(F.col("persid_to").isNotNull()).repartition(
+                n_parts, F.col("persid_from")
+            )
             feat = FE.distcalc(
                 pairs,
                 character_variables=cfg.character_variables,
