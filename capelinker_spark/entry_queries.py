@@ -33,9 +33,19 @@ from capelinker_spark.operators.cluster import connected_components, expand_inde
 
 def duckdb_soundex_sql(col: str) -> str:
     """DuckDB expression reproducing Spark's soundex exactly (verified against
-    the JVM implementation over the fixture name pool — see
-    tests/test_oracle_parity.py). State machine via list_reduce with the
-    accumulator encoded 'RESULT|last'."""
+    the JVM implementation — tests/test_oracle_parity.py).
+
+    Formulation without ``list_reduce`` (DuckDB 1.0's list_reduce misaligns
+    results across rows when list lengths vary in a chunk — observed
+    off-by-row outputs). Equivalent stateless form:
+
+    * H/W are "transparent" (don't break a run of equal codes) ⟺ delete
+      their codes from the code sequence entirely;
+    * a consonant code is emitted iff it differs from the immediately
+      preceding surviving code (vowels/non-letters contribute '0', which
+      resets runs);
+    * result = first letter + first 3 emitted codes, zero-padded.
+    """
     code = (
         "CASE WHEN upper(x) IN ('B','F','P','V') THEN '1' "
         "WHEN upper(x) IN ('C','G','J','K','Q','S','X','Z') THEN '2' "
@@ -45,26 +55,38 @@ def duckdb_soundex_sql(col: str) -> str:
         "WHEN upper(x) = 'R' THEN '6' "
         "WHEN upper(x) IN ('H','W') THEN '7' "
         "WHEN upper(x) BETWEEN 'A' AND 'Z' THEN '0' "
-        "ELSE 'X' END"
+        "ELSE '0' END"
     )
-    first_code = code.replace("upper(x)", f"upper({col}[1])")
-    step = (
-        "CASE"
-        " WHEN length(string_split(acc,'|')[1]) >= 4 THEN acc"
-        f" WHEN {code} = 'X' THEN string_split(acc,'|')[1] || '|0'"
-        f" WHEN {code} = '7' THEN acc"
-        f" WHEN {code} <> '0' AND {code} <> string_split(acc,'|')[2]"
-        f"  THEN string_split(acc,'|')[1] || {code} || '|' || {code}"
-        f" ELSE string_split(acc,'|')[1] || '|' || {code} "
-        "END"
+    # code sequence of the whole string with '7' (H/W) deleted; the first
+    # element doubles as the initial "last" seed (Spark compares the 2nd
+    # char against the 1st char's code)
+    seq = (
+        f"list_filter(list_transform(string_split({col}, ''), x -> {code}), "
+        f"c -> c <> '7')"
+    )
+    emitted = (
+        f"list_transform({seq}, (c, i) -> CASE WHEN i = 1 THEN '' "
+        f"WHEN c BETWEEN '1' AND '6' AND c <> ({seq})[i - 1] THEN c "
+        f"ELSE '' END)"
+    )
+    # quirk: if the FIRST char is H/W its code '7' was deleted, so the 2nd
+    # char has index 1 in seq and gets skipped — but Spark emits it (last
+    # '7' never equals 1-6). Compensate: when first char is H/W, prepend a
+    # sentinel so indices shift back.
+    seq_hw = (
+        f"(CASE WHEN upper({col}[1]) IN ('H','W') "
+        f"THEN list_prepend('S', {seq}) ELSE {seq} END)"
+    )
+    emitted = (
+        f"list_transform({seq_hw}, (c, i) -> CASE WHEN i = 1 THEN '' "
+        f"WHEN c BETWEEN '1' AND '6' AND c <> ({seq_hw})[i - 1] THEN c "
+        f"ELSE '' END)"
     )
     return (
         f"CASE WHEN {col} IS NULL THEN NULL"
         f" WHEN NOT upper({col}[1]) BETWEEN 'A' AND 'Z' THEN {col}"
-        f" ELSE rpad(string_split(list_reduce(list_prepend("
-        f"upper({col}[1]) || '|' || {first_code},"
-        f" list_slice(string_split({col}, ''), 2, length({col}))),"
-        f" (acc, x) -> {step}), '|')[1], 4, '0') END"
+        f" ELSE rpad(upper({col}[1]) || "
+        f"substr(array_to_string({emitted}, ''), 1, 3), 4, '0') END"
     )
 
 
