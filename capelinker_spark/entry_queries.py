@@ -1340,3 +1340,48 @@ def j3_sorted_neighborhood(spark, sf_dir):
         F.col("w").alias("pid"), F.col("w").alias("k")
     )
     return sorted_neighborhood_pairs(a, b, "k", "pid", "pid", window=3)
+
+
+_BIGRAM_COUNTS_SQL = (
+    "SELECT w, bg, count(*)::DOUBLE AS cnt "
+    "FROM (SELECT w, unnest({bigrams}) AS bg FROM {src}) x GROUP BY w, bg"
+)
+
+
+@register(
+    "j3b_bigram_cosine_join",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B}),
+        ga AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wa')}),
+        gb AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wb')}),
+        na AS (SELECT w, sqrt(sum(cnt*cnt)) AS nrm FROM ga GROUP BY w),
+        nb AS (SELECT w, sqrt(sum(cnt*cnt)) AS nrm FROM gb GROUP BY w),
+        dots AS (SELECT ga.w AS word_a, gb.w AS word_b,
+                        sum(ga.cnt * gb.cnt) AS dot
+                 FROM ga JOIN gb ON ga.bg = gb.bg
+                 GROUP BY ga.w, gb.w)
+        SELECT word_a, word_b,
+               round(1.0 - dot / (na.nrm * nb.nrm), 6) AS score
+        FROM dots JOIN na ON na.w = word_a JOIN nb ON nb.w = word_b
+        WHERE round(dot / (na.nrm * nb.nrm), 6) > 0.5""",
+)
+def j3b_bigram_cosine_join(spark, sf_dir):
+    """J3: the exact bigram-cosine similarity join (qlcMatrix sim.strings
+    semantics, boundary '#', count vectors — R/candidates.R:82-96) between
+    two word sets, long-form explode+join+agg plan. score = 1 - cosine,
+    pairs kept above maxsim 0.5 (maxdist 0.5, the vignette's setting)."""
+    from capelinker_spark.operators.candidates import candidates
+
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("mlast")
+    ).withColumn("persid", F.col("mlast"))
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("mlast")
+    ).withColumn("persid", F.col("mlast"))
+    out = candidates(
+        a, b, blocktype="bigram distance", maxdist=0.5, keep_unmatched="none"
+    )
+    return out.select(
+        F.col("persid_from").alias("word_a"),
+        F.col("persid_to").alias("word_b"),
+        F.round(F.col("score"), 6).alias("score"),
+    ).where(F.round(1 - F.col("score"), 6) > 0.5)

@@ -223,6 +223,63 @@ class LinkagePipeline:
             "model": model,
         }
 
+    # -- panel linkage ----------------------------------------------------------
+    def run_panel(
+        self,
+        pages: DataFrame,
+        truth: DataFrame | None = None,
+        years: list[int] | None = None,
+        resume: bool = True,
+    ) -> dict:
+        """Multi-wave panel linkage — the reference's real workflow
+        (SURVEY §3.3: link year t to year t-1 for every consecutive pair,
+        fold each wave's links into the running entity index via
+        ``expand_index`` semantics; the final closure is connected
+        components over ALL accepted link edges, which is exactly the
+        fixpoint of iterating expand_index across waves).
+
+        Each wave runs the standard stage graph in its own subdirectory
+        (checkpointed + resumable); the model is trained once on the first
+        wave and reused for the rest (the reference's pretrained-model
+        pattern)."""
+        from capelinker_spark.operators.cluster import cluster_links
+
+        cfg = self.cfg
+        records = self._stage("records", lambda: extract_records(pages), resume)
+        if years is None:
+            years = sorted(
+                r["year"]
+                for r in records.select("year").distinct().collect()
+                if r["year"] is not None
+            )
+        waves = list(zip(years[1:], years[:-1]))  # (from=t, to=t-1)
+        all_links = None
+        for y_from, y_to in waves:
+            sub = LinkagePipeline(
+                self.spark,
+                os.path.join(self.workdir, f"wave_{y_from}_{y_to}"),
+                PipelineConfig(
+                    **{
+                        **self.cfg.__dict__,
+                        "year_from": y_from,
+                        "year_to": y_to,
+                    }
+                ),
+            )
+            res = sub.run(pages, truth, resume=resume)
+            wave_links = res["links"].select(
+                "persid_from", "persid_to", "predicted"
+            )
+            all_links = (
+                wave_links if all_links is None else all_links.unionByName(wave_links)
+            )
+        clusters = self._stage(
+            "panel_clusters",
+            lambda: cluster_links(all_links, records),
+            resume,
+        )
+        return {"records": records, "links": all_links, "clusters": clusters}
+
     # -- training -------------------------------------------------------------
     def _train_model(self, feats: DataFrame, truth: DataFrame) -> LogisticModel:
         cfg = self.cfg
