@@ -319,6 +319,36 @@ def make_labeling_sheet(
     return sheet.withColumn("block_seq", F.row_number().over(w))
 
 
+# the reference's labeling vocabulary (R/label.R:18-24): how a human marks a
+# candidate pair on the labeling sheet
+ANNOTATIONS = ("sure", "maybe", "doubtful", "no")
+POSITIVE_ANNOTATIONS = ("sure", "maybe")
+
+
+def apply_labels(
+    cnd: DataFrame,
+    labels: DataFrame,
+    id_from: str = "persid_from",
+    id_to: str = "persid_to",
+    annotation_col: str = "annotation",
+    positive: tuple = POSITIVE_ANNOTATIONS,
+) -> DataFrame:
+    """Merge human annotations back onto the candidate table and derive the
+    boolean ``correct`` training label (the ``correct :=`` step of
+    vignettes/example.rmd:119-124; annotation vocabulary R/label.R:18-24).
+    Unannotated pairs keep NULL ``correct`` (excluded from training)."""
+    lab = labels.select(
+        id_from, id_to, F.col(annotation_col).alias("_ann")
+    )
+    out = cnd.join(F.broadcast(lab), [id_from, id_to], "left")
+    return out.withColumn(
+        "correct",
+        F.when(F.col("_ann").isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col("_ann").isin(*positive)
+        ),
+    ).drop("_ann")
+
+
 def min_max_normalise(dat: DataFrame, cols: list[str]) -> DataFrame:
     """(x - min)/(max - min) per column (R/util.R:169-175), one agg pass +
     literal broadcast — no per-row Python."""

@@ -144,6 +144,23 @@ def test_model_base_variables():
         model_base_variables("opgaafrol_full")  # the reference's phantom model
 
 
+def test_apply_labels(spark):
+    cnd = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "persid_from long, persid_to long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 10, "sure"), (1, 11, "doubtful")],
+        "persid_from long, persid_to long, annotation string",
+    )
+    out = {
+        (r["persid_from"], r["persid_to"]): r["correct"]
+        for r in FE.apply_labels(cnd, labels).collect()
+    }
+    assert out[(1, 10)] is True
+    assert out[(1, 11)] is False
+    assert out[(2, 12)] is None  # unannotated → excluded from training
+
+
 def test_min_max_normalise(spark):
     df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
     got = sorted(r["x"] for r in FE.min_max_normalise(df, ["x"]).collect())
