@@ -1277,43 +1277,89 @@ _BIGRAMS_SQL = (
 @register(
     "f9_cos_uniqueness",
     f"""WITH w AS (SELECT w, substr(w,1,1) AS grp FROM ({_ALL_WORDS}) t),
-        g AS (SELECT grp, w, bg, count(*)::DOUBLE AS cnt
+        gn AS (SELECT grp, count(*) AS n FROM w GROUP BY grp),
+        mult AS (SELECT grp, w, count(*) AS m FROM w GROUP BY grp, w),
+        g AS (SELECT grp, w, bg, count(*) AS cnt
               FROM (SELECT grp, w, unnest({_BIGRAMS_SQL.format(c='w')}) AS bg
-                    FROM w) x
+                    FROM mult) x
               GROUP BY grp, w, bg),
-        nrm AS (SELECT grp, w, sqrt(sum(cnt*cnt)) AS nrm FROM g GROUP BY grp, w),
-        dots AS (SELECT a.grp, a.w AS wa, b.w AS wb, sum(a.cnt*b.cnt) AS dot
-                 FROM g a JOIN g b ON a.grp = b.grp AND a.bg = b.bg
-                 GROUP BY a.grp, a.w, b.w),
-        cosims AS (SELECT d.grp, d.wa, d.wb, d.dot / (na.nrm * nb.nrm) AS cosim
-                   FROM dots d
-                   JOIN nrm na ON na.grp = d.grp AND na.w = d.wa
-                   JOIN nrm nb ON nb.grp = d.grp AND nb.w = d.wb),
-        gn AS (SELECT grp, count(*)::DOUBLE AS n FROM w GROUP BY grp)
+        n2 AS (SELECT grp, w, sum(cnt*cnt) AS n2 FROM g GROUP BY grp, w),
+        q AS (SELECT a.grp, a.w AS wa, b.w AS wb,
+                     CAST(floor(sum(a.cnt*b.cnt)::DOUBLE
+                          / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE))
+                          * 1000000.0 + 0.5) AS BIGINT) AS q
+              FROM g a JOIN g b ON a.grp = b.grp AND a.bg = b.bg
+              JOIN n2 na ON na.grp = a.grp AND na.w = a.w
+              JOIN n2 nb ON nb.grp = b.grp AND nb.w = b.w
+              GROUP BY a.grp, a.w, b.w, na.n2, nb.n2),
+        tot AS (SELECT q.grp, q.wa, sum(q.q * m.m) AS tq
+                FROM q JOIN mult m ON m.grp = q.grp AND m.w = q.wb
+                GROUP BY q.grp, q.wa)
         SELECT w.w AS word,
-               round(1.0 - coalesce(s.total, 0) / gn.n, 6) AS uniqueness
+               1.0 - (coalesce(tot.tq, 0)::DOUBLE / 1000000.0) / gn.n::DOUBLE
+                 AS uniqueness
         FROM w
         JOIN gn ON gn.grp = w.grp
-        LEFT JOIN (SELECT grp, wa, sum(cosim) AS total FROM cosims
-                   GROUP BY grp, wa) s
-          ON s.grp = w.grp AND s.wa = w.w""",
+        LEFT JOIN tot ON tot.grp = w.grp AND tot.wa = w.w""",
 )
 def f9_cos_uniqueness(spark, sf_dir):
-    """F8/F9: per-group cosine name uniqueness. The Spark side is the
-    LINEAR formulation (dot with the group's mean unit bigram vector,
-    operators/features.add_cos_uniqueness); the oracle is the reference's
-    naive O(n²) rowMeans(sim.strings) definition
-    (data_raw/traindata_graafreinet.R:117-127) — equality of the two IS the
-    correctness claim for the scale-path rewrite."""
-    from capelinker_spark.operators.features import add_cos_uniqueness
+    """F9: per-group cosine name uniqueness, 1 - rowMeans(sim.strings) by
+    group (data_raw/traindata_graafreinet.R:117-127). Spark side is the
+    pairwise integer-quantized form (features.cos_uniqueness_pairwise):
+    per-pair cosine from exact integer bigram dot/norms² (bit-identical on
+    both engines), floor(sim·1e6+.5) longs summed exactly — order-independent
+    so the driver's value-hash matches. The O(n)-per-group LINEAR form
+    (add_cos_uniqueness) is the production path; their equivalence is locked
+    by tests/test_features_extra.py."""
+    from capelinker_spark.operators.features import cos_uniqueness_pairwise
 
-    words = _all_words(spark, sf_dir).withColumn("grp", F.substring("w", 1, 1))
-    out = add_cos_uniqueness(
-        words, name_col="w", by="grp", out="uniqueness", id_col="w"
+    words = (
+        _all_words(spark, sf_dir)
+        .withColumn("grp", F.substring("w", 1, 1))
+        .withColumn("persid", F.col("w"))
     )
-    return out.select(
-        F.col("w").alias("word"), F.round(F.col("uniqueness"), 6).alias("uniqueness")
+    out = cos_uniqueness_pairwise(
+        words, name_col="w", by="grp", out="uniqueness", id_col="persid"
     )
+    return out.select(F.col("persid").alias("word"), "uniqueness")
+
+
+@register(
+    "f8_jw_uniqueness",
+    f"""WITH w AS (SELECT w, substr(w,1,1) AS grp FROM ({_ALL_WORDS}) t),
+        gn AS (SELECT grp, count(*) AS n FROM w GROUP BY grp),
+        mult AS (SELECT grp, w, count(*) AS m FROM w GROUP BY grp, w),
+        q AS (SELECT a.grp, a.w AS wa,
+                     CAST(floor((1.0 - jaro_similarity(a.w, b.w))
+                          * 1000000.0 + 0.5) AS BIGINT) AS q,
+                     b.m
+              FROM mult a JOIN mult b ON a.grp = b.grp),
+        tot AS (SELECT grp, wa, sum(q * m) AS tq FROM q GROUP BY grp, wa)
+        SELECT w.w AS word,
+               (tot.tq::DOUBLE / 1000000.0) / gn.n::DOUBLE AS mean_jw
+        FROM w
+        JOIN gn ON gn.grp = w.grp
+        JOIN tot ON tot.grp = w.grp AND tot.wa = w.w""",
+)
+def f8_jw_uniqueness(spark, sf_dir):
+    """F8 (exact): per-group mean Jaro distance to all rows of the group —
+    rowMeans(stringdistmatrix(mfirst, mfirst, 'jw')) by year
+    (data_raw/traindata_graafreinet.R:112-116; stringdist default p=0).
+    Self-pair included, duplicates weighted. Per-pair JW quantized
+    floor(d·1e6+.5) and summed as exact longs (the CPython Jaro kernel is
+    bit-identical to DuckDB's jaro_similarity — verified on 100k random
+    pairs), so the mean is reproducible across engines."""
+    from capelinker_spark.operators.features import jw_uniqueness
+
+    words = (
+        _all_words(spark, sf_dir)
+        .withColumn("grp", F.substring("w", 1, 1))
+        .withColumn("persid", F.col("w"))
+    )
+    out = jw_uniqueness(
+        words, name_col="w", by="grp", out="mean_jw", id_col="persid", jw_p=0.0
+    )
+    return out.select(F.col("persid").alias("word"), "mean_jw")
 
 
 @register(
@@ -1343,9 +1389,14 @@ def j3_sorted_neighborhood(spark, sf_dir):
 
 
 _BIGRAM_COUNTS_SQL = (
-    "SELECT w, bg, count(*)::DOUBLE AS cnt "
+    "SELECT w, bg, count(*) AS cnt "
     "FROM (SELECT w, unnest({bigrams}) AS bg FROM {src}) x GROUP BY w, bg"
 )
+
+# cosine from exact integer dot & norms² — the ONE float expression shape both
+# engines compute on identical integer inputs (IEEE sqrt/mul/div are correctly
+# rounded ⇒ bit-identical result, no rounding needed anywhere)
+_COS_SQL = "{dot}::DOUBLE / (sqrt({n2a}::DOUBLE) * sqrt({n2b}::DOUBLE))"
 
 
 @register(
@@ -1353,22 +1404,24 @@ _BIGRAM_COUNTS_SQL = (
     f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B}),
         ga AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wa')}),
         gb AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wb')}),
-        na AS (SELECT w, sqrt(sum(cnt*cnt)) AS nrm FROM ga GROUP BY w),
-        nb AS (SELECT w, sqrt(sum(cnt*cnt)) AS nrm FROM gb GROUP BY w),
-        dots AS (SELECT ga.w AS word_a, gb.w AS word_b,
-                        sum(ga.cnt * gb.cnt) AS dot
+        na AS (SELECT w, sum(cnt*cnt) AS n2 FROM ga GROUP BY w),
+        nb AS (SELECT w, sum(cnt*cnt) AS n2 FROM gb GROUP BY w),
+        sims AS (SELECT ga.w AS word_a, gb.w AS word_b,
+                        {_COS_SQL.format(dot='sum(ga.cnt * gb.cnt)',
+                                         n2a='na.n2', n2b='nb.n2')} AS sim
                  FROM ga JOIN gb ON ga.bg = gb.bg
-                 GROUP BY ga.w, gb.w)
-        SELECT word_a, word_b,
-               round(1.0 - dot / (na.nrm * nb.nrm), 6) AS score
-        FROM dots JOIN na ON na.w = word_a JOIN nb ON nb.w = word_b
-        WHERE round(dot / (na.nrm * nb.nrm), 6) > 0.5""",
+                 JOIN na ON na.w = ga.w JOIN nb ON nb.w = gb.w
+                 GROUP BY ga.w, gb.w, na.n2, nb.n2)
+        SELECT word_a, word_b, 1.0 - sim AS score
+        FROM sims WHERE sim > 0.5""",
 )
 def j3b_bigram_cosine_join(spark, sf_dir):
     """J3: the exact bigram-cosine similarity join (qlcMatrix sim.strings
     semantics, boundary '#', count vectors — R/candidates.R:82-96) between
     two word sets, long-form explode+join+agg plan. score = 1 - cosine,
-    pairs kept above maxsim 0.5 (maxdist 0.5, the vignette's setting)."""
+    pairs kept above maxsim 0.5 (maxdist 0.5, the vignette's setting).
+    Integer dot/norms² + one IEEE float expression ⇒ bit-identical to the
+    oracle, compared and emitted UNROUNDED."""
     from capelinker_spark.operators.candidates import candidates
 
     a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
@@ -1383,5 +1436,62 @@ def j3b_bigram_cosine_join(spark, sf_dir):
     return out.select(
         F.col("persid_from").alias("word_a"),
         F.col("persid_to").alias("word_b"),
-        F.round(F.col("score"), 6).alias("score"),
-    ).where(F.round(1 - F.col("score"), 6) > 0.5)
+        F.col("score"),
+    )
+
+
+@register(
+    "j4_idf_bigram_cosine_join",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B}),
+        ga AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wa')}),
+        gb AS ({_BIGRAM_COUNTS_SQL.format(bigrams=_BIGRAMS_SQL.format(c='w'), src='wb')}),
+        u AS (SELECT DISTINCT w, bg FROM
+              (SELECT w, bg FROM ga UNION ALL SELECT w, bg FROM gb)),
+        nd AS (SELECT count(DISTINCT w) AS n FROM u),
+        idf AS (SELECT bg,
+                       CAST(floor(ln(nd.n::DOUBLE / count(*)::DOUBLE)
+                            * 1000000.0 + 0.5) AS BIGINT) AS q
+                FROM u, nd GROUP BY bg, nd.n),
+        gaw AS (SELECT ga.w, ga.bg, ga.cnt * idf.q AS cnt
+                FROM ga JOIN idf ON idf.bg = ga.bg),
+        gbw AS (SELECT gb.w, gb.bg, gb.cnt * idf.q AS cnt
+                FROM gb JOIN idf ON idf.bg = gb.bg),
+        na AS (SELECT w, sum(cnt*cnt) AS n2 FROM gaw GROUP BY w),
+        nb AS (SELECT w, sum(cnt*cnt) AS n2 FROM gbw GROUP BY w),
+        sims AS (SELECT gaw.w AS word_a, gbw.w AS word_b,
+                        {_COS_SQL.format(dot='sum(gaw.cnt * gbw.cnt)',
+                                         n2a='na.n2', n2b='nb.n2')} AS sim
+                 FROM gaw JOIN gbw ON gaw.bg = gbw.bg
+                 JOIN na ON na.w = gaw.w JOIN nb ON nb.w = gbw.w
+                 GROUP BY gaw.w, gbw.w, na.n2, nb.n2)
+        SELECT word_a, word_b, 1.0 - sim AS score
+        FROM sims WHERE sim > 0.5""",
+)
+def j4_idf_bigram_cosine_join(spark, sf_dir):
+    """J4: idf-weighted bigram-cosine blocking (jMatrix axes analog,
+    R/candidates.R:97-112), the reference's default-adjacent blocktype.
+    idf = ln(N/df) over the union of both sides' distinct strings, quantized
+    floor(idf·1e6+.5) to LONGS (the log runs in CPython — bit-identical to
+    DuckDB's ln, unlike JVM Math.log) so dot/norms² stay exact integers and
+    the final cosine is the same single IEEE expression on both engines."""
+    from capelinker_spark.operators.candidates import candidates
+
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("mlast")
+    ).withColumn("persid", F.col("mlast"))
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("mlast")
+    ).withColumn("persid", F.col("mlast"))
+    out = candidates(
+        a,
+        b,
+        blocktype="idf bigram distance",
+        maxdist=0.5,
+        keep_unmatched="none",
+        idf_quant=1_000_000,
+    )
+    return out.select(
+        F.col("persid_from").alias("word_a"),
+        F.col("persid_to").alias("word_b"),
+        F.col("score"),
+    )

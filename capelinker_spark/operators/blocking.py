@@ -56,12 +56,17 @@ def bigrams(col: Column, boundary: str = "#") -> Column:
 
 def bigram_counts(df: DataFrame, str_col: str) -> DataFrame:
     """Long-form bigram count vectors over the DISTINCT strings of ``str_col``
-    (dedup-before-expensive-op, R/util.R:146-148): (string, bigram, cnt, norm).
+    (dedup-before-expensive-op, R/util.R:146-148): (string, bigram, cnt, norm2).
+
+    ``_cnt`` and ``_norm2`` (= Σ cnt², the squared L2 norm) are EXACT LONGS so
+    every downstream cosine can be computed as ``dot / (sqrt(n2f)·sqrt(n2t))``
+    from integer inputs — bit-identical across engines (IEEE sqrt/mul/div are
+    correctly rounded), which is what keeps the driver's value-hash green.
     """
     distinct = df.select(F.col(str_col).alias("_s")).where(F.col("_s").isNotNull()).distinct()
     exploded = distinct.select("_s", F.explode(bigrams(F.col("_s"))).alias("_bg"))
-    counts = exploded.groupBy("_s", "_bg").agg(F.count("*").cast("double").alias("_cnt"))
-    norms = counts.groupBy("_s").agg(F.sqrt(F.sum(F.col("_cnt") ** 2)).alias("_norm"))
+    counts = exploded.groupBy("_s", "_bg").agg(F.count("*").alias("_cnt"))
+    norms = counts.groupBy("_s").agg(F.sum(F.col("_cnt") * F.col("_cnt")).alias("_norm2"))
     return counts.join(norms, "_s")
 
 
@@ -95,10 +100,18 @@ def sorted_neighborhood_pairs(
     """Sorted-neighborhood blocking: global sort of both sides' keys merged,
     pair rows within ``window`` positions.
 
-    Implemented as: union with side tags → global dense position by key →
-    bucket join on floor(pos/window) ±1 → exact |Δpos| ≤ window filter.
-    The global sort is a range-partitioned Spark sort (scales); positions come
-    from a window over the sorted key. Returns (id_from, id_to, score=NULL).
+    Implemented as: union with side tags → global position by key via a
+    RANGE-PARTITIONED sort + per-partition row_number + cumulative partition
+    offsets (the classic distributed zipWithIndex) → bucket join on
+    floor(pos/window) ±1 → exact |Δpos| ≤ window filter.
+
+    A plain ``Window.orderBy`` with no partitionBy would funnel the whole
+    table through ONE task (Exchange SinglePartition) — the round-1 plan
+    audit's scale-killer. Here every step is parallel: the only driver-side
+    data is one count per partition (≤ shuffle-partitions rows), and the
+    per-partition window runs on already-sorted data. The sorted frame is
+    persisted so the offset pass and the position pass see identical range
+    boundaries. Returns (id_from, id_to).
     """
     from pyspark.sql import Window
 
@@ -110,8 +123,30 @@ def sorted_neighborhood_pairs(
     )
     u = a.unionByName(b).where(F.col("_k").isNotNull())
     # deterministic total order: key, then side, then id
-    w = Window.orderBy("_k", "_side", "_id")
-    pos = u.withColumn("_pos", F.row_number().over(w))
+    order = ["_k", "_side", "_id"]
+    spark = u.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    srt = (
+        u.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    part_counts = sorted(
+        (r["_pid"], r["_n"])
+        for r in srt.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in part_counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order)
+    pos = (
+        srt.join(F.broadcast(off_df), "_pid")
+        .withColumn("_pos", F.col("_off") + F.row_number().over(w))
+        .drop("_pid", "_off")
+    )
     lhs = pos.where(F.col("_side") == "f").select(
         F.col("_id").alias("id_from"), F.col("_pos").alias("_pf")
     )

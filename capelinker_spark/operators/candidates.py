@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +41,27 @@ def _suffix(df: DataFrame, suffix: str, shared: set[str]) -> DataFrame:
     )
 
 
+def _quantized_idf(idf_w: DataFrame, n_docs: int, scale: int) -> DataFrame:
+    """Integer-quantized idf weights: ``floor(log(N/df)·scale + 0.5)`` as LONG,
+    with the log computed in CPython (Arrow UDF over the small distinct-bigram
+    table) — the JVM's ``Math.log`` differs from libm by 1 ulp on ~3% of
+    inputs, which would break cross-engine bit-equality of the oracle rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _q(df_cnt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(math.floor(math.log(n_docs / d) * scale + 0.5))
+                for d in df_cnt.tolist()
+            ],
+            index=df_cnt.index,
+            dtype="int64",
+        )
+
+    return idf_w.withColumn("_idfq", _q(F.col("_df")))
+
+
 def _bigram_pairs(
     from_df: DataFrame,
     to_df: DataFrame,
@@ -47,11 +69,21 @@ def _bigram_pairs(
     bv_to: str,
     maxsim: float,
     idf: bool,
+    idf_quant: int | None = None,
 ) -> DataFrame:
     """Exact (idf-weighted) bigram-cosine similarity join between the DISTINCT
     string sets: (s_from, s_to, sim). Long-form replacement for the sparse
     matrix product of R/candidates.R:82-112 — shuffle-hash join on bigram +
-    hash aggregation on the pair."""
+    hash aggregation on the pair.
+
+    Numeric determinism: counts/norms² are carried as EXACT LONGS and the only
+    float expression is ``sim = dot / (sqrt(n2f)·sqrt(n2t))`` — correctly
+    rounded IEEE ops on integer inputs, so the result is bit-identical to any
+    engine computing the same expression (the DuckDB oracle does). With
+    ``idf=True``: ``idf_quant=None`` is the full-precision production path;
+    an integer ``idf_quant`` quantizes idf to ``floor(log(N/df)·q + .5)`` longs
+    so the weighted path is exact-integer too (used by the oracle query).
+    """
     cf = B.bigram_counts(from_df, bv_from)
     ct = B.bigram_counts(to_df, bv_to)
     if idf:
@@ -59,41 +91,52 @@ def _bigram_pairs(
         # axes analog, R/candidates.R:97-112); idf = ln(N / df_bigram)
         union = cf.select("_s", "_bg").union(ct.select("_s", "_bg")).distinct()
         n_docs = union.select("_s").distinct().count()
-        idf_w = union.groupBy("_bg").agg(
-            F.log(F.lit(float(n_docs)) / F.count("*")).alias("_idf")
-        )
+        idf_w = union.groupBy("_bg").agg(F.count("*").alias("_df"))
+        if idf_quant:
+            idf_w = _quantized_idf(idf_w, n_docs, idf_quant).select("_bg", "_idfq")
+            weight = F.col("_idfq")
+        else:
+            idf_w = idf_w.select(
+                "_bg", F.log(F.lit(float(n_docs)) / F.col("_df")).alias("_idfq")
+            )
+            weight = F.col("_idfq")
         cf = cf.join(F.broadcast(idf_w), "_bg").withColumn(
-            "_cnt", F.col("_cnt") * F.col("_idf")
+            "_cnt", F.col("_cnt") * weight
         )
         ct = ct.join(F.broadcast(idf_w), "_bg").withColumn(
-            "_cnt", F.col("_cnt") * F.col("_idf")
+            "_cnt", F.col("_cnt") * weight
         )
-        # norms must be recomputed over the weighted counts
-        cf = cf.drop("_norm", "_idf")
-        ct = ct.drop("_norm", "_idf")
-        nf = cf.groupBy("_s").agg(F.sqrt(F.sum(F.col("_cnt") ** 2)).alias("_norm"))
-        nt = ct.groupBy("_s").agg(F.sqrt(F.sum(F.col("_cnt") ** 2)).alias("_norm"))
+        # norms must be recomputed over the weighted counts (exact longs when
+        # quantized, doubles otherwise — same downstream expression shape)
+        cf = cf.drop("_norm2", "_idfq")
+        ct = ct.drop("_norm2", "_idfq")
+        nf = cf.groupBy("_s").agg(F.sum(F.col("_cnt") * F.col("_cnt")).alias("_norm2"))
+        nt = ct.groupBy("_s").agg(F.sum(F.col("_cnt") * F.col("_cnt")).alias("_norm2"))
         cf = cf.join(nf, "_s")
         ct = ct.join(nt, "_s")
     lhs = cf.select(
         F.col("_s").alias("_sf"),
         "_bg",
         F.col("_cnt").alias("_cf"),
-        F.col("_norm").alias("_nf"),
+        F.col("_norm2").alias("_n2f"),
     )
     rhs = ct.select(
         F.col("_s").alias("_st"),
         "_bg",
         F.col("_cnt").alias("_ct"),
-        F.col("_norm").alias("_nt"),
+        F.col("_norm2").alias("_n2t"),
     )
     return (
         lhs.join(rhs, "_bg")
         .groupBy("_sf", "_st")
         .agg(
-            (F.sum(F.col("_cf") * F.col("_ct")) / F.first("_nf") / F.first("_nt")).alias(
-                "_sim"
-            )
+            (
+                F.sum(F.col("_cf") * F.col("_ct")).cast("double")
+                / (
+                    F.sqrt(F.first("_n2f").cast("double"))
+                    * F.sqrt(F.first("_n2t").cast("double"))
+                )
+            ).alias("_sim")
         )
         .where(F.col("_sim") > maxsim)
     )
@@ -114,6 +157,7 @@ def candidates(
     preblock: str | None = "first_letter",
     salt: int | None = None,
     keep_unmatched: str = "from",
+    idf_quant: int | None = None,
 ) -> DataFrame:
     """Generate candidate pairs.
 
@@ -204,6 +248,7 @@ def candidates(
             bvt,
             maxsim,
             idf=blocktype == "idf bigram distance",
+            idf_quant=idf_quant,
         )
         pairs = (
             f.join(sim, f["_bvf"] == sim["_sf"])

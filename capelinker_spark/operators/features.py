@@ -157,6 +157,130 @@ def add_cos_uniqueness(
     return records.join(dots, id_col, "left")
 
 
+def cos_uniqueness_pairwise(
+    records: DataFrame,
+    name_col: str = "mfirst",
+    by: str = "year",
+    out: str = "mfirst_cos_uniqueness",
+    id_col: str = "persid",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group cosine name uniqueness, PAIRWISE form with integer-quantized
+    accumulation — the numerically-exact sibling of ``add_cos_uniqueness``.
+
+    Reference: ``1 - rowMeans(qlcMatrix::sim.strings(x)) by year``
+    (data_raw/traindata_graafreinet.R:117-127). Per string pair the cosine is
+    ``dot/(sqrt(n2a)·sqrt(n2b))`` over exact integer bigram counts (bit-
+    identical on any IEEE engine), quantized ``floor(sim·quant + .5)`` to a
+    LONG, and summed exactly (order-independent) — so the result hashes
+    identically against a SQL oracle computing the same expression. Duplicate
+    name values weight the sum by their multiplicity, matching the rowMeans-
+    over-rows semantics. O(Σ n_group²) pairs: use ``add_cos_uniqueness``
+    (linear form) in production; this form is the oracle/verification path
+    and the one to use when exact reproducibility matters more than cost.
+    """
+    base = records.select(id_col, by, F.col(name_col).alias("_s")).where(
+        F.col("_s").isNotNull()
+    )
+    group_n = base.groupBy(by).agg(F.count("*").alias("_gn"))
+    mult = base.groupBy(by, "_s").agg(F.count("*").alias("_mult"))
+    exploded = mult.select(by, "_s", F.explode(bigrams(F.col("_s"))).alias("_bg"))
+    cnt = exploded.groupBy(by, "_s", "_bg").agg(F.count("*").alias("_cnt"))
+    norm2 = cnt.groupBy(by, "_s").agg(
+        F.sum(F.col("_cnt") * F.col("_cnt")).alias("_n2")
+    )
+    g = cnt.join(norm2, [by, "_s"])
+    lhs = g.select(
+        F.col(by), F.col("_s").alias("_sa"), "_bg",
+        F.col("_cnt").alias("_ca"), F.col("_n2").alias("_n2a"),
+    )
+    rhs = g.select(
+        F.col(by), F.col("_s").alias("_sb"), "_bg",
+        F.col("_cnt").alias("_cb"), F.col("_n2").alias("_n2b"),
+    )
+    sims = (
+        lhs.join(rhs, [by, "_bg"])
+        .groupBy(by, "_sa", "_sb")
+        .agg(
+            F.floor(
+                F.sum(F.col("_ca") * F.col("_cb")).cast("double")
+                / (
+                    F.sqrt(F.first("_n2a").cast("double"))
+                    * F.sqrt(F.first("_n2b").cast("double"))
+                )
+                * F.lit(float(quant))
+                + F.lit(0.5)
+            ).alias("_q")
+        )
+    )
+    totals = (
+        sims.join(
+            mult.select(F.col(by), F.col("_s").alias("_sb"), "_mult"), [by, "_sb"]
+        )
+        .groupBy(by, "_sa")
+        .agg(F.sum(F.col("_q") * F.col("_mult")).alias("_tq"))
+    )
+    per_row = (
+        base.join(totals.withColumnRenamed("_sa", "_s"), [by, "_s"], "left")
+        .join(group_n, by)
+        .withColumn(
+            out,
+            F.lit(1.0)
+            - (F.coalesce(F.col("_tq"), F.lit(0)).cast("double") / F.lit(float(quant)))
+            / F.col("_gn").cast("double"),
+        )
+    )
+    return per_row.select(id_col, by, F.col("_s").alias(name_col), out)
+
+
+def jw_uniqueness(
+    records: DataFrame,
+    name_col: str = "mfirst",
+    by: str = "year",
+    out: str = "mfirst_uniqueness",
+    id_col: str = "persid",
+    jw_p: float = 0.0,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-group mean Jaro(-Winkler) DISTANCE to every row of the group — the
+    exact F8 feature ``rowMeans(stringdistmatrix(mfirst, mfirst, 'jw')) by
+    year`` (data_raw/traindata_graafreinet.R:112-116; stringdist's default
+    p=0 ⇒ pure Jaro distance). Self-pair (0) included, duplicates weighted by
+    multiplicity, NULL names excluded — all matching the reference.
+
+    Exactness: per DISTINCT string pair the JW distance is computed once
+    (CPython kernel, verified bit-identical to DuckDB's jaro_similarity on
+    100k random pairs), quantized ``floor(d·quant + .5)`` to a LONG, and
+    accumulated exactly. Pair cost is O(Σ distinct_names_in_group²): groups
+    are years (bounded); for mega-groups sample within the group first
+    (documented fallback, SCALING.md).
+    """
+    jw = make_jw_udf(jw_p)
+    base = records.select(id_col, by, F.col(name_col).alias("_s")).where(
+        F.col("_s").isNotNull()
+    )
+    group_n = base.groupBy(by).agg(F.count("*").alias("_gn"))
+    mult = base.groupBy(by, "_s").agg(F.count("*").alias("_mult"))
+    lhs = mult.select(F.col(by), F.col("_s").alias("_sa"))
+    rhs = mult.select(F.col(by), F.col("_s").alias("_sb"), F.col("_mult"))
+    pairs = lhs.join(rhs, by).withColumn(
+        "_q", F.floor(jw(F.col("_sa"), F.col("_sb")) * F.lit(float(quant)) + F.lit(0.5))
+    )
+    totals = pairs.groupBy(by, "_sa").agg(
+        F.sum(F.col("_q") * F.col("_mult")).alias("_tq")
+    )
+    per_row = (
+        base.join(totals.withColumnRenamed("_sa", "_s"), [by, "_s"], "left")
+        .join(group_n, by)
+        .withColumn(
+            out,
+            (F.coalesce(F.col("_tq"), F.lit(0)).cast("double") / F.lit(float(quant)))
+            / F.col("_gn").cast("double"),
+        )
+    )
+    return per_row.select(id_col, by, F.col("_s").alias(name_col), out)
+
+
 def stringdist_closest(
     records: DataFrame,
     name_col: str,

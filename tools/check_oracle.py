@@ -31,7 +31,7 @@ def duck_con(sf_dir: str):
     return con
 
 
-def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+def normalize_pdf(pdf: pd.DataFrame, round_floats: bool = True) -> pd.DataFrame:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
@@ -39,7 +39,7 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
         try:
             import numpy as np
 
-            if pdf[c].dtype.kind in "fc":
+            if pdf[c].dtype.kind in "fc" and round_floats:
                 pdf[c] = pdf[c].round(6)
             if pdf[c].dtype.kind in "iu" or str(pdf[c].dtype).startswith("Int"):
                 pdf[c] = pdf[c].astype("float64")
@@ -54,19 +54,32 @@ def normalize_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
-    sp = normalize_pdf(spark_df.toPandas())
-    du = normalize_pdf(con.sql(sql).df())
+    sp_pdf = spark_df.toPandas()
+    du_pdf = con.sql(sql).df()
+    sp = normalize_pdf(sp_pdf)
+    du = normalize_pdf(du_pdf)
     if list(sp.columns) != list(du.columns):
         return False, f"columns differ: spark={list(sp.columns)} duck={list(du.columns)}"
     if len(sp) != len(du):
         return False, f"row counts differ: spark={len(sp)} duck={len(du)}"
+    # RAW (unrounded) max float delta: the driver hashes values, so any
+    # nonzero raw delta is a potential hash mismatch — surface it
+    spr = normalize_pdf(sp_pdf, round_floats=False)
+    dur = normalize_pdf(du_pdf, round_floats=False)
+    maxd = 0.0
+    for c in spr.columns:
+        if spr[c].dtype.kind == "f" and dur[c].dtype.kind == "f":
+            d = (spr[c] - dur[c]).abs().max()
+            if pd.notna(d):
+                maxd = max(maxd, float(d))
     try:
         pd.testing.assert_frame_equal(
             sp, du, check_dtype=False, check_exact=False, atol=1e-6, rtol=1e-6
         )
     except AssertionError as e:
         return False, str(e).split("\n")[0] + " | " + "\n".join(str(e).split("\n")[1:6])
-    return True, f"{len(sp)} rows"
+    exact = "EXACT" if maxd == 0.0 else f"maxDelta={maxd:.3e} (HASH RISK)"
+    return True, f"{len(sp)} rows {exact}"
 
 
 def main():
