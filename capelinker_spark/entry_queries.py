@@ -262,16 +262,17 @@ _JUNK_SQL = (
 @register(
     "p4_clean_name_chain",
     f"""SELECT custkey, raw,
-               nullif(nullif(trim(regexp_replace(translate(raw,
-                   '{DIACRITICS_SQL_FROM}', '{DIACRITICS_SQL_TO}'),
-                   '[^A-Z .].*', '')), ''), 'X') AS cleaned
+               nullif(trim(regexp_replace(nullif(translate(raw,
+                   '{DIACRITICS_SQL_FROM}', '{DIACRITICS_SQL_TO}'), ''),
+                   '[^A-Z .].*', '')), 'X') AS cleaned
         FROM (SELECT c_custkey AS custkey, {_JUNK_SQL} AS raw
               FROM customer WHERE c_custkey < 600) t""",
 )
 def p4_clean_name_chain(spark, sf_dir):
-    """P4-P8 + U3: the full reference cleaning chain (diacritic fold →
-    analphabetic truncation → trim → ''/X → NULL) on synthesized noisy
-    strings — the graft's extractor chain on oracle-checkable data."""
+    """P4-P8 + U3: the full reference cleaning chain IN THE REFERENCE'S ORDER
+    (diacritic fold → ''→NULL → analphabetic truncation → trim → 'X'→NULL,
+    data_raw/traindata_graafreinet.R:48-96) on synthesized noisy strings —
+    names emptied by truncation stay '' exactly as in R."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 600)
     seg = F.col("c_mktsegment")
     raw = (

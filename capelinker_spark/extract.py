@@ -90,11 +90,15 @@ def extract_records(pages: DataFrame, with_spousenamedist: bool = True) -> DataF
     )
 
     if with_spousenamedist:
+        # NO broadcast hint: distinct (mlast, wlast) cardinality is unbounded
+        # in the input (round-1 audit flagged the unconditional broadcast as
+        # an OOM risk at web scale) — let AQE pick broadcast vs shuffle join
+        # from the measured build-side size.
         pairs = (
             df.select("mlast", "wlast")
             .distinct()
             .withColumn("spousenamedist", jw_udf(F.col("mlast"), F.col("wlast")))
         )
-        df = df.join(F.broadcast(pairs), on=["mlast", "wlast"], how="left")
+        df = df.join(pairs, on=["mlast", "wlast"], how="left")
 
     return df

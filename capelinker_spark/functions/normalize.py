@@ -93,12 +93,18 @@ def placeholder_to_null(col: Column, placeholder: str = "X") -> Column:
 
 
 def clean_name(col: Column) -> Column:
-    """The full per-name cleaning chain (uppercase source convention):
-    diacritic fold → analphabetic truncation → trim → ''→NULL → 'X'→NULL."""
+    """The full per-name cleaning chain (uppercase source convention), in the
+    REFERENCE's order (data_raw/traindata_graafreinet.R:48-96):
+    diacritic fold → ''→NULL → analphabetic truncation → trim → 'X'→NULL.
+
+    NB the ''→NULL pass runs BEFORE truncation (R:48-51 precede R:68-71), so
+    a name emptied BY truncation/trim stays '' — exactly as in R, where such
+    values remain "" and still participate in string comparisons. Round 1
+    applied ''→NULL last; that deviation is now removed."""
     c = rm_diacretics(col)
+    c = empty_to_null(c)
     c = strip_analphabetics(c)
     c = F.trim(c)
-    c = empty_to_null(c)
     return placeholder_to_null(c)
 
 

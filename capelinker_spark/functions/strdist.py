@@ -193,41 +193,69 @@ def gk_py(x1: float, x2: float, sigma: float = 1.0) -> float:
 _CACHE_MAX = 1 << 20
 
 
-def _pairwise_unique(a: pd.Series, b: pd.Series, fn, cache: dict | None = None):
+def _pairwise_unique(
+    a: pd.Series, b: pd.Series, fn, cache: dict | None = None, batch_fn=None
+):
     """Apply fn over the UNIQUE (a, b) pairs of the batch, then broadcast back.
 
     Candidate-pair batches repeat the same name pairs heavily (frequent
     surnames); the reference itself dedups before the expensive op
     (``R/util.R:146-148``). This is the per-batch analog, plus a worker-
     lifetime cache shared ACROSS batches (Python UDF workers are long-lived,
-    so frequent-surname pairs are computed once per executor)."""
+    so frequent-surname pairs are computed once per executor).
+
+    ``batch_fn(list_s, list_t) -> ndarray | None``: optional C fast path for
+    the uncached str/str pairs (one ctypes call per batch — bit-identical to
+    ``fn`` by contract, see _strdistc.c). Non-string inputs (None/NaN) always
+    go through ``fn`` for its NULL semantics; ``batch_fn`` returning None
+    falls back to ``fn`` entirely."""
     if cache is None:
         cache = {}
     va = a.tolist()  # object series → str/None, no pandas machinery in the loop
     vb = b.tolist()
-    out = [None] * len(va)
-    get = cache.get
-    sentinel = object()
-    for i in range(len(va)):
-        k = (va[i], vb[i])
-        v = get(k, sentinel)
-        if v is sentinel:
-            if len(cache) > _CACHE_MAX:
-                cache.clear()
-            v = fn(k[0], k[1])
-            cache[k] = v
-        out[i] = v
+    uniq = dict.fromkeys(zip(va, vb))
+    todo = [k for k in uniq if k not in cache]
+    if todo:
+        if len(cache) > _CACHE_MAX:
+            cache.clear()
+        vals = None
+        clean = None
+        if batch_fn is not None:
+            clean = [
+                k for k in todo if type(k[0]) is str and type(k[1]) is str
+            ]
+            if clean:
+                vals = batch_fn([k[0] for k in clean], [k[1] for k in clean])
+        if vals is not None:
+            for k, v in zip(clean, vals.tolist()):
+                cache[k] = v
+            for k in todo:
+                if not (type(k[0]) is str and type(k[1]) is str):
+                    cache[k] = fn(k[0], k[1])
+        else:
+            for k in todo:
+                cache[k] = fn(k[0], k[1])
+    out = [cache[k] for k in zip(va, vb)]
     return pd.Series(out, index=a.index, dtype="float64")
 
 
 def make_jw_udf(p: float = 0.1):
-    """Factory: pandas UDF computing Jaro-Winkler distance with prefix scale p."""
+    """Factory: pandas UDF computing Jaro-Winkler distance with prefix scale p.
+
+    Fast path: the C batch kernel (functions/_native.py), bit-identical to
+    the pure-Python semantics oracle; falls back to Python transparently."""
+    from capelinker_spark.functions import _native
+
     cache: dict = {}
 
     @pandas_udf(DoubleType())
     def jw(a: pd.Series, b: pd.Series) -> pd.Series:
         return _pairwise_unique(
-            a, b, lambda x, y: jaro_winkler_dist(x, y, p=p), cache
+            a,
+            b,
+            lambda x, y: jaro_winkler_dist(x, y, p=p),
+            cache,
+            batch_fn=lambda ss, ts: _native.jw_batch(ss, ts, p),
         )
 
     return jw
@@ -236,17 +264,30 @@ def make_jw_udf(p: float = 0.1):
 jw_udf = make_jw_udf(0.1)  # the distcalc default, R/distances.R:32
 jw_udf_p0 = make_jw_udf(0.0)  # the vignette variant, vignettes/example.rmd:102-105
 
+_osa_cache: dict = {}
+_osa_norm_cache: dict = {}
+
 
 @pandas_udf(DoubleType())
 def osa_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Raw OSA edit distance."""
-    return _pairwise_unique(a, b, osa_dist)
+    from capelinker_spark.functions import _native
+
+    return _pairwise_unique(
+        a, b, osa_dist, _osa_cache,
+        batch_fn=lambda ss, ts: _native.osa_batch(ss, ts, normalize=False),
+    )
 
 
 @pandas_udf(DoubleType())
 def osa_norm_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Normalized OSA distance (1 - stringsim), the ``{v}dist_osa`` feature."""
-    return _pairwise_unique(a, b, osa_norm_dist)
+    from capelinker_spark.functions import _native
+
+    return _pairwise_unique(
+        a, b, osa_norm_dist, _osa_norm_cache,
+        batch_fn=lambda ss, ts: _native.osa_batch(ss, ts, normalize=True),
+    )
 
 
 # ---------------------------------------------------------------------------

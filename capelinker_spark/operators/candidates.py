@@ -154,7 +154,7 @@ def candidates(
     maxdist: float = 0.15,
     sigma: float = 1.0,
     jw_p: float = 0.1,
-    preblock: str | None = "first_letter",
+    preblock: str | None = None,
     salt: int | None = None,
     keep_unmatched: str = "from",
     idf_quant: int | None = None,
@@ -165,10 +165,13 @@ def candidates(
     ``_to``), a ``score`` column (blocking distance; NULL for soundex), and
     ``linked_from`` (the from-id merge key, as in R/candidates.R:122-123).
 
-    ``preblock`` applies to blocktype="string distance" only: ``None`` means
-    the reference's exact all-pairs semantics (cross join — small inputs
-    only); "first_letter" bounds the JW similarity join to first-letter
-    blocks (the vignette's own A–L convention). ``salt`` splits giant blocks
+    ``preblock`` applies to blocktype="string distance" only. The DEFAULT is
+    ``None`` — the reference's exact all-pairs semantics (cross join: correct
+    on the tens-of-thousands-of-rows inputs the reference targets, quadratic
+    beyond). At scale OPT IN to "first_letter", which bounds the JW join to
+    first-letter blocks (the vignette's own A–L convention) at the cost of
+    dropping pairs whose first letters differ, e.g. a first-character OCR
+    error the exact mode would still catch. ``salt`` splits giant blocks
     across ``salt`` reducers for the soundex/first-letter equi-joins.
     ``keep_unmatched``: 'from' (left), 'both' (the reference's all=TRUE
     full-outer), or 'none' (inner).

@@ -26,19 +26,27 @@ def expand_index(
     * group fully indexed → no-op (:23-28)
     * group bridges exactly ONE existing index + NAs → fill the NAs (:30-37)
     * ≥2 distinct existing indexes → left as-is (no bridging across entities)
+
+    NULL-candidate rows (typically most of the table) are split off BEFORE
+    the window and unioned back untouched: partitionBy(candidate) would
+    otherwise funnel every NULL row into one partition — semantically
+    harmless but a single-task straggler at scale (round-1 audit item).
     """
+    null_part = dat.where(F.col(candidate_col).isNull())
+    cand_part = dat.where(F.col(candidate_col).isNotNull())
     w = Window.partitionBy(candidate_col)
     idx = F.col(index_col)
     nn_distinct = F.size(F.collect_set(idx).over(w))  # collect_set skips NULLs
     has_null = F.max(idx.isNull().cast("int")).over(w)
     the_idx = F.min(idx).over(w)
     new_index = (
-        F.when(F.col(candidate_col).isNull(), idx)
-        .when(nn_distinct == 0, F.col(candidate_col))
+        F.when(nn_distinct == 0, F.col(candidate_col))
         .when((has_null == 1) & (nn_distinct == 1) & idx.isNull(), the_idx)
         .otherwise(idx)
     )
-    return dat.withColumn(index_col, new_index)
+    return cand_part.withColumn(index_col, new_index).unionByName(
+        null_part.withColumn(index_col, idx)
+    )
 
 
 def connected_components(
@@ -46,40 +54,72 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
-    """Min-label propagation: returns (node, component) with component =
-    min node id reachable — the deterministic min-id tie-break.
+    """Min-label propagation + pointer jumping: returns (node, component)
+    with component = min node id reachable — the deterministic min-id
+    tie-break.
 
-    Each iteration: every node takes the min of its own label and its
-    neighbors' labels (one shuffle join + one aggregation); converges in
-    O(component diameter) rounds. Linkage components are near-cliques of a
-    handful of records, so 3-6 rounds in practice; ``localCheckpoint`` per
-    round truncates lineage so plans stay flat at any scale.
+    Each iteration: (1) every node takes the min of its own label and its
+    neighbors' labels (one shuffle join + one aggregation), then (2) a
+    pointer-jump compresses label chains (label ← label[label]), doubling
+    effective reach per round — so convergence is O(log diameter), not
+    O(diameter): a 10^6-hop chain closes in ~20 rounds instead of blowing
+    the iteration cap. Linkage components are near-cliques, 3-6 rounds in
+    practice.
+
+    Lineage per round is truncated via ``localCheckpoint`` (fast, executor-
+    local) or, with ``reliable_checkpoint=True``, via reliable
+    ``checkpoint()`` to ``spark.sparkContext.getCheckpointDir()`` — use the
+    latter on real clusters, where an executor loss would kill
+    locally-checkpointed lineage mid-loop (set the checkpoint dir first).
+
+    Raises RuntimeError if the cap is hit while labels are still changing
+    (silently-wrong components were a round-1 advice item).
     """
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-    ).localCheckpoint(eager=True)
+    )
+    labels = _ckpt(labels)
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
+        propagated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← label(component). Valid because labels
+        # only ever hold REACHABLE node ids, so composition stays reachable
+        # and monotonically non-increasing.
+        parent = propagated.select(
+            F.col("node").alias("_p"), F.col("component").alias("_pc")
+        )
+        new_labels = _ckpt(
+            propagated.join(parent, propagated["component"] == parent["_p"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -89,7 +129,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — raise max_iterations (labels were still changing; "
+            "returning them would silently split entities)"
+        )
     return labels
 
 

@@ -96,15 +96,40 @@ def minhash_table(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket_size`` (None = keep all).
+
+    A bucket of N members contributes N² join pairs — one pathological key
+    (N byte-identical boilerplate docs that escaped exact dedup) turns the
+    banded join quadratic. The cap is the documented SCALING.md drop rule:
+    members of an oversized bucket simply aren't paired THROUGH that bucket
+    (they usually still meet in their other bands)."""
+    if max_bucket_size is None:
+        return banded
+    sizes = banded.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+    return (
+        banded.join(sizes.where(F.col("_bsz") <= max_bucket_size), key_cols)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     mh: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs agreeing on ≥1 full band.
     Returns (id_a, id_b) with id_a < id_b. The band join is the classic LSH
-    shuffle: key = (band_index, md5(concat of the band's rows))."""
+    shuffle: key = (band_index, md5(concat of the band's rows)).
+
+    Run ``dedup_exact`` FIRST: byte-identical documents share every band, so
+    a cluster of N exact copies makes an N²-pair bucket the verify stage must
+    then chew through. ``max_bucket_size`` additionally caps any residual
+    mega-bucket (see _cap_buckets)."""
     rows = num_hashes // bands
     band_structs = []
     for b in range(bands):
@@ -115,6 +140,7 @@ def lsh_candidate_pairs(
     banded = mh.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -140,11 +166,16 @@ def minhash_near_duplicates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → band join → exact
-    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
+
+    At corpus scale, run ``dedup_exact`` first (one line) — exact copies
+    otherwise inflate every shared band quadratically — and set
+    ``max_bucket_size`` as a belt-and-braces cap."""
     mh = minhash_table(df, text_col, id_col, num_hashes, shingle_words)
-    cand = lsh_candidate_pairs(mh, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs(mh, id_col, num_hashes, bands, max_bucket_size)
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")
     )
@@ -205,10 +236,14 @@ def simhash_near_duplicates(
     bits: int = 32,
     max_hamming: int = 3,
     chunks: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded hamming join: split the simhash into ``chunks`` substrings —
     any pair with hamming ≤ chunks-1 agrees on ≥1 chunk (pigeonhole) — then
-    verify exact hamming ≤ max_hamming. Returns (id_a, id_b, hamming)."""
+    verify exact hamming ≤ max_hamming. Returns (id_a, id_b, hamming).
+
+    Run ``dedup_exact`` upstream and/or set ``max_bucket_size`` at corpus
+    scale (identical docs share every chunk → quadratic buckets)."""
     sh = simhash(df, text_col, id_col, bits)
     width = bits // chunks
     banded = sh.select(
@@ -226,6 +261,7 @@ def simhash_near_duplicates(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    banded = _cap_buckets(banded, ["chunk", "key"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "chunk", "key")
     b = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "chunk", "key")
     return (

@@ -39,12 +39,14 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a feature vector.
 
     STUB: real decoding needs an image library not present in this
-    environment; the Spark plumbing around it is real.
+    environment; the Spark plumbing around it is real. For a real decoder,
+    pass ``decode_fn`` to ``extract_image_features`` instead.
     """
     if not fake:
         raise NotImplementedError(
             "image decoding requires an imaging library not available here; "
-            "pass fake=True for the deterministic stand-in"
+            "pass fake=True for the deterministic stand-in, or supply "
+            "decode_fn to extract_image_features"
         )
     return _fake_decode(payload, IMAGE_FEATURE_DIM)
 
@@ -55,19 +57,31 @@ def extract_image_features(
     id_col: str = "url",
     fake: bool = True,
     batch_hint: int = 1024,
+    decode_fn=None,
 ) -> DataFrame:
     """binary column → (id, image_features array<double>, n_bytes) via
     mapInPandas. Arrow-batched; one Python roundtrip per batch, zero per-row
-    Python outside the batch loop."""
+    Python outside the batch loop.
+
+    ``decode_fn``: optional pluggable decoder ``bytes -> 1-D array-like of
+    float`` (e.g. a real PIL/torchvision feature extractor). It must be
+    picklable (module-level function or functools.partial); when None the
+    deterministic fake (``fake=True``) or the NotImplementedError stub
+    (``fake=False``) is used."""
     schema = f"{id_col} string, image_features array<double>, n_bytes long"
     use_fake = fake
+    user_decode = decode_fn
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = (
+            user_decode
+            if user_decode is not None
+            else lambda p: decode_image(p, fake=use_fake)
+        )
         for pdf in it:
             payloads = pdf[binary_col]
             feats = [
-                decode_image(bytes(p), fake=use_fake) if p is not None else None
-                for p in payloads
+                dec(bytes(p)) if p is not None else None for p in payloads
             ]
             yield pd.DataFrame(
                 {
@@ -106,14 +120,20 @@ def frame_sample_plan(
 
 def binary_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
     """Typed metadata for an opaque binary column, all native: size, magic-
-    byte sniffing for common containers."""
+    byte sniffing for common containers.
+
+    Sniffing compares HEX prefixes of the raw bytes — casting binary to
+    string UTF-8-decodes the payload, turning 0x89 / 0xFF 0xD8 into U+FFFD
+    so the png/jpeg branches could never match (round-1 advice item)."""
     b = F.col(binary_col)
-    head = F.substring(b.cast("string"), 1, 64)  # utf8-lossy sniff window
+    hex8 = F.hex(F.substring(b, 1, 8))  # raw-byte sniff window, no decoding
     fmt = (
-        F.when(head.startswith("<!DOCTYPE html"), "html")
-        .when(head.startswith("\x89PNG"), "png")
-        .when(head.startswith("\xff\xd8"), "jpeg")
-        .when(head.startswith("RIFF"), "riff")
+        F.when(hex8.startswith("3C21444F43545950"), "html")  # '<!DOCTYP'
+        .when(hex8.startswith("89504E47"), "png")  # \x89PNG
+        .when(hex8.startswith("FFD8"), "jpeg")  # JPEG SOI
+        .when(hex8.startswith("52494646"), "riff")  # 'RIFF' (wav/avi/webp)
+        .when(hex8.startswith("474946383"), "gif")  # GIF87a/89a
+        .when(F.substring(hex8, 9, 8) == "66747970", "mp4")  # ....ftyp
         .otherwise("unknown")
     )
     return df.withColumn("n_bytes", F.length(b).cast("long")).withColumn(

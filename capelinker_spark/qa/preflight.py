@@ -67,16 +67,57 @@ def model_base_variables(modstring: str) -> list[str]:
     return out
 
 
+_CLASS_FAMILIES = {
+    # expected-class label → acceptable Spark dtypes (R/prep.R:102-112
+    # class() names mapped onto the Spark type system)
+    "string": {"string"},
+    "double": {"double", "float"},
+    "numeric": {"double", "float", "int", "bigint", "smallint", "tinyint", "long"},
+}
+
+
+def check_expected_classes(dat: DataFrame) -> list[str]:
+    """Validate frame dtypes against EXPECTED_CLASSES (R/prep.R:102-112).
+    Returns a list of human-readable violations (empty = all good); only
+    columns present in the frame are checked — missing columns are the
+    ``missing_in_data`` report's job."""
+    dtypes = dict(dat.dtypes)
+    problems = []
+    for col, expected in EXPECTED_CLASSES.items():
+        if col not in dtypes:
+            continue
+        ok = _CLASS_FAMILIES.get(expected, {expected})
+        actual = dtypes[col]
+        base = actual.split("(")[0]  # decimal(10,2) → decimal
+        if actual not in ok and base not in ok:
+            problems.append(f"{col}: expected {expected}, got {actual}")
+    return problems
+
+
 def preflight(
-    dat: DataFrame, vrbs: list[str] | None = None, modstring: str = "m_boost_stel_rein"
+    dat: DataFrame,
+    vrbs: list[str] | None = None,
+    modstring: str = "m_boost_stel_rein",
+    strict_classes: bool = False,
 ) -> dict:
     """Run the QA battery. Returns {"report": DataFrame, "missing_in_data":
-    [...], "charset": DataFrame}."""
+    [...], "charset": DataFrame, "class_violations": [...]}.
+
+    ``modstring`` must name a known pretrained model (hard KeyError
+    otherwise, via model_base_variables — SURVEY §2.11). dtype expectations
+    (R/prep.R:102-112) are reported in ``class_violations``; with
+    ``strict_classes=True`` a violation raises instead."""
     vrbs_model = model_base_variables(modstring)
     if vrbs is None:
         vrbs = vrbs_model
     present = [v for v in vrbs if v in dat.columns]
     missing = [v for v in vrbs if v not in dat.columns]
+
+    class_violations = check_expected_classes(dat)
+    if strict_classes and class_violations:
+        raise TypeError(
+            "preflight expected-class violations: " + "; ".join(class_violations)
+        )
 
     aggs = []
     string_cols = [
@@ -144,4 +185,9 @@ def preflight(
             .count()
         )
 
-    return {"report": report, "missing_in_data": missing, "charset": charset}
+    return {
+        "report": report,
+        "missing_in_data": missing,
+        "charset": charset,
+        "class_violations": class_violations,
+    }

@@ -39,13 +39,17 @@ def strip_analphabetics(s: str | None) -> str | None:
 
 
 def clean_name(s: str | None) -> str | None:
-    """Full chain: diacritics → truncate analphabetics → trim → ''/X → None."""
+    """Full chain in the reference's order: diacritics → ''→None → truncate
+    analphabetics → trim → 'X'→None (data_raw/traindata_graafreinet.R:48-96).
+    A name emptied BY truncation/trim stays '' (R keeps "" there)."""
     if s is None:
         return None
     s = rm_diacretics(s)
+    if s == "":
+        return None
     s = strip_analphabetics(s)
     s = s.strip()
-    if s == "" or s == "X":
+    if s == "X":
         return None
     return s
 

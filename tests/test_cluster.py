@@ -71,3 +71,44 @@ def test_cluster_links(spark):
     assert out[1]["entity_id"] == out[2]["entity_id"] == out[101]["entity_id"] == 1
     assert out[555]["entity_id"] == 555 and out[555]["confidence"] is None
     assert out[101]["confidence"] == 0.9
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 300-hop chain converges well inside the 50-iteration cap — evidence
+    the pointer-jump step gives O(log diameter) rounds (ADVICE round 1)."""
+    from capelinker_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(300)], "src long, dst long"
+    )
+    comp = connected_components(edges, max_iterations=15)
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert set(got.values()) == {0} and len(got) == 301
+
+
+def test_connected_components_raises_on_cap(spark):
+    """Hitting the iteration cap with labels still moving must raise, not
+    silently return split entities (ADVICE round 1)."""
+    import pytest
+
+    from capelinker_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(80)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+
+
+def test_expand_index_null_candidates_untouched_and_split(spark):
+    """NULL-candidate rows pass through unchanged (and are processed outside
+    the window partition — the skew fix)."""
+    from capelinker_spark.operators.cluster import expand_index
+
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, None), (3, "c1", None), (4, "c1", 7)],
+        "rid int, index_candidate string, index int",
+    )
+    got = {r["rid"]: r["index"] for r in expand_index(df).collect()}
+    assert got[1] == 10 and got[2] is None  # NULL candidate: untouched
+    assert got[3] == 7 and got[4] == 7  # one existing index: NAs filled

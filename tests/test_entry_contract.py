@@ -53,3 +53,25 @@ def test_partitioned_checkpoint_pruning(spark, pages, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "(year" in plan.split("PartitionFilters:")[1][:120]
     assert back.count() > 0
+
+
+def test_sorted_neighborhood_plan_is_parallel(spark):
+    """The global-position assignment must NOT funnel through a single-task
+    window (round-1 scale-killer): no `Exchange SinglePartition` anywhere in
+    the physical plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["j3_sorted_neighborhood"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_spousenamedist_join_not_forced_broadcast(spark, pages):
+    """extract_records must not hint an unconditional broadcast of the
+    distinct name-pair table (unbounded cardinality at web scale) — the
+    LOGICAL plan must carry no user broadcast hint; AQE decides at runtime."""
+    from capelinker_spark.extract import extract_records
+
+    rec = extract_records(pages, with_spousenamedist=True)
+    logical = rec._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), logical

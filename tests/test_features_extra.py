@@ -165,3 +165,45 @@ def test_min_max_normalise(spark):
     df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
     got = sorted(r["x"] for r in FE.min_max_normalise(df, ["x"]).collect())
     assert got == [0.0, 0.5, 1.0]
+
+
+def test_cos_uniqueness_pairwise_matches_linear(spark):
+    """The exact pairwise integer-quantized form ≡ the O(n) linear form to
+    within the 1e-6 quantization grain (the identity claimed by the f9
+    oracle query's docstring), duplicates included."""
+    names = ["JOHANNES", "JOHANNES", "JACOBUS", "WILLEM", "PIETER"]
+    df = spark.createDataFrame(
+        [(i, 1826 + (i % 2), n) for i, n in enumerate(names)],
+        "persid long, year int, mfirst string",
+    )
+    lin = {
+        r["persid"]: r["u"]
+        for r in FE.add_cos_uniqueness(df, "mfirst", out="u").collect()
+    }
+    pw = {
+        r["persid"]: r["u"]
+        for r in FE.cos_uniqueness_pairwise(df, "mfirst", out="u").collect()
+    }
+    assert set(lin) == set(pw)
+    for k in lin:
+        assert abs(lin[k] - pw[k]) < 2e-6, (k, lin[k], pw[k])
+
+
+def test_jw_uniqueness_reference_formula(spark):
+    """jw_uniqueness ≡ rowMeans(stringdistmatrix(x, x, 'jw')) by group
+    (p=0, self-pair included, duplicates weighted)."""
+    from capelinker_spark.functions.strdist import jaro_winkler_dist
+
+    names = ["JOHANNES", "JOHANNES", "JACOBUS", "WILLEM"]
+    df = spark.createDataFrame(
+        [(i, 1826, n) for i, n in enumerate(names)] + [(9, 1827, "ANNA")],
+        "persid long, year int, mfirst string",
+    )
+    got = {
+        r["persid"]: r["u"]
+        for r in FE.jw_uniqueness(df, "mfirst", out="u").collect()
+    }
+    for i, n in enumerate(names):
+        exp = sum(jaro_winkler_dist(n, m, p=0.0) for m in names) / len(names)
+        assert abs(got[i] - exp) < 2e-6, (i, got[i], exp)
+    assert got[9] == 0.0  # singleton group: only the self-pair

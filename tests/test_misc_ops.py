@@ -81,3 +81,76 @@ def test_rand_strings_like():
     assert all(set(s) <= alphabet for s in out)
     avg = sum(len(s) for s in out) / len(out)
     assert 3 <= avg <= 12  # length distribution tracks the pool
+
+
+def test_preflight_expected_classes(spark):
+    """EXPECTED_CLASSES dtype validation (R/prep.R:102-112) — wired, not a
+    dead table (VERDICT round 1 item 8)."""
+    import pytest
+
+    from capelinker_spark.qa.preflight import check_expected_classes, preflight
+
+    ok = spark.createDataFrame(
+        [("A", "B", 1800, 2.0)],
+        "mlast string, mfirst string, year int, settlerchildren double",
+    )
+    assert check_expected_classes(ok) == []
+    bad = spark.createDataFrame(
+        [(1, "B", "1800")], "mlast int, mfirst string, year string"
+    )
+    probs = check_expected_classes(bad)
+    assert any(p.startswith("mlast:") for p in probs)
+    assert any(p.startswith("year:") for p in probs)
+    rep = preflight(bad.withColumn("x", bad.mlast))
+    assert rep["class_violations"] == probs
+    with pytest.raises(TypeError, match="expected-class"):
+        preflight(bad, strict_classes=True)
+    with pytest.raises(KeyError):
+        preflight(ok, modstring="no_such_model")
+
+
+def test_multimodal_custom_decoder_and_magic(spark):
+    """Pluggable decode_fn runs through the mapInPandas plumbing; magic-byte
+    sniffing works on RAW bytes (0x89/0xFFD8 are invalid UTF-8 — the old
+    cast-to-string sniff could never match them)."""
+    from capelinker_spark.operators.multimodal import (
+        binary_metadata,
+        extract_image_features,
+    )
+
+    rows = [
+        ("u1", bytearray(b"\x89PNG\r\n\x1a\nxxxx")),
+        ("u2", bytearray(b"\xff\xd8\xff\xe0JFIF")),
+        ("u3", bytearray(b"<!DOCTYPE html><p>")),
+        ("u4", bytearray(b"RIFFxxxxWAVE")),
+        ("u5", bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    fmts = {r["url"]: r["format"] for r in binary_metadata(df).collect()}
+    assert fmts == {
+        "u1": "png", "u2": "jpeg", "u3": "html", "u4": "riff", "u5": "unknown"
+    }
+
+    feats = extract_image_features(
+        df, decode_fn=lambda payload: [float(len(payload)), float(payload[0])]
+    ).collect()
+    by_url = {r["url"]: r["image_features"] for r in feats}
+    assert by_url["u1"] == [12.0, 137.0]
+    assert by_url["u2"][1] == 255.0
+
+
+def test_lsh_bucket_cap(spark):
+    """max_bucket_size drops mega-buckets from the banded join (documented
+    cap); without it, identical docs pair quadratically."""
+    from capelinker_spark.operators.dedup import minhash_table, lsh_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact boilerplate text repeated here") for i in range(12)]
+        + [(100, "an entirely different document about other things")],
+        "doc_id long, text string",
+    )
+    mh = minhash_table(docs)
+    uncapped = lsh_candidate_pairs(mh).count()
+    capped = lsh_candidate_pairs(mh, max_bucket_size=5).count()
+    assert uncapped == 12 * 11 // 2
+    assert capped == 0

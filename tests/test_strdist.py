@@ -162,3 +162,43 @@ def test_jw_udf_matches_kernel_on_corpus(spark, corpus):
             assert r["d"] is None
         else:
             assert r["d"] == pytest.approx(exp, abs=1e-12)
+
+
+def test_c_kernel_bitwise():
+    """The C batch kernels are BIT-IDENTICAL to the pure-Python semantics
+    oracle (golden vectors + seeded random strings incl. unicode & empties).
+    This is the contract that keeps the oracle queries hash-exact (the
+    Python kernel is itself bit-identical to DuckDB's jaro_similarity)."""
+    import random
+
+    from capelinker_spark.functions import _native
+    from capelinker_spark.functions.strdist import (
+        jaro_winkler_dist,
+        osa_dist,
+        osa_norm_dist,
+    )
+
+    if not _native.available():
+        import pytest
+
+        pytest.skip("native kernel unavailable (no cc)")
+    random.seed(1234)
+    al = "abcdefghijklmnopqrstuvwxyzàéïßœ- "
+    words = [
+        "".join(random.choice(al) for _ in range(random.randint(0, 18)))
+        for _ in range(500)
+    ]
+    words += ["", "a", "jongh", "VAN DER MERWE", "smößen"]
+    ss = [random.choice(words) for _ in range(20000)]
+    ts = [random.choice(words) for _ in range(20000)]
+    for p in (0.0, 0.1):
+        cv = _native.jw_batch(ss, ts, p)
+        assert cv is not None
+        for i in range(len(ss)):
+            assert cv[i] == jaro_winkler_dist(ss[i], ts[i], p=p), (ss[i], ts[i], p)
+    cv = _native.osa_batch(ss[:5000], ts[:5000], normalize=False)
+    for i in range(5000):
+        assert cv[i] == osa_dist(ss[i], ts[i])
+    cv = _native.osa_batch(ss[:5000], ts[:5000], normalize=True)
+    for i in range(5000):
+        assert cv[i] == osa_norm_dist(ss[i], ts[i])
