@@ -1496,3 +1496,188 @@ def j4_idf_bigram_cosine_join(spark, sf_dir):
         F.col("persid_to").alias("word_b"),
         F.col("score"),
     )
+
+
+# -- round-2 additions: SQL oracles for previously pytest-only operators -----
+
+
+@register(
+    "p7_mojibake_fixups",
+    """SELECT c_custkey AS custkey,
+              replace(replace(translate(upper(c_name), 'RN',
+                                        chr(134) || chr(131)),
+                      chr(134), 'U'), chr(131), 'E') AS fixed
+       FROM customer WHERE c_custkey < 800""",
+)
+def p7_mojibake_fixups(spark, sf_dir):
+    """P7: byte-level mojibake fixups (\\x86→U, \\x83→E,
+    data_raw/traindata_graafreinet.R:28-31). Bad bytes are injected
+    deterministically (R→\\x86, N→\\x83) then repaired by fix_mojibake's
+    native translate — both engines do pure codepoint mapping."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 800)
+    raw = F.translate(F.upper(F.col("c_name")), "RN", "\x86\x83")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        N.fix_mojibake(raw).alias("fixed"),
+    )
+
+
+@register(
+    "p9_na_guarded_concat",
+    """SELECT c_custkey AS custkey,
+              trim(concat_ws(' ',
+                   coalesce(CASE WHEN c_custkey % 3 = 0 THEN NULL
+                                 ELSE c_mktsegment END, ''),
+                   coalesce(CASE WHEN c_custkey % 4 = 0 THEN NULL
+                                 ELSE upper(c_name) END, ''))) AS fullname
+       FROM customer WHERE c_custkey < 1000""",
+)
+def p9_na_guarded_concat(spark, sf_dir):
+    """P9: NA-guarded name concatenation (data_raw/data_capetown.R:20-26,
+    traindata_graafreinet.R:110) — R paste renders NA as 'NA'; the guard
+    substitutes '' first. concat_names = trim(concat_ws(coalesce…))."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1000)
+    first = F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string")).otherwise(
+        F.col("c_mktsegment")
+    )
+    second = F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("string")).otherwise(
+        F.upper(F.col("c_name"))
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        N.concat_names(first, second).alias("fullname"),
+    )
+
+
+@register(
+    "f10_spousenamedist",
+    f"""WITH recs AS (
+            SELECT c_custkey AS custkey, c_mktsegment AS mlast,
+                   CASE WHEN c_custkey % 11 = 0 THEN NULL
+                        ELSE upper(regexp_extract(c_name, '[A-Za-z]+')) END AS wlast
+            FROM customer WHERE c_custkey < 1200)
+        SELECT custkey, mlast, wlast,
+               round({duckdb_jw_sql('mlast', 'wlast')}, 6) AS spousenamedist
+        FROM recs""",
+)
+def f10_spousenamedist(spark, sf_dir):
+    """F10: within-record spouse-surname distance jw(mlast, wlast, p=0.1)
+    (data_raw/traindata_graafreinet.R:106), via the extract.py plan: the
+    Arrow UDF runs on DISTINCT (mlast, wlast) pairs and joins back — the
+    dedup-before-expensive-op rule (extract.py:92-102); NULL side → NULL."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 1200)
+    recs = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mlast"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.upper(F.regexp_extract(F.col("c_name"), "[A-Za-z]+", 0)))
+        .alias("wlast"),
+    )
+    pairs = (
+        recs.select("mlast", "wlast")
+        .distinct()
+        .withColumn("spousenamedist", F.round(jw_udf(F.col("mlast"), F.col("wlast")), 6))
+    )
+    return recs.join(pairs, ["mlast", "wlast"], "left").select(
+        "custkey", "mlast", "wlast", "spousenamedist"
+    )
+
+
+@register(
+    "f11_wifeinboth",
+    """SELECT o_orderkey AS orderkey,
+              CAST((c_acctbal > 0.0) AND
+                   (CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                         ELSE o_totalprice > 150000.0 END) AS DOUBLE)
+                  AS wifeinboth
+       FROM orders JOIN customer ON c_custkey = o_custkey
+       WHERE o_orderkey < 4000""",
+)
+def f11_wifeinboth(spark, sf_dir):
+    """F11: wifepresent/wifeinboth — three-valued boolean conjunction cast to
+    double (data_raw/pretrained.R:38-40, extract.py:86-88): false∧NULL=0.0,
+    true∧NULL=NULL, exercised via an injected NULL lane."""
+    from capelinker_spark.operators.features import add_wifeinboth
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 4000)
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, F.col("c_custkey") == F.col("o_custkey")).select(
+        F.col("o_orderkey").alias("orderkey"),
+        (F.col("c_acctbal") > 0.0).alias("wifepresent_from"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("o_totalprice") > 150000.0)
+        .alias("wifepresent_to"),
+    )
+    return add_wifeinboth(j).select("orderkey", "wifeinboth")
+
+
+@register(
+    "f15_minmax_normalise",
+    """WITH mm AS (SELECT min(c_acctbal) AS lo_b, max(c_acctbal) AS hi_b,
+                          min(CAST(c_custkey AS DOUBLE)) AS lo_k,
+                          max(CAST(c_custkey AS DOUBLE)) AS hi_k
+                   FROM customer)
+       SELECT c_custkey AS custkey,
+              round((c_acctbal - lo_b) / (hi_b - lo_b), 6) AS acctbal_n,
+              round((CAST(c_custkey AS DOUBLE) - lo_k) / (hi_k - lo_k), 6) AS key_n
+       FROM customer, mm""",
+)
+def f15_minmax_normalise(spark, sf_dir):
+    """F15/U10: min-max normalise (R/util.R:169-175) — one agg pass collects
+    the per-column (min, max) driver-side (bounded: 2 scalars per column)
+    and the rescale is a native literal expression."""
+    from capelinker_spark.operators.features import min_max_normalise
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal_n"),
+        F.col("c_custkey").cast("double").alias("key_n"),
+    )
+    out = min_max_normalise(c, ["acctbal_n", "key_n"])
+    return out.select(
+        "custkey",
+        F.round(F.col("acctbal_n"), 6).alias("acctbal_n"),
+        F.round(F.col("key_n"), 6).alias("key_n"),
+    )
+
+
+@register(
+    "m1_logistic_score",
+    """SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
+              round(1.0 / (1.0 + exp(-(0.25
+                  + 0.8 * ((CASE WHEN l_quantity IS NULL THEN 25.0
+                                 ELSE CAST(l_quantity AS DOUBLE) END - 25.0) / 14.0)
+                  + -1.5 * ((CASE WHEN l_linenumber % 3 = 0 THEN 0.05
+                                  ELSE CAST(l_discount AS DOUBLE) END - 0.05) / 0.03)
+              ))), 6) AS predicted
+       FROM lineitem WHERE l_orderkey < 2000""",
+)
+def m1_logistic_score(spark, sf_dir):
+    """M1: model scoring as a PURE NATIVE expression (R/pred.R:43-45 —
+    predict() over millions of pairs). A LogisticModel with pinned
+    weights/means/stds compiles to sigmoid(b + Σ wᵢ·(impute(xᵢ)-μᵢ)/σᵢ);
+    NULL features are mean-imputed inside the expression. Zero Python in
+    the scoring path (SURVEY §2.9)."""
+    import numpy as np
+
+    from capelinker_spark.ml.logistic import LogisticModel
+
+    model = LogisticModel(
+        features=["x1", "x2"],
+        weights=np.array([0.8, -1.5]),
+        bias=0.25,
+        means=np.array([25.0, 0.05]),
+        stds=np.array([14.0, 0.03]),
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    feat = li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount").cast("double"))
+        .alias("x2"),
+    )
+    return model.transform(feat).select(
+        "orderkey", "lineno", F.round(F.col("predicted"), 6).alias("predicted")
+    )

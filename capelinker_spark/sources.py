@@ -31,20 +31,34 @@ def read_csv(
     return reader.csv(path)
 
 
-def read_excel(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
-    """Excel scan (readxl analog). Gated: needs a local pandas Excel engine
-    (openpyxl/xlrd); raises a clear error when absent. Small label
-    spreadsheets only — read driver-side, parallelize."""
-    import pandas as pd
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: str | int | None = None,
+    use_pandas: bool = False,
+) -> DataFrame:
+    """Excel scan (readxl::read_xlsx analog, data_raw/data_capetown.R:14-16).
 
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet or 0)
-    except ImportError as e:
-        raise ImportError(
-            "Excel reading needs openpyxl/xlrd, not available in this "
-            "environment; convert label sheets to CSV/parquet instead"
-        ) from e
-    return spark.createDataFrame(pdf)
+    Default path is the dependency-free stdlib parser
+    (sources_excel.read_excel_stdlib — zipfile + ElementTree, no
+    openpyxl/xlrd needed). ``use_pandas=True`` routes through
+    ``pd.read_excel`` when an engine is installed (for .xls or styled
+    sheets the minimal parser doesn't cover). Small label spreadsheets
+    only — parsed driver-side, then parallelized."""
+    if use_pandas:
+        import pandas as pd
+
+        try:
+            pdf = pd.read_excel(path, sheet_name=sheet or 0)
+        except ImportError as e:
+            raise ImportError(
+                "use_pandas=True needs openpyxl/xlrd; call with "
+                "use_pandas=False for the built-in .xlsx parser"
+            ) from e
+        return spark.createDataFrame(pdf)
+    from capelinker_spark.sources_excel import read_excel_stdlib
+
+    return read_excel_stdlib(spark, path, sheet)
 
 
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:

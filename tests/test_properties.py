@@ -55,13 +55,17 @@ def _spark_map(spark, values, expr_fn, n_out=1):
 
 
 def test_clean_name_idempotent(spark, samples):
+    """clean_name is idempotent EXCEPT on '' — the reference chain runs
+    ''→NULL before analphabetic truncation (traindata_graafreinet.R:48-51
+    vs :68-71), so a name emptied BY truncation stays '' after one pass and
+    only a second pass would NULL it. Non-empty outputs are fixpoints."""
     once = _spark_map(spark, samples, N.clean_name)
-    # feed non-null outputs through again
     non_null = [v for v in once if v is not None]
     twice = _spark_map(spark, non_null, N.clean_name)
-    assert twice == non_null
+    assert twice == [v if v != "" else None for v in non_null]
     for v in non_null:
-        assert R.clean_name(v) == v  # python agrees on the fixpoint
+        expected = v if v != "" else None
+        assert R.clean_name(v) == expected  # python agrees
 
 
 def test_clean_name_python_spark_parity(spark, samples):
