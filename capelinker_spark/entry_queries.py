@@ -1681,3 +1681,49 @@ def m1_logistic_score(spark, sf_dir):
     return model.transform(feat).select(
         "orderkey", "lineno", F.round(F.col("predicted"), 6).alias("predicted")
     )
+
+
+_U4_WORDS = (
+    "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS s "
+    "FROM documents WHERE source IN ('src0', 'src1')"
+)
+
+
+@register(
+    "u4_uniformise_strings",
+    f"""WITH RECURSIVE words AS ({_U4_WORDS}),
+        freq AS (SELECT s, count(*) AS n FROM words GROUP BY s),
+        blk AS (SELECT s, n, {duckdb_soundex_sql('s')} AS b FROM freq),
+        edges AS (SELECT a.s AS sa, b.s AS sb
+                  FROM blk a JOIN blk b ON a.b = b.b AND a.s <> b.s
+                  WHERE round({duckdb_jw_sql('a.s', 'b.s')}, 6) < 0.2),
+        reach AS (SELECT s, s AS lbl FROM freq
+                  UNION
+                  SELECT e.sb AS s, r.lbl FROM reach r
+                  JOIN edges e ON e.sa = r.s),
+        comp AS (SELECT s, min(lbl) AS c FROM reach GROUP BY s),
+        labeled AS (SELECT freq.s, freq.n, comp.c
+                    FROM freq JOIN comp ON comp.s = freq.s)
+        SELECT s AS word, n,
+               first_value(s) OVER (PARTITION BY c ORDER BY n DESC, s ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                    UNBOUNDED FOLLOWING) AS unif
+        FROM labeled""",
+)
+def u4_uniformise_strings(spark, sf_dir):
+    """U4: uniformise_string (R/util.R:145-166) — canonicalize near-identical
+    strings: soundex-blocked JW(p=0.1) edges at rounded-6dp maxdist 0.2 →
+    connected components (min-label propagation) → representative = the
+    component's most frequent member, ties alphabetical. The oracle closes
+    the same edge set with a recursive CTE; the component LABEL differs
+    (min string vs min dense id) but the representative is label-invariant."""
+    from capelinker_spark.operators.features import uniformise_strings
+
+    d = _t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1"))
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    out = uniformise_strings(
+        words, "w", id_col="w", maxdist=0.2, out="unif", quantize=6
+    )
+    return out.groupBy(F.col("w").alias("word"), F.col("unif")).agg(
+        F.count("*").alias("n")
+    ).select("word", "n", "unif")

@@ -357,6 +357,7 @@ def uniformise_strings(
     id_col: str = "persid",
     maxdist: float = 0.2,
     out: str | None = None,
+    quantize: int | None = None,
 ) -> DataFrame:
     """Canonicalize near-identical strings — ``uniformise_string``
     (R/util.R:145-166) re-expressed for scale.
@@ -368,6 +369,10 @@ def uniformise_strings(
     alphabetically). Same intent (frequency-priority canonical form),
     linear plan; the greedy chain-absorption order is approximated by the
     component closure — documented deviation.
+
+    ``quantize``: round the JW distance to this many decimals BEFORE the
+    threshold (the module's engine-portable convention — thresholds filter
+    on the rounded value so the edge set is identical across engines).
     """
     from capelinker_spark.operators.cluster import connected_components
 
@@ -390,9 +395,10 @@ def uniformise_strings(
         F.soundex("_s").alias("_blk"),
     )
     cand = lhs.join(rhs, "_blk").where(F.col("_ida") < F.col("_idb"))
-    uniq = cand.select("_sa", "_sb").distinct().withColumn(
-        "_d", jw(F.col("_sa"), F.col("_sb"))
-    )
+    d = jw(F.col("_sa"), F.col("_sb"))
+    if quantize is not None:
+        d = F.round(d, quantize)
+    uniq = cand.select("_sa", "_sb").distinct().withColumn("_d", d)
     edges = (
         cand.join(uniq, ["_sa", "_sb"])
         .where(F.col("_d") < maxdist)

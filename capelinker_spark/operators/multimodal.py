@@ -2,11 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery is real and tested — schemas, batch iteration,
-partition-size control, UDF signatures. The actual media decoding is STUBBED
-(the sandbox has no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-hash-derived feature vector stands in for the decoder output, so the
-distributed plumbing (what this module is about) is exercised end-to-end.
+partition-size control, UDF signatures. Decoding: PNG and WAV payloads are
+decoded FOR REAL with the stdlib codecs in ``media_codecs`` (zlib/struct
+and the ``wave`` module) and featurized deterministically; formats that
+genuinely need a native library (JPEG, video codecs) raise
+``NotImplementedError`` unless ``fake=True`` (deterministic hash-derived
+stand-in) or a caller-supplied ``decode_fn`` handles them — the contract a
+real deployment uses to inject PIL/ffmpeg.
 """
 
 from __future__ import annotations
@@ -36,17 +38,24 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to a feature vector.
+    """Decode a media payload to a feature vector.
 
-    STUB: real decoding needs an image library not present in this
-    environment; the Spark plumbing around it is real. For a real decoder,
-    pass ``decode_fn`` to ``extract_image_features`` instead.
+    PNG and WAV are decoded for real (stdlib codecs, ``media_codecs``);
+    other formats need a native library — raise unless ``fake=True``
+    (deterministic stand-in) or the caller passes ``decode_fn`` to
+    ``extract_image_features``.
     """
+    from capelinker_spark.operators import media_codecs as mc
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return mc.image_feature_vector(mc.decode_png(payload), IMAGE_FEATURE_DIM)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return mc.audio_feature_vector(*mc.decode_wav(payload), IMAGE_FEATURE_DIM)
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library not available here; "
-            "pass fake=True for the deterministic stand-in, or supply "
-            "decode_fn to extract_image_features"
+            "only PNG/WAV decode without a native media library; pass "
+            "fake=True for the deterministic stand-in, or supply "
+            "decode_fn to extract_image_features (e.g. PIL/ffmpeg)"
         )
     return _fake_decode(payload, IMAGE_FEATURE_DIM)
 

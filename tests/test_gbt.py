@@ -67,22 +67,29 @@ def labeled_features(spark, pages, truth):
 
 
 def test_gbt_f1_gate(spark, labeled_features):
-    """GBT is the boosted-tree parity path (xgboost analog). On the small
-    held-out split (~70 positives) trees trail the logistic scorer's 0.99 —
-    the gate here checks the path is trained/scored correctly and usefully
-    discriminative; the production 0.99 gate runs on the logistic pipeline
-    (tests/test_pipeline.py)."""
+    """GBT is the boosted-tree parity path (xgboost analog). With the
+    sweep-tuned defaults (150 rounds, depth 3, step 0.1) it reaches ~0.94
+    held-out pair F1 and ~0.98 after one:one selection — above the
+    reference's published xgboost operating point (P=.899/R=.841,
+    vignettes/example.rmd:151-199) but below this engine's logistic
+    (0.995): the documented trees-can't-beat-logistic finding
+    (ml/gbt.py module docstring). The production 0.99 gate runs on the
+    logistic pipeline (tests/test_pipeline.py)."""
     train, test = group_split(labeled_features, "persid_from", 0.7, seed=1)
-    model = train_gbt(train, FEATURES, max_iter=60, max_depth=4, step_size=0.2, seed=42)
+    model = train_gbt(train, FEATURES, seed=42)  # tuned defaults
     scorer = gbt_scorer(model, FEATURES)
     m = confusion(scorer(test))
-    assert m["f1"] >= 0.88, m
-    # one:one selection: rank-based, threshold-insensitive — high precision
+    assert m["f1"] >= 0.93, m
+    # one:one selection: rank-based, threshold-insensitive
     links = predict_links(
         labeled_features, "persid_from", "persid_to", scorer,
         minimum_confidence=0.5, linktype="one:one",
     )
     sel = links.select("correct").collect()
-    precision = sum(1 for r in sel if r["correct"]) / max(len(sel), 1)
-    assert precision >= 0.95
+    tp = sum(1 for r in sel if r["correct"])
+    precision = tp / max(len(sel), 1)
+    positives = labeled_features.where("correct").count()
+    recall = tp / max(positives, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.96, (precision, recall, f1)
     assert len(sel) > 150

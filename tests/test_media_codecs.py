@@ -1,0 +1,156 @@
+"""Real stdlib media codecs (PNG/WAV) + multimodal integration."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from capelinker_spark.operators.media_codecs import (
+    _PNG_MAGIC,
+    audio_feature_vector,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    image_feature_vector,
+    resize_nearest,
+)
+from capelinker_spark.operators.multimodal import (
+    IMAGE_FEATURE_DIM,
+    binary_metadata,
+    decode_image,
+    extract_image_features,
+)
+
+
+def _rand_img(h, w, ch, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    return a[:, :, 0] if ch == 1 else a
+
+
+def test_png_roundtrip_all_color_types():
+    for ch, seed in [(1, 1), (2, 2), (3, 3), (4, 4)]:
+        src = _rand_img(13, 7, ch, seed)
+        back = decode_png(encode_png(src))
+        want = src[:, :, None] if src.ndim == 2 else src
+        assert back.shape == want.shape
+        assert np.array_equal(back, want)
+
+
+def _forward_filter(img, filters):
+    """Apply PNG forward filtering row-by-row (test-side reference)."""
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        ft = filters[y % len(filters)]
+        out.append(ft)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                v = row[i]
+            elif ft == 1:
+                v = row[i] - a
+            elif ft == 2:
+                v = row[i] - b
+            elif ft == 3:
+                v = row[i] - ((a + b) >> 1)
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = row[i] - pred
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def test_png_decode_every_filter_type():
+    src = _rand_img(10, 6, 3, seed=7)
+    raw = _forward_filter(src, filters=[0, 1, 2, 3, 4])
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", 6, 10, 8, 2, 0, 0, 0)
+    png = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), src)
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError, match="magic"):
+        decode_png(b"JFIF" * 10)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    with pytest.raises(ValueError, match="depth"):
+        decode_png(_PNG_MAGIC + chunk(b"IHDR", ihdr16) + chunk(b"IEND", b""))
+
+
+def test_resize_nearest():
+    src = _rand_img(8, 8, 3, seed=9)
+    small = resize_nearest(src, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(small, src[::2, ::2])  # exact 2x decimation
+    big = resize_nearest(small, 8, 8)
+    assert big.shape == (8, 8, 3)
+
+
+def test_wav_roundtrip():
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, r = decode_wav(encode_wav(sig, rate))
+    assert r == rate and samples.shape == (len(t), 1)
+    assert np.abs(samples[:, 0] - sig).max() < 1.5 / 32767
+
+
+def test_feature_vectors_deterministic():
+    img = _rand_img(12, 12, 3, seed=5)
+    f1, f2 = image_feature_vector(img), image_feature_vector(img)
+    assert f1.shape == (16,) and np.array_equal(f1, f2)
+    assert f1[0] == 12.0 and f1[2] == 3.0
+    sig = np.sin(np.arange(2000) / 10.0)
+    a = audio_feature_vector(sig, 8000)
+    assert a.shape == (16,) and a[0] == pytest.approx(0.25)
+
+
+def test_decode_image_real_formats():
+    img = _rand_img(6, 6, 3, seed=11)
+    feats = decode_image(encode_png(img))  # fake NOT set: real path
+    assert np.array_equal(feats, image_feature_vector(img, IMAGE_FEATURE_DIM))
+    wav = encode_wav(np.sin(np.arange(800) / 5.0), 8000)
+    afeats = decode_image(wav)
+    assert afeats.shape == (IMAGE_FEATURE_DIM,)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+
+
+def test_spark_extract_real_png(spark):
+    imgs = {f"u{i}": _rand_img(5 + i, 4, 3, seed=i) for i in range(4)}
+    rows = [(u, bytearray(encode_png(a))) for u, a in imgs.items()]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_image_features(df, fake=False).collect()
+    assert len(out) == 4
+    for r in out:
+        want = image_feature_vector(imgs[r["url"]], IMAGE_FEATURE_DIM)
+        assert np.allclose(r["image_features"], want)
+    meta = {r["url"]: r["format"] for r in binary_metadata(df).collect()}
+    assert set(meta.values()) == {"png"}
