@@ -55,6 +55,7 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 50,
     reliable_checkpoint: bool = False,
+    jump_after: int = 2,
 ) -> DataFrame:
     """Min-label propagation + pointer jumping: returns (node, component)
     with component = min node id reachable — the deterministic min-id
@@ -93,7 +94,7 @@ def connected_components(
     labels = _ckpt(labels)
 
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
@@ -105,21 +106,26 @@ def connected_components(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
         )
-        # pointer jump: component ← label(component). Valid because labels
-        # only ever hold REACHABLE node ids, so composition stays reachable
-        # and monotonically non-increasing.
-        parent = propagated.select(
-            F.col("node").alias("_p"), F.col("component").alias("_pc")
-        )
-        new_labels = _ckpt(
-            propagated.join(parent, propagated["component"] == parent["_p"], "left")
-            .select(
+        if it >= jump_after:
+            # pointer jump: component ← label(component). Valid because
+            # labels only ever hold REACHABLE node ids, so composition stays
+            # reachable and monotonically non-increasing. Applied only once
+            # plain propagation hasn't converged (iteration ≥ jump_after):
+            # linkage graphs are near-cliques that close in 2-3 rounds, so
+            # the extra compression join would be pure overhead there, while
+            # long chains still get the O(log diameter) doubling.
+            parent = propagated.select(
+                F.col("node").alias("_p"), F.col("component").alias("_pc")
+            )
+            propagated = propagated.join(
+                parent, propagated["component"] == parent["_p"], "left"
+            ).select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
             )
-        )
+        new_labels = _ckpt(propagated)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -177,7 +177,18 @@ class LinkagePipeline:
                 feat = feat.withColumn(
                     f"{v}_missing", F.col(v).isNull().cast("double")
                 )
-            return feat
+            # checkpoint width: ids + COMPUTED feature columns only. The
+            # ~30 raw name/numeric columns already live in the candidates
+            # checkpoint — rewriting those strings made the parquet write
+            # the features stage's dominant cost once the C kernel removed
+            # the UDF bottleneck (round-2 profile: 40 s write vs 6 s
+            # compute). Anyone needing names joins candidates/records back
+            # on the ids.
+            carried = set(cnd.columns)
+            keep = ["persid_from", "persid_to"] + [
+                c for c in feat.columns if c not in carried
+            ]
+            return feat.select(*keep)
 
         feats = self._stage("features", _features, resume)
 
@@ -296,6 +307,17 @@ class LinkagePipeline:
         )
         train, _ = group_split(labeled, "persid_from", cfg.train_frac, cfg.seed)
         cols = [c for c in cfg.model_features if c in feats.columns] + ["correct"]
-        pdf = train.select(*cols).limit(cfg.max_training_pairs).toPandas()
+        # deterministic training sample: a bare limit() takes whichever
+        # partitions answer first, so the trained weights (and thus the
+        # selected links) would vary with the physical plan. Ordered top-k
+        # (TakeOrderedAndProject — no full sort materialization) pins the
+        # sample to the pair-id order regardless of partitioning.
+        pdf = (
+            train.select("persid_from", "persid_to", *cols)
+            .orderBy("persid_from", "persid_to")
+            .limit(cfg.max_training_pairs)
+            .drop("persid_from", "persid_to")
+            .toPandas()
+        )
         features = [c for c in cols if c != "correct"]
         return train_logistic(pdf, features, seed=cfg.seed)
