@@ -143,3 +143,15 @@ def test_no_per_row_python(result):
     for name in ("candidates", "features", "scores", "links"):
         plan = result[name]._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
+
+
+def test_features_checkpoint_pruned(result):
+    """The features checkpoint carries ids + COMPUTED columns only — raw
+    name strings stay in the candidates checkpoint (round-2 profile: the
+    wide rewrite was the stage's dominant cost once the C kernel removed
+    the UDF bottleneck)."""
+    cols = set(result["features"].columns)
+    assert {"persid_from", "persid_to"} <= cols
+    assert "mlastdist" in cols and "matches" in cols
+    for raw in ("mlast_from", "mlast_to", "wfirst_from", "year_from"):
+        assert raw not in cols, raw
