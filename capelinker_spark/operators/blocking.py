@@ -83,6 +83,35 @@ def explode_salt(df: DataFrame, n: int, out: str = "_salt") -> DataFrame:
     )
 
 
+def auto_salt_count(
+    lhs_keyed: DataFrame,
+    rhs_keyed: DataFrame,
+    key_col: str = "_k",
+    target_pairs: int = 10_000_000,
+    max_salt: int = 1024,
+) -> int:
+    """Derive the salt count from the OBSERVED key histogram instead of a
+    fixed constant (SCALING.md "what changes on a real cluster" #4; north
+    rule: salted repartition-by-key to defuse skew).
+
+    The hottest reducer of an unsalted equi-join processes the block with
+    the largest nf·nt pair product, so salt = ceil(max_k(nf·nt) /
+    target_pairs), clamped to [1, max_salt]. Cost: two key-count aggs + a
+    join on distinct keys + a 1-row collect — bounded driver-side, cheap
+    relative to the pair generation it sizes."""
+    import math
+
+    nf = lhs_keyed.groupBy(key_col).agg(F.count("*").alias("_nf"))
+    nt = rhs_keyed.groupBy(key_col).agg(F.count("*").alias("_nt"))
+    row = (
+        nf.join(nt, key_col)
+        .agg(F.max(F.col("_nf") * F.col("_nt")).alias("_m"))
+        .collect()[0]
+    )
+    m = row["_m"] or 0
+    return max(1, min(max_salt, math.ceil(m / target_pairs)))
+
+
 def block_stats(pairs: DataFrame, key_col: str) -> DataFrame:
     """Per-block lineage metrics: pair count per blocking key (feeds the
     qa.lineage rows; also the input to choosing a salt count)."""

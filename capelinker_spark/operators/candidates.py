@@ -155,7 +155,7 @@ def candidates(
     sigma: float = 1.0,
     jw_p: float = 0.1,
     preblock: str | None = None,
-    salt: int | None = None,
+    salt: int | str | None = None,
     keep_unmatched: str = "from",
     idf_quant: int | None = None,
 ) -> DataFrame:
@@ -174,7 +174,8 @@ def candidates(
     error the exact mode would still catch. ``salt`` splits giant blocks
     across ``salt`` reducers for the soundex/first-letter equi-joins.
     ``keep_unmatched``: 'from' (left), 'both' (the reference's all=TRUE
-    full-outer), or 'none' (inner).
+    full-outer), or 'none' (inner). ``salt="auto"`` derives the count from
+    the observed key histogram (blocking.auto_salt_count).
     """
     if blocktype not in BLOCKTYPES:
         raise ValueError(f"unknown blocktype {blocktype!r}")
@@ -195,6 +196,7 @@ def candidates(
     if blocktype == "soundex":
         lhs = f.withColumn("_k", F.soundex("_bvf"))
         rhs = t.withColumn("_k", F.soundex("_bvt"))
+        salt = _resolve_salt(salt, lhs, rhs)
         if salt:
             lhs = B.add_salt(lhs, "_idf", salt)
             rhs = B.explode_salt(rhs, salt)
@@ -209,6 +211,7 @@ def candidates(
         if preblock == "first_letter":
             lhs = f.withColumn("_k", B.first_letter_key(F.col("_bvf")))
             rhs = t.withColumn("_k", B.first_letter_key(F.col("_bvt")))
+            salt = _resolve_salt(salt, lhs, rhs)
             if salt:
                 lhs = B.add_salt(lhs, "_idf", salt)
                 rhs = B.explode_salt(rhs, salt)
@@ -262,13 +265,21 @@ def candidates(
     return _assemble(dat_from, dat_to, pairs, idf_, idt, keep_unmatched)
 
 
+def _resolve_salt(salt, lhs_keyed: DataFrame, rhs_keyed: DataFrame) -> int | None:
+    """salt="auto" → histogram-derived count (1 collapses to unsalted)."""
+    if salt == "auto":
+        n = B.auto_salt_count(lhs_keyed, rhs_keyed)
+        return n if n > 1 else None
+    return salt
+
+
 def candidates_multikey(
     dat_from: DataFrame,
     dat_to: DataFrame,
     key_exprs: list,
     idvariable_from: str = "persid",
     idvariable_to: str = "persid",
-    salt: int | None = None,
+    salt: int | str | None = None,
     keep_unmatched: str = "from",
 ) -> DataFrame:
     """Multi-key blocking: the union of equi-joins over several derived keys
@@ -288,9 +299,10 @@ def candidates_multikey(
         rhs = dat_to.select(
             F.col(idvariable_to).alias("_idt"), key_fn(dat_to).alias("_k")
         ).where(F.col("_k").isNotNull())
-        if salt:
-            lhs = B.add_salt(lhs, "_idf", salt)
-            rhs = B.explode_salt(rhs, salt)
+        key_salt = _resolve_salt(salt, lhs, rhs)
+        if key_salt:
+            lhs = B.add_salt(lhs, "_idf", key_salt)
+            rhs = B.explode_salt(rhs, key_salt)
             pair_sets.append(lhs.join(rhs, ["_k", "_salt"]).select("_idf", "_idt"))
         else:
             pair_sets.append(lhs.join(rhs, "_k").select("_idf", "_idt"))

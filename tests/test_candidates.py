@@ -147,3 +147,42 @@ def test_keep_unmatched_both(spark, d1, d2):
     inner = candidates(d1, d2, blocktype="soundex", keep_unmatched="none")
     assert inner.where(F.col("persid_to").isNull()).count() == 0
     assert inner.where(F.col("persid_from").isNull()).count() == 0
+
+
+def test_auto_salt_count(spark):
+    """Histogram-derived salt: max block pair product / target, clamped."""
+    from capelinker_spark.operators.blocking import auto_salt_count
+
+    lhs = spark.createDataFrame(
+        [("B300", i) for i in range(200)] + [("X999", 0)], "_k string, _idf int"
+    )
+    rhs = spark.createDataFrame(
+        [("B300", i) for i in range(100)] + [("Y111", 0)], "_k string, _idt int"
+    )
+    # hottest block: 200*100 = 20_000 pairs
+    assert auto_salt_count(lhs, rhs, target_pairs=1000) == 20
+    assert auto_salt_count(lhs, rhs, target_pairs=1000, max_salt=8) == 8
+    assert auto_salt_count(lhs, rhs, target_pairs=10_000_000) == 1
+    # no overlapping keys -> max over empty join -> salt 1
+    assert auto_salt_count(lhs.where("_k = 'X999'"), rhs.where("_k = 'Y111'")) == 1
+
+
+def test_candidates_salt_auto_equivalence(spark):
+    """salt='auto' produces the same pair set as unsalted blocking."""
+    from capelinker_spark.operators.candidates import candidates
+
+    f = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(["BOTHA"] * 30 + ["SMIT", "JONKER"])],
+        "persid long, mlast string",
+    )
+    t = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(["BOTHA"] * 25 + ["SMIT", "MEYER"])],
+        "persid long, mlast string",
+    )
+    def pairset(salt):
+        out = candidates(
+            f, t, blocktype="soundex", salt=salt, keep_unmatched="none"
+        )
+        return {(r["persid_from"], r["persid_to"]) for r in out.collect()}
+
+    assert pairset("auto") == pairset(None) != set()
