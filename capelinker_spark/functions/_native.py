@@ -26,20 +26,51 @@ _LIB = None
 _TRIED = False
 
 
-def _build() -> str | None:
+def _read_src() -> bytes | None:
+    """Read _strdistc.c from the package dir — including when the package is
+    zip-resident (``spark-submit --py-files``: __file__ points inside the
+    shipped .zip, where plain open() fails)."""
     try:
         with open(_SRC, "rb") as f:
-            tag = hashlib.md5(f.read()).hexdigest()[:12]
+            return f.read()
     except OSError:
+        pass
+    # walk up until an existing FILE (the zip archive), read the remainder
+    path = _SRC
+    parts: list[str] = []
+    while path and path != os.path.dirname(path):
+        if os.path.isfile(path):
+            try:
+                import zipfile
+
+                with zipfile.ZipFile(path) as z:
+                    return z.read("/".join(parts))
+            except Exception:
+                return None
+        path, tail = os.path.split(path)
+        parts.insert(0, tail)
+    return None
+
+
+def _build() -> str | None:
+    src = _read_src()
+    if src is None:
         return None
+    tag = hashlib.md5(src).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"capelinker_native_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, f"strdistc_{tag}.so")
     if not os.path.exists(so):
+        csrc = os.path.join(cache, f"strdistc_{tag}.c")
+        if not os.path.exists(csrc):
+            ctmp = csrc + f".tmp{os.getpid()}"
+            with open(ctmp, "wb") as f:
+                f.write(src)
+            os.replace(ctmp, csrc)
         tmp = so + f".tmp{os.getpid()}"
         try:
             subprocess.run(
-                ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC],
+                ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, csrc],
                 check=True,
                 capture_output=True,
                 timeout=60,

@@ -62,3 +62,41 @@ def test_jw_sql_null_and_equal(con):
     ).fetchone()
     assert row[0] is None
     assert row[1] == 0.0
+
+
+def test_float_queries_order_independent(spark):
+    """The exactness design (integer accumulation + a single IEEE
+    expression) must make float outputs independent of physical execution:
+    rerun the cosine/uniqueness queries at a different shuffle-partition
+    count and compare BIT-identical values (struct.pack, not approx)."""
+    import struct
+
+    from capelinker_spark.entry_queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    def snapshot(name):
+        df = QUERIES[name](spark, sf_dir)
+        cols = sorted(df.columns)
+        rows = []
+        for r in df.select(*cols).collect():
+            rows.append(
+                tuple(
+                    struct.pack("<d", v).hex() if isinstance(v, float) else v
+                    for v in r
+                )
+            )
+        return sorted(rows)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ("f9_cos_uniqueness", "j3b_bigram_cosine_join",
+                     "f8_jw_uniqueness", "m1_logistic_score"):
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = snapshot(name)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            b = snapshot(name)
+            assert a == b, name
+            assert len(a) > 0, name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
