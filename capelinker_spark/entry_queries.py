@@ -1727,3 +1727,74 @@ def u4_uniformise_strings(spark, sf_dir):
     return out.groupBy(F.col("w").alias("word"), F.col("unif")).agg(
         F.count("*").alias("n")
     ).select("word", "n", "unif")
+
+
+_ST_COUNTER = [0]
+
+
+@register(
+    "st1_streaming_window_agg",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
+              event_type, count(*) AS n,
+              sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def st1_streaming_window_agg(spark, sf_dir):
+    """Structured Streaming ≡ batch: stateful 1-hour-bucket aggregation over
+    the events table consumed AS A STREAM (parquet file source →
+    Trigger.AvailableNow → complete-mode memory sink), checked against the
+    plain GROUP BY oracle. Engine-portable details: ``ts`` is
+    TIMESTAMP_NTZ, so the hour bucket is ``date_trunc`` on the naive value
+    and the output string never passes through session-timezone math; the
+    double sum runs through DECIMAL(18,2) so accumulation order can't
+    change the result. The watermarked tumbling-window variant (which
+    needs an instant-typed event time) lives in streaming.page_ingest_stats
+    and is locked stream≡batch by tests/test_streaming.py — this query is
+    its driver-visible, oracle-checked face."""
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the streaming file source requires a DIRECTORY; the test table is a
+    # single parquet file, so expose it through a symlink dir (content
+    # untouched — on a real deployment the source is already a directory/
+    # table location)
+    tag = _hl.md5(_os.path.abspath(path).encode()).hexdigest()[:10]
+    stream_dir = _os.path.join(_tf.gettempdir(), f"st1_events_{tag}")
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        try:
+            _os.symlink(_os.path.abspath(path), link)
+        except OSError:
+            import shutil as _sh
+
+            _sh.copyfile(path, link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    agg = (
+        stream.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+            .alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+    )
+    _ST_COUNTER[0] += 1
+    qname = f"st1_mem_{_ST_COUNTER[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(qname).select(
+        "hour_start", "event_type", "n",
+        F.col("_sv").cast("double").alias("sum_value"),
+    )

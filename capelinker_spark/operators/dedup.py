@@ -75,25 +75,44 @@ def minhash_table(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_words: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """k min-wise hashes per document: min(md5(seed || shingle)) over the
-    distinct word shingles. md5-string min is a valid min-wise hash family
-    member per seed; lowercase-hex string ordering is engine-portable.
+    """k min-wise hashes per document: min(hash(seed || shingle)) over the
+    distinct word shingles.
+
+    ``hash_fn``:
+
+    * ``"md5"`` (default) — min over lowercase-hex md5 strings: engine-
+      portable ordering, so the DuckDB oracle reproduces signatures exactly
+      (the correctness tier).
+    * ``"xxhash64"`` — min over signed-long xxhash64 values: JVM-native and
+      ~10× cheaper than 16 md5s per shingle; same min-wise family
+      guarantee, NOT cross-engine reproducible (no DuckDB twin) — the
+      production tier for 100-TB corpora, equivalence-of-behaviour locked
+      by pytest (same near-dup pairs on the fixture corpus).
 
     Long-form plan: explode shingles → one hash aggregation computing all k
     mins (each shingle row hashed k times, ONCE — not k recomputations of
     the shingle array), with the groupBy shuffle providing parallelism
-    regardless of input file partitioning."""
+    regardless of input file partitioning. Downstream banding
+    (lsh_candidate_pairs) is agnostic to the signature type."""
     exploded = df.select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("_sh"),
     )
-    return exploded.groupBy(id_col).agg(
-        *[
+    if hash_fn == "md5":
+        cols = [
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("_sh")))).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
-    )
+    elif hash_fn == "xxhash64":
+        cols = [
+            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+    return exploded.groupBy(id_col).agg(*cols)
 
 
 def _cap_buckets(
@@ -167,14 +186,17 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_words: int = 3,
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → band join → exact
     Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard).
 
     At corpus scale, run ``dedup_exact`` first (one line) — exact copies
-    otherwise inflate every shared band quadratically — and set
-    ``max_bucket_size`` as a belt-and-braces cap."""
-    mh = minhash_table(df, text_col, id_col, num_hashes, shingle_words)
+    otherwise inflate every shared band quadratically — set
+    ``max_bucket_size`` as a belt-and-braces cap, and use
+    ``hash_fn="xxhash64"`` (JVM-native signatures, ~10× cheaper than md5;
+    see minhash_table)."""
+    mh = minhash_table(df, text_col, id_col, num_hashes, shingle_words, hash_fn)
     cand = lsh_candidate_pairs(mh, id_col, num_hashes, bands, max_bucket_size)
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_words).alias("_sh")

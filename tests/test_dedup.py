@@ -92,3 +92,46 @@ def test_word_shingles(spark):
     got = df.select(D.word_shingles(F.col("t"), 3).alias("s")).collect()
     assert got[0]["s"] == ["a b c", "b c d"]
     assert got[1]["s"] == ["a b"]  # shorter than n → whole string
+
+
+def test_minhash_xxhash64_production_tier(spark, docs_with_dups):
+    """hash_fn='xxhash64' (JVM-native signatures, ~10x cheaper, no DuckDB
+    twin). Every emitted pair is Jaccard-verified, so both tiers emit only
+    TRUE near-dups (subset of brute force); banding recall is probabilistic
+    per hash family, so the assertion is precision=1 + high recall for each
+    tier, not pair-set equality."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard,
+        word_shingles,
+    )
+
+    sh = docs_with_dups.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("_sh")
+    )
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in (
+            sh.alias("a")
+            .crossJoin(sh.alias("b"))
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                ngram_jaccard(F.col("a._sh"), F.col("b._sh")).alias("j"),
+            )
+            .where(F.col("j") >= 0.5)
+        ).collect()
+    }
+    assert len(truth) > 5
+    for hash_fn in ("md5", "xxhash64"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_near_duplicates(
+                docs_with_dups, threshold=0.5, hash_fn=hash_fn
+            ).collect()
+        }
+        assert pairs <= truth, hash_fn  # verify stage: perfect precision
+        assert len(pairs) >= 0.8 * len(truth), (hash_fn, len(pairs), len(truth))
