@@ -162,13 +162,22 @@ HEADLINE_QUERIES = [
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
-    from capelinker_spark.entry_queries import QUERIES
+    from capelinker_spark.entry_queries import QUERIES, _docs_plus_dups
+    from capelinker_spark.operators.dedup import minhash_near_duplicates
 
     out = {}
     for name in HEADLINE_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         out[name] = round(time.time() - t0, 3)
+    # production MinHash tier: same input/params as dd3 but xxhash64
+    # signatures (JVM-native, no engine-portable-md5 tax; see dedup.py)
+    t0 = time.time()
+    minhash_near_duplicates(
+        _docs_plus_dups(spark, sf_dir), threshold=0.5,
+        num_hashes=16, bands=4, hash_fn="xxhash64",
+    ).count()
+    out["dd3_xxhash_tier"] = round(time.time() - t0, 3)
     return out
 
 
