@@ -307,17 +307,24 @@ class LinkagePipeline:
         )
         train, _ = group_split(labeled, "persid_from", cfg.train_frac, cfg.seed)
         cols = [c for c in cfg.model_features if c in feats.columns] + ["correct"]
-        # deterministic training sample: a bare limit() takes whichever
-        # partitions answer first, so the trained weights (and thus the
-        # selected links) would vary with the physical plan. Ordered top-k
-        # (TakeOrderedAndProject — no full sort materialization) pins the
-        # sample to the pair-id order regardless of partitioning.
-        pdf = (
-            train.select("persid_from", "persid_to", *cols)
-            .orderBy("persid_from", "persid_to")
-            .limit(cfg.max_training_pairs)
-            .drop("persid_from", "persid_to")
-            .toPandas()
-        )
+        # deterministic BOUNDED training sample. A bare limit() takes
+        # whichever partitions answer first (weights then vary with the
+        # physical plan), and an ordered limit ships top-k rows from EVERY
+        # partition to the driver (blew spark.driver.maxResultSize at 3×
+        # the bench corpus). Instead: keep a row iff
+        # xxhash64(pair ids, seed) mod n < cap — a pure per-row filter,
+        # partitioning-independent, expected size cap ± O(√cap), no sort,
+        # no oversized driver collect.
+        n = train.count()
+        sample = train
+        if n > cfg.max_training_pairs:
+            sample = train.where(
+                F.pmod(
+                    F.xxhash64("persid_from", "persid_to", F.lit(cfg.seed)),
+                    F.lit(n),
+                )
+                < F.lit(cfg.max_training_pairs)
+            )
+        pdf = sample.select(*cols).toPandas()
         features = [c for c in cols if c != "correct"]
         return train_logistic(pdf, features, seed=cfg.seed)
