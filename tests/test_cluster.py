@@ -112,3 +112,30 @@ def test_expand_index_null_candidates_untouched_and_split(spark):
     got = {r["rid"]: r["index"] for r in expand_index(df).collect()}
     assert got[1] == 10 and got[2] is None  # NULL candidate: untouched
     assert got[3] == 7 and got[4] == 7  # one existing index: NAs filled
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Cluster-mode lineage truncation: with reliable_checkpoint=True each
+    round checkpoints to the configured checkpoint dir (survives executor
+    loss, unlike localCheckpoint) and the labels match the default path."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)] + [(1, 2), (21, 22)],
+        "src long, dst long",
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, reliable_checkpoint=True).collect()
+    }
+    assert got == want
+    import os
+
+    assert any(os.scandir(tmp_path / "ckpt"))  # checkpoints actually landed
