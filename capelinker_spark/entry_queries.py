@@ -1798,3 +1798,48 @@ def st1_streaming_window_agg(spark, sf_dir):
         "hour_start", "event_type", "n",
         F.col("_sv").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "dd6_near_dedup_canonical",
+    f"""WITH RECURSIVE all_docs AS ({_DOCS_PLUS_DUPS}),
+        mh AS (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
+        banded AS (
+          SELECT doc_id, b.band,
+                 CASE b.band
+                   WHEN 0 THEN md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3)
+                   WHEN 1 THEN md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)
+                   WHEN 2 THEN md5(mh8 || '|' || mh9 || '|' || mh10 || '|' || mh11)
+                   ELSE md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)
+                 END AS key
+          FROM mh, (SELECT unnest(range(0, 4)) AS band) b),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sh AS (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs),
+        prs AS (SELECT id_a, id_b
+                FROM cand JOIN sh sa ON sa.doc_id = id_a
+                JOIN sh sb ON sb.doc_id = id_b
+                WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+                      len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+        edges AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        reach AS (SELECT doc_id AS s, doc_id AS lbl FROM all_docs
+                  UNION
+                  SELECT e.d AS s, r.lbl FROM reach r
+                  JOIN edges e ON e.s = r.s)
+        SELECT s AS doc_id, min(lbl) AS canonical_id
+        FROM reach GROUP BY s""",
+)
+def dd6_near_dedup_canonical(spark, sf_dir):
+    """Near-dup clustering to canonical docs: MinHash-LSH pairs (16 hashes,
+    4 bands, exact-Jaccard ≥ 0.5) → connected components → canonical =
+    min reachable doc_id; singletons keep their own id. The oracle closes
+    the same edge set with a recursive CTE. Jaccard edges compare the
+    UNROUNDED single-IEEE-division value — exact on both engines because
+    intersection/union counts are integers."""
+    from capelinker_spark.operators.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(
+        _docs_plus_dups(spark, sf_dir), threshold=0.5, num_hashes=16, bands=4
+    )

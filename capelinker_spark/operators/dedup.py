@@ -293,3 +293,42 @@ def simhash_near_duplicates(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-dup pairs → transitive clusters → canonical doc per cluster
+    (min id, the same deterministic tie-break as exact_duplicates). Every
+    input doc is retained: members of a near-dup component map to the
+    component's min id, singletons map to themselves — the standard
+    corpus-dedup shape (keep one representative per near-dup cluster,
+    ``df.where(doc_id == canonical_id)`` downstream).
+
+    Jaccard is a single IEEE division of exact intersection/union counts,
+    so the ≥ threshold edge set is engine-reproducible unrounded."""
+    from capelinker_spark.operators.cluster import connected_components
+
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold, num_hashes, bands,
+        shingle_words, max_bucket_size, hash_fn,
+    )
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

@@ -135,3 +135,28 @@ def test_minhash_xxhash64_production_tier(spark, docs_with_dups):
         }
         assert pairs <= truth, hash_fn  # verify stage: perfect precision
         assert len(pairs) >= 0.8 * len(truth), (hash_fn, len(pairs), len(truth))
+
+
+def test_near_duplicate_clusters(spark, docs_with_dups):
+    """Planted exact+near duplicates collapse to one canonical id (the min
+    of the component); untouched docs stay singletons."""
+    from capelinker_spark.operators.dedup import near_duplicate_clusters
+
+    out = near_duplicate_clusters(docs_with_dups, threshold=0.5)
+    assert out.count() == docs_with_dups.count()  # every doc retained
+    rows = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    # doc i (limit 50) + exact copy (i+1e6) + near copy (i+2e6): the triad
+    # collapses onto its min member
+    planted = [i for i in rows if i < 1_000_000 and i + 1_000_000 in rows]
+    assert len(planted) == 50
+    collapsed = sum(
+        1 for i in planted
+        if rows[i + 1_000_000] == i and rows[i + 2_000_000] == i and rows[i] == i
+    )
+    assert collapsed >= 0.8 * len(planted)  # banding recall
+    # canonical is always the component minimum: no member maps upward
+    assert all(c <= d for d, c in rows.items())
+    singles = [
+        d for d, c in rows.items() if c == d and d not in planted and d < 1_000_000
+    ]
+    assert len(singles) > 100  # non-planted docs stay themselves
