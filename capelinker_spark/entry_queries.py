@@ -1843,3 +1843,45 @@ def dd6_near_dedup_canonical(spark, sf_dir):
     return near_duplicate_clusters(
         _docs_plus_dups(spark, sf_dir), threshold=0.5, num_hashes=16, bands=4
     )
+
+
+@register(
+    "ann3_embedding_dedup_canonical",
+    f"""WITH RECURSIVE e AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+            FROM embeddings WHERE vec_id < 10),
+        prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.995),
+        edges AS (SELECT id_a AS s, id_b AS d FROM prs
+                  UNION ALL SELECT id_b, id_a FROM prs),
+        reach AS (SELECT vec_id AS s, vec_id AS lbl FROM e
+                  UNION
+                  SELECT ed.d AS s, r.lbl FROM reach r
+                  JOIN edges ed ON ed.s = r.s)
+        SELECT s AS vec_id, min(lbl) AS canonical_id
+        FROM reach GROUP BY s""",
+)
+def ann3_embedding_dedup_canonical(spark, sf_dir):
+    """Embedding near-dup clustering → canonical vectors: LSH-bucketed
+    cosine pairs (rounded-6dp ≥ 0.995, module convention) → connected
+    components → canonical = min reachable vec_id; singletons keep their
+    id. Oracle: exhaustive pair scan + recursive-CTE closure. The LSH
+    index reaches the same edge set as the oracle's exhaustive scan at
+    this near-identical threshold."""
+    from capelinker_spark.operators.simsearch import embedding_dedup_canonical
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_dedup_canonical(
+        e.unionByName(planted), threshold=0.995, quantize=6,
+        n_tables=8, bits_per_table=4,
+    )

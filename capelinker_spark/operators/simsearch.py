@@ -268,3 +268,43 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def embedding_dedup_canonical(
+    df: DataFrame,
+    threshold: float = 0.95,
+    quantize: int | None = None,
+    n_tables: int = 6,
+    bits_per_table: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs → transitive clusters → canonical vector per
+    cluster (min id; singletons keep their own id) — the embedding-space
+    analog of dedup.near_duplicate_clusters, same output contract
+    (id, canonical_id; filter ``id == canonical_id`` keeps one
+    representative per cluster).
+
+    ``quantize``: round the cosine to this many decimals BEFORE the
+    threshold (the module convention for engine-portable edge sets)."""
+    from capelinker_spark.operators.cluster import connected_components
+
+    pairs = embedding_near_duplicates(
+        df, -1.0, None, n_tables, bits_per_table, seed, id_col, vec_col
+    )
+    sim = F.col("cos_sim")
+    if quantize is not None:
+        sim = F.round(sim, quantize)
+    edges = pairs.where(sim >= threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        df.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )

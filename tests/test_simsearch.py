@@ -104,3 +104,25 @@ def test_cosine_expr(spark):
     got = [r["c"] for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got[0] == pytest.approx(0.0)
     assert got[1] == pytest.approx(1.0)
+
+
+def test_embedding_dedup_canonical(spark, emb):
+    """Planted duplicate vectors collapse onto the min id of their cluster;
+    untouched vectors stay singletons; every row is retained."""
+    e = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = e.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    df = e.unionByName(planted)
+    out = S.embedding_dedup_canonical(
+        df, threshold=0.995, quantize=6, n_tables=8, bits_per_table=4
+    )
+    assert out.count() == df.count()
+    rows = {r["vec_id"]: r["canonical_id"] for r in out.collect()}
+    assert all(rows[i + 100000] == i and rows[i] == i for i in range(10))
+    assert all(c <= v for v, c in rows.items())
+    n_singletons = sum(1 for v, c in rows.items() if c == v and v >= 10 and v < 100000)
+    assert n_singletons > 0.9 * (len(rows) - 20)
