@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 
 def _avg_rank(score: Column, by: Column) -> Column:
     w = Window.partitionBy(by).orderBy(F.desc_nulls_last(score))
-    ties = Window.partitionBy(by, score)
+    # tie count as the PEER count of the same sorted window (range frame
+    # bounded at the current row ⇒ rows with an equal ORDER value). A
+    # partitionBy(by, score) count would be semantically identical but
+    # hash-shuffles on a different key — one extra exchange per side on
+    # the pipeline's widest table.
+    ties = w.rangeBetween(Window.currentRow, Window.currentRow)
     return F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
 
 
