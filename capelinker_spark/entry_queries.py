@@ -568,7 +568,9 @@ def m2_dual_rank_select(spark, sf_dir):
     tied tops select nothing)."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
-    ties = Window.partitionBy("o_custkey", "o_totalprice")
+    # peer count reuses w's sort (one exchange, not two) — same plan shape
+    # as operators.predict._avg_rank
+    ties = w.rangeBetween(Window.currentRow, Window.currentRow)
     return (
         o.withColumn(
             "rank_from", F.rank().over(w) + (F.count("*").over(ties) - 1) / 2.0
