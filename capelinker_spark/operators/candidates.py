@@ -281,6 +281,7 @@ def candidates_multikey(
     idvariable_to: str = "persid",
     salt: int | str | None = None,
     keep_unmatched: str = "from",
+    assemble: bool = True,
 ) -> DataFrame:
     """Multi-key blocking: the union of equi-joins over several derived keys
     (e.g. soundex(mlast), soundex(mlast_woprefix), soundex(mfirst)) — a pair
@@ -290,6 +291,12 @@ def candidates_multikey(
     standard recall fix for noisy blocking keys at scale.
 
     ``key_exprs``: list of callables DataFrame-column-builder (df → Column).
+
+    ``assemble=False`` returns the NARROW pair table
+    ``({idf}_from, {idt}_to, score)`` without joining the record payloads
+    back — the scale-preferred shape for checkpointing: pair-generation
+    shuffles then move ids+keys only, and the payload join happens exactly
+    once, downstream, against the (already checkpointed) records table.
     """
     pair_sets = []
     for i, key_fn in enumerate(key_exprs):
@@ -310,6 +317,12 @@ def candidates_multikey(
     for p in pair_sets[1:]:
         pairs = pairs.union(p)
     pairs = pairs.distinct().withColumn("score", F.lit(None).cast("double"))
+    if not assemble:
+        return pairs.select(
+            F.col("_idf").alias(f"{idvariable_from}_from"),
+            F.col("_idt").alias(f"{idvariable_to}_to"),
+            "score",
+        )
     return _assemble(
         dat_from, dat_to, pairs, idvariable_from, idvariable_to, keep_unmatched
     )

@@ -131,11 +131,11 @@ class LinkagePipeline:
                     lambda df: F.soundex(F.col(f"{bv}_woprefix")),
                     lambda df: F.soundex(F.col("mfirst")),
                 ]
-                cnd = candidates_multikey(
-                    dat_from, dat_to, keys, salt=cfg.salt
+                pairs = candidates_multikey(
+                    dat_from, dat_to, keys, salt=cfg.salt, assemble=False
                 )
             else:
-                cnd = candidates(
+                wide = candidates(
                     dat_from, dat_to,
                     blockvariable_from=cfg.blockvariable,
                     blockvariable_to=cfg.blockvariable,
@@ -144,10 +144,19 @@ class LinkagePipeline:
                     maxdist=cfg.maxdist,
                     salt=cfg.salt,
                 )
-            # blocking key retained for lineage
-            return cnd.withColumn(
-                "block_key", F.soundex(F.col(f"{cfg.blockvariable}_from"))
+                pairs = wide.where(F.col("persid_to").isNotNull()).select(
+                    "persid_from", "persid_to", "score"
+                )
+            # NARROW pair checkpoint: (persid_from, persid_to, score,
+            # block_key). Record payloads never traverse the pair-generation
+            # shuffles or this write — the features stage joins them back
+            # from the records checkpoint (one payload join, total).
+            # block_key retained for lineage, from the from-side record.
+            bk = dat_from.select(
+                F.col("persid").alias("persid_from"),
+                F.soundex(F.col(cfg.blockvariable)).alias("block_key"),
             )
+            return pairs.join(bk, "persid_from", "left")
 
         cnd = self._stage("candidates", _candidates, resume, key_metrics_col="block_key")
 
@@ -161,6 +170,23 @@ class LinkagePipeline:
             pairs = cnd.where(F.col("persid_to").isNotNull()).repartition(
                 n_parts, F.col("persid_from")
             )
+            # payload join-back: the candidates checkpoint is narrow pair
+            # ids; both record sides attach here from the records
+            # checkpoint (suffix-aliased, same shape _assemble produces).
+            # The records side is small relative to the pair table at every
+            # scale, so AQE broadcasts it locally and hash-joins on a
+            # cluster — either way the pair table keeps the persid_from
+            # partitioning for the matches window below.
+            slim = records.select(
+                *[c for c in link_cols if c in records.columns]
+            )
+            from_s = slim.select(
+                *[F.col(c).alias(f"{c}_from") for c in slim.columns]
+            )
+            to_s = slim.select(
+                *[F.col(c).alias(f"{c}_to") for c in slim.columns]
+            )
+            pairs = pairs.join(from_s, "persid_from").join(to_s, "persid_to")
             feat = FE.distcalc(
                 pairs,
                 character_variables=cfg.character_variables,
@@ -184,7 +210,9 @@ class LinkagePipeline:
             # the UDF bottleneck (round-2 profile: 40 s write vs 6 s
             # compute). Anyone needing names joins candidates/records back
             # on the ids.
-            carried = set(cnd.columns)
+            carried = (
+                set(cnd.columns) | set(from_s.columns) | set(to_s.columns)
+            )
             keep = ["persid_from", "persid_to"] + [
                 c for c in feat.columns if c not in carried
             ]
