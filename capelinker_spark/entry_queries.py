@@ -1887,3 +1887,36 @@ def ann3_embedding_dedup_canonical(spark, sf_dir):
         e.unionByName(planted), threshold=0.995, quantize=6,
         n_tables=8, bits_per_table=4,
     )
+
+
+@register(
+    "ev1_sessionize_stats",
+    """WITH o AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 480 MINUTE
+                     THEN 1 ELSE 0 END AS b
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (
+         SELECT *, sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session
+         FROM o)
+       SELECT user_id, session,
+              count(*) AS n_events,
+              date_diff('microsecond', min(ts), max(ts)) // 1000000 AS span_seconds,
+              sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+       FROM s GROUP BY 1, 2""",
+)
+def ev1_sessionize_stats(spark, sf_dir):
+    """Gap-based sessionization + per-session rollup (the canonical
+    clickstream operator a web-scale event pipeline needs): a session
+    breaks after a 480-minute silence; deterministic within-user order
+    (ts, event_id). All arithmetic is TIMESTAMP_NTZ intervals — zero
+    session-timezone math, so both engines produce identical sessions;
+    the value sum is DECIMAL-routed. One shuffle (user key) for the two
+    stacked windows + the rollup."""
+    from capelinker_spark.operators.events import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, gap_minutes=480, value_col="value")

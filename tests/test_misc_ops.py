@@ -154,3 +154,33 @@ def test_lsh_bucket_cap(spark):
     capped = lsh_candidate_pairs(mh, max_bucket_size=5).count()
     assert uncapped == 12 * 11 // 2
     assert capped == 0
+
+
+def test_sessionize_gap_rule(spark):
+    """Session boundaries at the gap rule; ties broken by event id; spans
+    floored from exact microsecond diffs."""
+    from datetime import datetime
+
+    from capelinker_spark.operators.events import session_stats, sessionize
+
+    rows = [
+        # user 1: three events 10 min apart, then a 2-hour silence, then one
+        (1, 1, datetime(2024, 1, 1, 10, 0, 0)),
+        (1, 2, datetime(2024, 1, 1, 10, 10, 0)),
+        (1, 3, datetime(2024, 1, 1, 10, 20, 0, 500_000)),
+        (1, 4, datetime(2024, 1, 1, 12, 30, 0)),
+        # user 2: single event
+        (2, 5, datetime(2024, 1, 1, 9, 0, 0)),
+        # user 2: same timestamp as event 5 — id breaks the tie, same session
+        (2, 6, datetime(2024, 1, 1, 9, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp_ntz")
+    s = {(r["event_id"]): r["session"] for r in sessionize(df, gap_minutes=30).collect()}
+    assert s == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1}
+    stats = {
+        (r["user_id"], r["session"]): (r["n_events"], r["span_seconds"])
+        for r in session_stats(df, gap_minutes=30).collect()
+    }
+    assert stats[(1, 1)] == (3, 1200)  # 20 min + 0.5 s floors to 1200
+    assert stats[(1, 2)] == (1, 0)
+    assert stats[(2, 1)] == (2, 0)
