@@ -120,3 +120,80 @@ def incremental_link(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sessionize(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+):
+    """Stateful streaming sessionization via ``applyInPandasWithState`` —
+    the custom-stateful-operator API the batch ``operators.events.sessionize``
+    cannot express incrementally.
+
+    Per-user state is two longs: (last event time in µs, running session
+    index). Each micro-batch sorts its arrivals by (ts, id), vectorizes the
+    gap rule with numpy (boundary ⇔ gap > ``gap_minutes``), and carries the
+    counter forward. State for users idle past ``last + gap`` is evicted by
+    an EVENT-TIME timeout against the watermark — bounded state, the thing
+    that keeps a 10^12-event stream runnable. Semantics: within a batch,
+    late events are repaired by the sort; ACROSS batches arrivals must be
+    per-user monotone (true for replayed logs and file streams in order) —
+    matching batch ``sessionize`` exactly in that regime, verified by
+    tests/test_streaming.py across multiple micro-batches.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60_000_000
+    out_schema = (
+        f"{user_col} long, {id_col} long, {ts_col} timestamp, session long"
+    )
+    state_schema = "last_us long, session long"
+
+    def assign(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, id_col], ignore_index=True)
+        ts_us = rows[ts_col].astype("int64").to_numpy() // 1000
+        last_us, sess = state.get if state.exists else (None, 0)
+        prev = np.empty_like(ts_us)
+        prev[1:] = ts_us[:-1]
+        prev[0] = last_us if last_us is not None else np.iinfo(np.int64).min // 2
+        boundary = (ts_us - prev) > gap_us
+        if last_us is None:
+            boundary[0] = True
+        sessions = sess + np.cumsum(boundary)
+        state.update((int(ts_us[-1]), int(sessions[-1])))
+        # evict once the user has been silent past the gap (event time)
+        state.setTimeoutTimestamp(int(ts_us[-1] // 1000) + gap_minutes * 60_000)
+        yield pd.DataFrame(
+            {
+                user_col: rows[user_col],
+                id_col: rows[id_col],
+                ts_col: rows[ts_col],
+                "session": sessions,
+            }
+        )
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -149,3 +149,58 @@ def test_incremental_link_matches_batch(
     }
     assert stream_links == batch_links
     assert len(stream_links) > 50
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer ≡ batch sessionize, with state
+    carried across micro-batches (maxFilesPerTrigger=1 over 3 files)."""
+    from datetime import datetime, timedelta
+
+    from capelinker_spark.operators.events import sessionize
+    from capelinker_spark.streaming import stream_sessionize
+
+    base = datetime(2024, 3, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = base + timedelta(minutes=7 * u)
+        for k in range(12):
+            # alternate small gaps and >30-min silences per user
+            t = t + timedelta(minutes=5 if k % 3 else 50)
+            rows.append((u, eid, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    src = str(tmp_path / "events_stream")
+    # three time-ordered files → three micro-batches, state must carry over
+    ordered = sorted(rows, key=lambda r: r[2])
+    for i in range(3):
+        chunk = ordered[i * 24 : (i + 1) * 24]
+        spark.createDataFrame(
+            chunk, "user_id long, event_id long, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["session"]
+        for r in spark.table("sess_stream").collect()
+    }
+    want = {
+        r["event_id"]: r["session"]
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)
+    assert max(want.values()) >= 4  # the gap rule actually split sessions
