@@ -158,6 +158,9 @@ HEADLINE_QUERIES = [
     "ts2_token_counts",
     "ann1_brute_force_topk",
     "c1_connected_components",
+    "st1_streaming_window_agg",
+    "ev1_sessionize_stats",
+    "dd6_near_dedup_canonical",
 ]
 
 
