@@ -1920,3 +1920,45 @@ def ev1_sessionize_stats(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return session_stats(e, gap_minutes=480, value_col="value")
+
+
+@register(
+    "a14_labeling_sheet",
+    f"""WITH wa AS ({_WORDS_A}), wb AS ({_WORDS_B}),
+        cnd AS (SELECT a.w AS word_a, b.w AS word_b,
+                       round({duckdb_jw_sql('a.w', 'b.w')}, 6) AS mlastdist
+                FROM wa a JOIN wb b ON substr(a.w,1,1) = substr(b.w,1,1)),
+        sheet AS (SELECT * FROM cnd WHERE substr(word_a,1,1) BETWEEN 'a' AND 'g')
+        SELECT word_a, word_b, mlastdist,
+               row_number() OVER (PARTITION BY word_a
+                                  ORDER BY coalesce(mlastdist, 1.0) ASC,
+                                           word_b ASC) AS block_seq
+        FROM sheet""",
+)
+def a14_labeling_sheet(spark, sf_dir):
+    """A14: the label() export flow (R/label.R:54-89) — per-block sheets
+    ordered by the name-distance product so likely matches float to the
+    top for the human labeler; an explicit block_ids batch stands in for
+    the seeded hash sample (xxhash64 has no DuckDB twin) and ``block_seq``
+    tiebreaks on the to-id, so the row numbering is deterministic."""
+    from capelinker_spark.operators.features import make_labeling_sheet
+
+    a = _words(spark, sf_dir, ["src0", "src2", "src4"]).select(
+        F.col("w").alias("word_a"), F.substring("w", 1, 1).alias("_k")
+    )
+    b = _words(spark, sf_dir, ["src1", "src3", "src5"]).select(
+        F.col("w").alias("word_b"), F.substring("w", 1, 1).alias("_k")
+    )
+    cnd = (
+        a.join(b, "_k")
+        .withColumn("mlastdist", F.round(jw_udf(F.col("word_a"), F.col("word_b")), 6))
+        .drop("_k")
+    )
+    blocks = cnd.select("word_a").distinct().where(
+        F.substring("word_a", 1, 1).between("a", "g")
+    )
+    sheet = make_labeling_sheet(
+        cnd, id_from="word_a", id_to="word_b",
+        order_cols=("mlastdist",), block_ids=blocks,
+    )
+    return sheet.select("word_a", "word_b", "mlastdist", "block_seq")

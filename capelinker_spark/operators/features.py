@@ -424,19 +424,35 @@ def make_labeling_sheet(
     n_blocks: int = 50,
     seed: int = 42,
     order_cols: tuple = ("mlastdist", "mfirstdist"),
+    id_to: str = "persid_to",
+    block_ids: DataFrame | list | None = None,
 ) -> DataFrame:
     """The ``label()`` export flow (R/label.R:54-89): sample candidate
     blocks, order pairs inside each block by the product of the name
     distances so likely matches float to the top for the human labeler.
     Returns the sheet with a ``block_seq`` ordering column (the blank-line
-    insertion of the R version is presentation-side)."""
-    ids = (
-        cnd.select(id_from).distinct()
-        .withColumn("_h", F.pmod(F.xxhash64(F.col(id_from), F.lit(seed)), 1_000_000))
-        .orderBy("_h")
-        .limit(n_blocks)
-        .drop("_h")
-    )
+    insertion of the R version is presentation-side).
+
+    ``block_ids``: explicit from-ids to export (list or 1-column
+    DataFrame) — reviewers often want a named batch; None keeps the
+    seeded hash sample of ``n_blocks`` blocks. ``block_seq`` tiebreaks on
+    ``id_to`` so tied distances order deterministically (a bare score
+    order left row_number plan-dependent)."""
+    if block_ids is None:
+        ids = (
+            cnd.select(id_from).distinct()
+            .withColumn(
+                "_h", F.pmod(F.xxhash64(F.col(id_from), F.lit(seed)), 1_000_000)
+            )
+            .orderBy("_h")
+            .limit(n_blocks)
+            .drop("_h")
+        )
+    elif isinstance(block_ids, list):
+        spark = cnd.sparkSession
+        ids = spark.createDataFrame([(b,) for b in block_ids], [id_from])
+    else:
+        ids = block_ids.toDF(id_from)
     sheet = cnd.join(F.broadcast(ids), id_from, "left_semi")
     score = None
     for c in order_cols:
@@ -445,7 +461,7 @@ def make_labeling_sheet(
             score = term if score is None else score * term
     if score is None:
         score = F.lit(0.0)
-    w = Window.partitionBy(id_from).orderBy(score.asc(), F.col(id_from).asc())
+    w = Window.partitionBy(id_from).orderBy(score.asc(), F.col(id_to).asc())
     return sheet.withColumn("block_seq", F.row_number().over(w))
 
 
