@@ -49,8 +49,26 @@ def make_session(cores: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # the StateStore maintenance thread races session shutdown and dumps
+        # a (cosmetic) stack trace into the bench log after the streaming
+        # query (st1) finishes; with no long-lived streams in a bench run,
+        # maintenance can simply never fire
+        .config("spark.sql.streaming.stateStore.maintenanceInterval", "1h")
         .getOrCreate()
     )
+
+
+def stop_spark(spark) -> None:
+    """Stop any still-active streaming queries BEFORE the session, so the
+    bench output never ends in a StateStore shutdown trace (round-2 verdict
+    item 7)."""
+    for q in spark.streams.active:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        except Exception:
+            pass
+    spark.stop()
 
 
 def write_corpus(n_entities: int, data_dir: str) -> None:
@@ -204,14 +222,18 @@ def main():
         # co-tenant steal on this VM can inflate a single run 2-4x (BENCH.md
         # noise disclosure); a quiet-machine pipeline run is ~60s at sf0.1.
         # If the first run smells contended, measure once more and keep the
-        # better sample — capability, not the noise floor.
+        # better sample — capability, not the noise floor. BOTH samples and
+        # the policy are reported (round-2 advice: the silent minimum hid
+        # the spread, and the retry runs against a warm JVM/page cache).
         retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "900"))
+        link_samples = [round(link["seconds"], 3)]
         if link["seconds"] > retry_above * SF:
             link2 = run_linkage(spark, data_dir)
+            link_samples.append(round(link2["seconds"], 3))
             if link2["seconds"] < link["seconds"]:
                 link = link2
         qtimes = run_queries(spark, SF_DIR)
-        spark.stop()
+        stop_spark(spark)
 
         result = {
             "metric": "linkage+headline suite wall time",
@@ -219,6 +241,12 @@ def main():
             "unit": "sec",
             "sf": SF,
             "queries": {"linkage_pipeline": round(link["seconds"], 3), **qtimes},
+            "linkage_samples": link_samples,
+            "sample_policy": (
+                f"linkage: best-of-2 iff first > {retry_above}*sf sec "
+                "(warm-JVM retry, reported above); scaling: best-of-"
+                f"{SCALING_REPEATS} per level, all samples reported"
+            ),
             "pairs_scored": link["pairs_scored"],
             "pairs_per_sec": round(link["pairs_per_sec"], 1),
             "links": link["links"],
@@ -250,7 +278,7 @@ def main():
                 (8, "hi", SCALING_REPEATS),
                 (CPUS, "full", 1),
             ):
-                best = None
+                best, samples = None, []
                 for _ in range(reps):
                     proc = subprocess.run(
                         [
@@ -264,11 +292,13 @@ def main():
                     )
                     line = proc.stdout.strip().splitlines()[-1]
                     r = json.loads(line)
+                    samples.append(round(r["pairs_per_sec"], 1))
                     if best is None or r["pairs_per_sec"] > best["pairs_per_sec"]:
                         best = r
                 scaling[f"cores_{key}"] = cores
                 scaling[f"seconds_{key}"] = round(best["seconds"], 3)
                 scaling[f"throughput_{key}"] = round(best["pairs_per_sec"], 1)
+                scaling[f"samples_{key}"] = samples  # full spread, not just max
             scaling["efficiency"] = round(
                 (scaling["throughput_hi"] / scaling["throughput_lo"])
                 / (scaling["cores_hi"] / scaling["cores_lo"]),

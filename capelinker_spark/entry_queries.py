@@ -941,8 +941,8 @@ def dd2_minhash_signature(spark, sf_dir):
 
 @register(
     "dd3_minhash_lsh_neardup",
-    f"""WITH all_docs AS ({_DOCS_PLUS_DUPS}),
-        mh AS (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
+    f"""WITH all_docs AS MATERIALIZED ({_DOCS_PLUS_DUPS}),
+        mh AS MATERIALIZED (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
         banded AS (
           SELECT doc_id, b.band,
                  CASE b.band
@@ -955,7 +955,7 @@ def dd2_minhash_signature(spark, sf_dir):
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM banded a JOIN banded b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        sh AS (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs)
+        sh AS MATERIALIZED (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs)
         SELECT id_a, id_b,
                round(len(list_intersect(sa.s, sb.s))::DOUBLE /
                      len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
@@ -1180,7 +1180,7 @@ def ann2_embedding_neardup(spark, sf_dir):
     )
     df = e.unionByName(planted)
     out = SS.embedding_near_duplicates(
-        df, threshold=0.0, n_tables=8, bits_per_table=4
+        df, threshold=0.0, dim=64, n_tables=8, bits_per_table=4
     )
     return out.withColumn("cos_sim", F.round(F.col("cos_sim"), 6)).where(
         F.col("cos_sim") >= 0.995
@@ -1804,8 +1804,8 @@ def st1_streaming_window_agg(spark, sf_dir):
 
 @register(
     "dd6_near_dedup_canonical",
-    f"""WITH RECURSIVE all_docs AS ({_DOCS_PLUS_DUPS}),
-        mh AS (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
+    f"""WITH RECURSIVE all_docs AS MATERIALIZED ({_DOCS_PLUS_DUPS}),
+        mh AS MATERIALIZED (SELECT doc_id, {_mh_sql(16)} FROM all_docs),
         banded AS (
           SELECT doc_id, b.band,
                  CASE b.band
@@ -1818,8 +1818,8 @@ def st1_streaming_window_agg(spark, sf_dir):
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM banded a JOIN banded b
                    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        sh AS (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs),
-        prs AS (SELECT id_a, id_b
+        sh AS MATERIALIZED (SELECT doc_id, {word_shingles_sql('text', 3)} AS s FROM all_docs),
+        prs AS MATERIALIZED (SELECT id_a, id_b
                 FROM cand JOIN sh sa ON sa.doc_id = id_a
                 JOIN sh sb ON sb.doc_id = id_b
                 WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
@@ -1884,7 +1884,7 @@ def ann3_embedding_dedup_canonical(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return embedding_dedup_canonical(
-        e.unionByName(planted), threshold=0.995, quantize=6,
+        e.unionByName(planted), threshold=0.995, dim=64, quantize=6,
         n_tables=8, bits_per_table=4,
     )
 

@@ -28,9 +28,14 @@ def sessionize(
     web-analytics rule). Deterministic total order inside a user:
     (ts, id) — id breaks timestamp ties.
 
-    Adds ``session`` (1-based per-user index). One window (sort by user,
-    ts) + a running sum of boundary flags over the SAME window — a single
-    shuffle on the user key."""
+    Adds ``session`` (1-based per-user index) and ``session_start`` (the
+    session's first event time — the COLLISION-FREE session key: unlike the
+    running index, it stays unique per user even when a streaming engine
+    evicts idle-user state and restarts the counter, so (user,
+    session_start) is the cross-engine/batch≡stream join key; see
+    streaming.stream_sessionize). One window (sort by user, ts) + two
+    running aggregates over the SAME frame — still a single shuffle on the
+    user key."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap = F.col(ts_col) - F.lag(ts_col).over(w)
     boundary = F.when(
@@ -39,7 +44,18 @@ def sessionize(
     running = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn("session", F.sum(boundary).over(running))
+    # session_start = forward-filled boundary timestamp: ts is ascending
+    # inside the frame, so the running MAX of boundary-row timestamps is
+    # exactly the current session's first event time
+    return (
+        df.withColumn("_b", boundary)
+        .withColumn("session", F.sum("_b").over(running))
+        .withColumn(
+            "session_start",
+            F.max(F.when(F.col("_b") == 1, F.col(ts_col))).over(running),
+        )
+        .drop("_b")
+    )
 
 
 def session_stats(

@@ -241,6 +241,8 @@ def jw_uniqueness(
     id_col: str = "persid",
     jw_p: float = 0.0,
     quant: int = 1_000_000,
+    max_group_distinct: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Per-group mean Jaro(-Winkler) DISTANCE to every row of the group — the
     exact F8 feature ``rowMeans(stringdistmatrix(mfirst, mfirst, 'jw')) by
@@ -251,18 +253,43 @@ def jw_uniqueness(
     Exactness: per DISTINCT string pair the JW distance is computed once
     (CPython kernel, verified bit-identical to DuckDB's jaro_similarity on
     100k random pairs), quantized ``floor(d·quant + .5)`` to a LONG, and
-    accumulated exactly. Pair cost is O(Σ distinct_names_in_group²): groups
-    are years (bounded); for mega-groups sample within the group first
-    (documented fallback, SCALING.md).
+    accumulated exactly. Pair cost is O(Σ distinct_names_in_group²) with
+    ``max_group_distinct=None`` (the exact path — fine while groups are
+    years of a bounded corpus).
+
+    ``max_group_distinct``: the mega-group guard. When a group holds more
+    distinct names than this cap, the COMPARISON set (rhs) inside that group
+    is deterministically hash-sampled down to ≈cap distinct names (keep a
+    name iff ``xxhash64(name, seed) mod distinct_count < cap`` — a pure
+    per-row filter, no sort, no driver collect, resumable) and the mean is
+    taken over the sampled comparison weight instead of the full group size.
+    Pair cost drops from O(n²) to O(n·cap) per group; the estimate is the
+    exact mean over a fixed pseudo-random subsample. Groups at or under the
+    cap keep the exact full-group semantics, including the denominator, so
+    enabling the guard changes nothing unless it actually engages.
     """
     jw = make_jw_udf(jw_p)
     base = records.select(id_col, by, F.col(name_col).alias("_s")).where(
         F.col("_s").isNotNull()
     )
-    group_n = base.groupBy(by).agg(F.count("*").alias("_gn"))
     mult = base.groupBy(by, "_s").agg(F.count("*").alias("_mult"))
     lhs = mult.select(F.col(by), F.col("_s").alias("_sa"))
     rhs = mult.select(F.col(by), F.col("_s").alias("_sb"), F.col("_mult"))
+    if max_group_distinct is not None:
+        dn = mult.groupBy(by).agg(F.count("*").alias("_dn"))
+        rhs = rhs.join(F.broadcast(dn), by).where(
+            (F.col("_dn") <= max_group_distinct)
+            | (
+                F.pmod(F.xxhash64("_sb", F.lit(seed)), F.col("_dn"))
+                < F.lit(max_group_distinct)
+            )
+        ).drop("_dn")
+        # denominator = the weight actually compared against (rows whose
+        # names survived the sample); equals the full group size wherever
+        # the cap did not engage
+        group_n = rhs.groupBy(by).agg(F.sum("_mult").alias("_gn"))
+    else:
+        group_n = base.groupBy(by).agg(F.count("*").alias("_gn"))
     pairs = lhs.join(rhs, by).withColumn(
         "_q", F.floor(jw(F.col("_sa"), F.col("_sb")) * F.lit(float(quant)) + F.lit(0.5))
     )
@@ -358,22 +385,41 @@ def uniformise_strings(
     maxdist: float = 0.2,
     out: str | None = None,
     quantize: int | None = None,
+    method: str = "cc",
 ) -> DataFrame:
     """Canonicalize near-identical strings — ``uniformise_string``
     (R/util.R:145-166) re-expressed for scale.
 
     The reference greedily absorbs strings within JW ``maxdist`` of the
-    most frequent remaining string. Here: distinct strings + frequencies →
-    soundex-blocked JW self-join at ``maxdist`` → connected components →
-    representative = the component's most frequent string (ties broken
-    alphabetically). Same intent (frequency-priority canonical form),
-    linear plan; the greedy chain-absorption order is approximated by the
-    component closure — documented deviation.
+    most frequent remaining string. ``method="cc"`` (default): distinct
+    strings + frequencies → soundex-blocked JW self-join at ``maxdist`` →
+    connected components → representative = the component's most frequent
+    string (ties broken alphabetically). Same intent (frequency-priority
+    canonical form), linear plan; the greedy chain-absorption order is
+    approximated by the component closure — a transitive chain A~B~C can
+    merge where the reference's greedy pass keeps C separate (documented
+    deviation).
+
+    ``method="greedy"``: the reference's EXACT sequential absorb order,
+    run independently inside each soundex block via ``applyInPandas`` —
+    most frequent remaining string (ties alphabetical, matching the R
+    ``sort(-table(x))`` order) absorbs everything within ``maxdist`` and
+    the absorbed strings leave the pool (R/util.R:150-164). Distributed by
+    block (each block is small — O(k²) per block), so it scales like the
+    CC path; the only remaining deviation from the reference is that
+    absorption cannot cross soundex blocks (shared with the CC path, and
+    with any blocked re-expression).
 
     ``quantize``: round the JW distance to this many decimals BEFORE the
     threshold (the module's engine-portable convention — thresholds filter
     on the rounded value so the edge set is identical across engines).
     """
+    if method == "greedy":
+        return _uniformise_greedy(
+            records, name_col, maxdist, out or f"{name_col}_unif", quantize
+        )
+    if method != "cc":
+        raise ValueError(f"unknown method {method!r} (use 'cc' or 'greedy')")
     from capelinker_spark.operators.cluster import connected_components
 
     out = out or f"{name_col}_unif"
@@ -383,38 +429,83 @@ def uniformise_strings(
         .groupBy(F.col(name_col).alias("_s"))
         .agg(F.count("*").alias("_n"))
     )
-    # dense integer ids for the CC loop (deterministic: freq desc, name asc)
-    w = Window.orderBy(F.desc("_n"), F.asc("_s"))
-    nodes = freq.withColumn("_nid", F.row_number().over(w))
-    lhs = nodes.select(
-        F.col("_s").alias("_sa"), F.col("_nid").alias("_ida"),
-        F.soundex("_s").alias("_blk"),
-    )
-    rhs = nodes.select(
-        F.col("_s").alias("_sb"), F.col("_nid").alias("_idb"),
-        F.soundex("_s").alias("_blk"),
-    )
-    cand = lhs.join(rhs, "_blk").where(F.col("_ida") < F.col("_idb"))
+    # the strings themselves are the CC node ids: the component LABEL only
+    # has to be deterministic (min string), never dense — the representative
+    # below is label-invariant. Minting dense ids took a GLOBAL row_number
+    # window (Exchange SinglePartition: every distinct string through one
+    # task — the round-2 audit's last scale-killer); this plan has no
+    # single-partition stage anywhere.
+    lhs = freq.select(F.col("_s").alias("_sa"), F.soundex("_s").alias("_blk"))
+    rhs = freq.select(F.col("_s").alias("_sb"), F.soundex("_s").alias("_blk"))
+    # freq holds DISTINCT strings, so the blocked join already yields each
+    # unordered pair exactly once — score it directly, no dedup pass needed
+    cand = lhs.join(rhs, "_blk").where(F.col("_sa") < F.col("_sb"))
     d = jw(F.col("_sa"), F.col("_sb"))
     if quantize is not None:
         d = F.round(d, quantize)
-    uniq = cand.select("_sa", "_sb").distinct().withColumn("_d", d)
     edges = (
-        cand.join(uniq, ["_sa", "_sb"])
+        cand.withColumn("_d", d)
         .where(F.col("_d") < maxdist)
-        .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
+        .select(F.col("_sa").alias("src"), F.col("_sb").alias("dst"))
     )
     comp = connected_components(edges)
-    labeled = nodes.join(
-        comp.withColumnRenamed("node", "_nid"), "_nid", "left"
-    ).withColumn("_comp", F.coalesce(F.col("component"), F.col("_nid")))
+    labeled = freq.join(
+        comp.withColumnRenamed("node", "_s"), "_s", "left"
+    ).withColumn("_comp", F.coalesce(F.col("component"), F.col("_s")))
     rep_w = Window.partitionBy("_comp").orderBy(F.desc("_n"), F.asc("_s"))
     reps = (
-        labeled.withColumn("_rk", F.row_number().over(rep_w))
-        .withColumn("_rep", F.first("_s").over(rep_w))
+        labeled.withColumn("_rep", F.first("_s").over(rep_w))
         .select(F.col("_s").alias(name_col), F.col("_rep").alias(out))
         .distinct()
     )
+    return records.join(reps, name_col, "left")
+
+
+def _uniformise_greedy(
+    records: DataFrame,
+    name_col: str,
+    maxdist: float,
+    out: str,
+    quantize: int | None,
+) -> DataFrame:
+    """Within-block exact greedy absorb (R/util.R:150-164): per soundex
+    block, repeatedly take the most frequent unassigned string (ties
+    alphabetical) and absorb every unassigned string within JW(p=0.1)
+    ``maxdist`` of it. One ``applyInPandas`` over (block → distinct strings
+    + counts); the mapping joins back to the full table."""
+    import pandas as pd
+
+    from capelinker_spark.functions.strdist import jaro_winkler_dist
+
+    def absorb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pool = pdf.sort_values(
+            ["_n", "_s"], ascending=[False, True], ignore_index=True
+        )
+        names = pool["_s"].tolist()
+        rep = {}
+        remaining = list(names)
+        while remaining:
+            head = remaining[0]
+            kept = []
+            for s in remaining:
+                d = jaro_winkler_dist(head, s, p=0.1)
+                if quantize is not None:
+                    d = round(d, quantize)
+                if d < maxdist or s == head:
+                    rep[s] = head
+                else:
+                    kept.append(s)
+            remaining = kept
+        return pd.DataFrame({"_s": names, "_rep": [rep[s] for s in names]})
+
+    freq = (
+        records.where(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("_s"))
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_blk", F.soundex("_s"))
+    )
+    mapping = freq.groupBy("_blk").applyInPandas(absorb, "_s string, _rep string")
+    reps = mapping.select(F.col("_s").alias(name_col), F.col("_rep").alias(out))
     return records.join(reps, name_col, "left")
 
 

@@ -44,13 +44,23 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     other formats need a native library — raise unless ``fake=True``
     (deterministic stand-in) or the caller passes ``decode_fn`` to
     ``extract_image_features``.
-    """
+
+    ``fake=True`` GUARANTEES the deterministic stand-in contract for every
+    payload: a PNG-signed payload in an unsupported variant (palette,
+    16-bit, interlaced) or with a corrupt IDAT falls back to the
+    hash-derived vector instead of raising (round-2 advice — sniffing
+    before the fake check broke the documented contract)."""
     from capelinker_spark.operators import media_codecs as mc
 
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return mc.image_feature_vector(mc.decode_png(payload), IMAGE_FEATURE_DIM)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return mc.audio_feature_vector(*mc.decode_wav(payload), IMAGE_FEATURE_DIM)
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return mc.image_feature_vector(mc.decode_png(payload), IMAGE_FEATURE_DIM)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return mc.audio_feature_vector(*mc.decode_wav(payload), IMAGE_FEATURE_DIM)
+    except Exception:
+        if fake:
+            return _fake_decode(payload, IMAGE_FEATURE_DIM)
+        raise
     if not fake:
         raise NotImplementedError(
             "only PNG/WAV decode without a native media library; pass "
@@ -74,9 +84,12 @@ def extract_image_features(
 
     ``decode_fn``: optional pluggable decoder ``bytes -> 1-D array-like of
     float`` (e.g. a real PIL/torchvision feature extractor). It must be
-    picklable (module-level function or functools.partial); when None the
-    deterministic fake (``fake=True``) or the NotImplementedError stub
-    (``fake=False``) is used."""
+    picklable — a module-level function or functools.partial, with its
+    module shipped to the workers (``spark-submit --py-files`` /
+    ``sc.addPyFile``); when None the deterministic fake (``fake=True``) or
+    the NotImplementedError stub (``fake=False``) is used. Contract proven
+    by tests/test_media_codecs.py, which injects a real PPM codec (and a
+    real PIL JPEG path when an imaging lib exists)."""
     schema = f"{id_col} string, image_features array<double>, n_bytes long"
     use_fake = fake
     user_decode = decode_fn

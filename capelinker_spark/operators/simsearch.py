@@ -249,9 +249,19 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs: L-table hyperplane-bucket self-join +
     exact cosine ≥ threshold. Returns (id_a, id_b, cos_sim). Near-identical
     vectors (cos ≥ 0.95) collide in ≥1 of the L tables with probability
-    ≈ 1-(1-p^b)^L, p = 1-θ/π ≈ 0.94 at the threshold."""
+    ≈ 1-(1-p^b)^L, p = 1-θ/π ≈ 0.94 at the threshold.
+
+    ``dim`` is REQUIRED: inferring it from the data would run a hidden
+    driver action (``.first()``) during plan construction — a surprise job,
+    and a crash on an empty/streaming frame (round-2 advice). Callers know
+    their embedding dimension; plan construction stays action-free
+    (asserted by tests/test_simsearch.py with a job listener)."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        raise ValueError(
+            "dim is required: pass the embedding dimension explicitly "
+            "(inferring it would run a hidden driver action during plan "
+            "construction)"
+        )
     planes = make_planes(dim, n_tables * bits_per_table, seed)
     t = df.select(
         F.col(id_col).alias("_id"),
@@ -273,6 +283,7 @@ def embedding_near_duplicates(
 def embedding_dedup_canonical(
     df: DataFrame,
     threshold: float = 0.95,
+    dim: int | None = None,
     quantize: int | None = None,
     n_tables: int = 6,
     bits_per_table: int = 4,
@@ -291,7 +302,7 @@ def embedding_dedup_canonical(
     from capelinker_spark.operators.cluster import connected_components
 
     pairs = embedding_near_duplicates(
-        df, -1.0, None, n_tables, bits_per_table, seed, id_col, vec_col
+        df, -1.0, dim, n_tables, bits_per_table, seed, id_col, vec_col
     )
     sim = F.col("cos_sim")
     if quantize is not None:

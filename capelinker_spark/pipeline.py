@@ -10,6 +10,8 @@ the reference's end-to-end flow (vignettes/example.rmd:64-223, SURVEY §3.3).
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -78,11 +80,67 @@ class LinkagePipeline:
         os.makedirs(workdir, exist_ok=True)
 
     # -- checkpoint plumbing ------------------------------------------------
+    #
+    # Each stage dir carries a ``_manifest.json`` next to Spark's _SUCCESS:
+    # {stage, config_hash, schema, row_count}. ``config_hash`` chains — a
+    # stage's hash covers its OWN config fields plus its upstream stage's
+    # hash — so changing e.g. ``maxdist`` invalidates candidates AND every
+    # stage downstream of it, while a ``minimum_confidence`` change leaves
+    # records/candidates/features/scores resumable (the Iceberg
+    # snapshot-metadata analog SURVEY §7 promises; _SUCCESS alone trusted a
+    # stage dir written by ANY older config — round-2 verdict item 4).
+
+    # (own config fields, upstream stage) per stage; "__all__" = whole config
+    STAGE_DEPS = {
+        "records": ((), None),
+        "candidates": (
+            ("year_from", "year_to", "blocktype", "blockvariable",
+             "maxdist", "linktype", "salt"),
+            "records",
+        ),
+        "features": (("character_variables", "numeric_variables"), "candidates"),
+        "scores": (
+            ("model_features", "train_frac", "seed", "max_training_pairs"),
+            "features",
+        ),
+        "links": (("minimum_confidence", "linktype"), "scores"),
+        "clusters": ((), "links"),
+    }
+
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    def _stage_hash(self, stage: str) -> str:
+        fields, dep = self.STAGE_DEPS.get(stage, (("__all__",), None))
+        if "__all__" in fields:
+            payload = repr(sorted(self.cfg.__dict__.items()))
+        else:
+            payload = repr([(f, self.cfg.__dict__.get(f)) for f in fields])
+        up = self._stage_hash(dep) if dep else ""
+        return hashlib.sha256(f"{up}|{stage}|{payload}".encode()).hexdigest()
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self._path(stage), "_manifest.json")
+
     def _done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        """A stage resumes only if _SUCCESS exists AND its manifest matches:
+        same chained config hash, same schema, same row count. A legacy or
+        foreign stage dir (no/stale manifest) recomputes instead of silently
+        feeding wrong data downstream. Cost on resume: one parquet
+        footer-metadata count per resumed stage."""
+        if not os.path.exists(os.path.join(self._path(stage), "_SUCCESS")):
+            return False
+        try:
+            with open(self._manifest_path(stage)) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        if m.get("config_hash") != self._stage_hash(stage):
+            return False
+        df = self.spark.read.parquet(self._path(stage))
+        if df.schema.jsonValue() != m.get("schema"):
+            return False
+        return df.count() == m.get("row_count")
 
     def _stage(self, stage: str, fn, resume: bool, score_col: str | None = None,
                key_metrics_col: str | None = None) -> DataFrame:
@@ -93,6 +151,17 @@ class LinkagePipeline:
         df = fn()
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
+        n = out.count()
+        with open(self._manifest_path(stage), "w") as fh:
+            json.dump(
+                {
+                    "stage": stage,
+                    "config_hash": self._stage_hash(stage),
+                    "schema": out.schema.jsonValue(),
+                    "row_count": n,
+                },
+                fh,
+            )
         extra = {}
         if score_col and score_col in out.columns:
             extra["score_histogram"] = score_histogram(out, score_col)
@@ -100,7 +169,7 @@ class LinkagePipeline:
         if key_metrics_col and key_metrics_col in out.columns:
             km = out.groupBy(key_metrics_col).agg(F.count("*").alias("pair_count"))
         self.lineage.record(
-            stage, time.time() - t0, row_count=out.count(), extra=extra, key_metrics=km
+            stage, time.time() - t0, row_count=n, extra=extra, key_metrics=km
         )
         return out
 
@@ -221,15 +290,30 @@ class LinkagePipeline:
         feats = self._stage("features", _features, resume)
 
         # model checkpoint: the pretrained-model registry analog — a resumed
-        # run re-scores with the SAME trained model, no truth table needed
+        # run re-scores with the SAME trained model, no truth table needed.
+        # The sidecar manifest pins the model to the scores-stage config
+        # hash, so a model trained under older model_features/seed config
+        # retrains instead of silently re-scoring.
         model = None
         model_path = os.path.join(self.workdir, "model.json")
-        if resume and os.path.exists(model_path):
+        model_manifest = model_path + ".manifest"
+        scores_hash = self._stage_hash("scores")
+
+        def _model_valid() -> bool:
+            try:
+                with open(model_manifest) as fh:
+                    return json.load(fh).get("config_hash") == scores_hash
+            except (OSError, ValueError):
+                return False
+
+        if resume and os.path.exists(model_path) and _model_valid():
             model = LogisticModel.load(model_path)
         elif truth is not None:
             if not (resume and self._done("scores")):
                 model = self._train_model(feats, truth)
                 model.save(model_path)
+                with open(model_manifest, "w") as fh:
+                    json.dump({"config_hash": scores_hash}, fh)
 
         def _scores():
             if model is None:

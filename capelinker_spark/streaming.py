@@ -134,16 +134,25 @@ def stream_sessionize(
     the custom-stateful-operator API the batch ``operators.events.sessionize``
     cannot express incrementally.
 
-    Per-user state is two longs: (last event time in µs, running session
-    index). Each micro-batch sorts its arrivals by (ts, id), vectorizes the
-    gap rule with numpy (boundary ⇔ gap > ``gap_minutes``), and carries the
-    counter forward. State for users idle past ``last + gap`` is evicted by
-    an EVENT-TIME timeout against the watermark — bounded state, the thing
-    that keeps a 10^12-event stream runnable. Semantics: within a batch,
-    late events are repaired by the sort; ACROSS batches arrivals must be
-    per-user monotone (true for replayed logs and file streams in order) —
-    matching batch ``sessionize`` exactly in that regime, verified by
-    tests/test_streaming.py across multiple micro-batches.
+    Per-user state is three longs: (last event time µs, running session
+    index, current session start µs). Each micro-batch sorts its arrivals
+    by (ts, id), vectorizes the gap rule with numpy (boundary ⇔ gap >
+    ``gap_minutes``), and carries the state forward. State for users idle
+    past ``last + gap`` is evicted by an EVENT-TIME timeout against the
+    watermark — bounded state, the thing that keeps a 10^12-event stream
+    runnable.
+
+    Session identity across eviction: after an idle user's state is
+    evicted, their next arrival restarts the ``session`` INDEX at 1 — so
+    the index alone can collide with that user's pre-eviction session 1
+    (round-2 advice). The collision-free key is ``session_start`` (the
+    session's first event time, emitted by BOTH this operator and batch
+    ``sessionize``): (user, session_start) identifies sessions uniquely
+    through any eviction, and on per-user-monotone arrivals (replayed
+    logs, in-order file streams) matches batch output exactly — verified
+    by tests/test_streaming.py including an evicted-then-returning user.
+    Group on (user, session_start); treat ``session`` as a per-state-epoch
+    ordinal only.
     """
     import numpy as np
     import pandas as pd
@@ -152,9 +161,10 @@ def stream_sessionize(
 
     gap_us = int(gap_minutes) * 60_000_000
     out_schema = (
-        f"{user_col} long, {id_col} long, {ts_col} timestamp, session long"
+        f"{user_col} long, {id_col} long, {ts_col} timestamp, session long, "
+        "session_start timestamp"
     )
-    state_schema = "last_us long, session long"
+    state_schema = "last_us long, session long, start_us long"
 
     def assign(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -166,7 +176,9 @@ def stream_sessionize(
             return
         rows = rows.sort_values([ts_col, id_col], ignore_index=True)
         ts_us = rows[ts_col].astype("int64").to_numpy() // 1000
-        last_us, sess = state.get if state.exists else (None, 0)
+        last_us, sess, start_us = (
+            state.get if state.exists else (None, 0, None)
+        )
         prev = np.empty_like(ts_us)
         prev[1:] = ts_us[:-1]
         prev[0] = last_us if last_us is not None else np.iinfo(np.int64).min // 2
@@ -174,7 +186,12 @@ def stream_sessionize(
         if last_us is None:
             boundary[0] = True
         sessions = sess + np.cumsum(boundary)
-        state.update((int(ts_us[-1]), int(sessions[-1])))
+        # forward-fill boundary timestamps: ts is sorted ascending, so the
+        # running max of boundary-row µs is the current session's start;
+        # rows before the batch's first boundary inherit the carried start
+        seed = start_us if start_us is not None else np.iinfo(np.int64).min // 2
+        starts = np.maximum.accumulate(np.where(boundary, ts_us, seed))
+        state.update((int(ts_us[-1]), int(sessions[-1]), int(starts[-1])))
         # evict once the user has been silent past the gap (event time)
         state.setTimeoutTimestamp(int(ts_us[-1] // 1000) + gap_minutes * 60_000)
         yield pd.DataFrame(
@@ -183,6 +200,7 @@ def stream_sessionize(
                 id_col: rows[id_col],
                 ts_col: rows[ts_col],
                 "session": sessions,
+                "session_start": pd.to_datetime(starts * 1000),
             }
         )
 

@@ -66,6 +66,18 @@ def test_sorted_neighborhood_plan_is_parallel(spark):
     assert "SinglePartition" not in plan, plan
 
 
+def test_uniformise_plan_is_parallel(spark):
+    """uniformise_strings must not mint dense node ids through a global
+    un-partitioned row_number window (the round-2 audit's last
+    Exchange-SinglePartition): CC runs on the strings themselves, so the
+    whole physical plan is partition-parallel."""
+    import __spark_entry__ as E
+
+    df = E.queries()["u4_uniformise_strings"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
 def test_spousenamedist_join_not_forced_broadcast(spark, pages):
     """extract_records must not hint an unconditional broadcast of the
     distinct name-pair table (unbounded cardinality at web scale) — the

@@ -207,3 +207,96 @@ def test_jw_uniqueness_reference_formula(spark):
         exp = sum(jaro_winkler_dist(n, m, p=0.0) for m in names) / len(names)
         assert abs(got[i] - exp) < 2e-6, (i, got[i], exp)
     assert got[9] == 0.0  # singleton group: only the self-pair
+
+
+def test_jw_uniqueness_mega_group_guard(spark):
+    """The ``max_group_distinct`` guard caps the quadratic self-join: on a
+    skewed fixture (one mega-year with 400 distinct names, one small year)
+    the pair count stays under distinct·cap instead of distinct², the small
+    group keeps EXACT full-group semantics, and the sampled estimate of the
+    mega group tracks the exact mean."""
+    from capelinker_spark.functions.strdist import jaro_winkler_dist
+
+    mega = [(i, 1828, f"NAME{i:04d}") for i in range(400)]
+    small_names = ["JOHANNES", "JOHANNES", "JACOBUS"]
+    small = [(1000 + i, 1826, n) for i, n in enumerate(small_names)]
+    df = spark.createDataFrame(mega + small, "persid long, year int, mfirst string")
+    cap = 50
+
+    # pair-count bound: reproduce the guarded rhs and count the join
+    mult = df.groupBy("year", F.col("mfirst").alias("_s")).agg(
+        F.count("*").alias("_mult")
+    )
+    dn = mult.groupBy("year").agg(F.count("*").alias("_dn"))
+    rhs = mult.join(dn, "year").where(
+        (F.col("_dn") <= cap)
+        | (F.pmod(F.xxhash64("_s", F.lit(42)), F.col("_dn")) < F.lit(cap))
+    )
+    n_pairs = (
+        mult.select("year", "_s").join(rhs.select("year"), "year").count()
+    )
+    assert n_pairs <= 400 * (2 * cap) + 9  # ~n·cap (±sampling noise), not n²
+
+    got = {
+        r["persid"]: r["u"]
+        for r in FE.jw_uniqueness(
+            df, "mfirst", out="u", max_group_distinct=cap
+        ).collect()
+    }
+    # the small group is under the cap → bit-exact full semantics
+    for i, n in enumerate(small_names):
+        exp = sum(jaro_winkler_dist(n, m, p=0.0) for m in small_names) / len(
+            small_names
+        )
+        assert abs(got[1000 + i] - exp) < 2e-6
+    # the mega group engaged the guard: values are sane means over a real
+    # subsample (the NAMEnnnn strings are mutually distant, so the sampled
+    # mean must stay close to the exact all-pairs mean)
+    exact = {
+        r["persid"]: r["u"]
+        for r in FE.jw_uniqueness(
+            df.where(F.col("year") == 1828), "mfirst", out="u"
+        ).collect()
+    }
+    for pid in range(0, 400, 37):
+        assert abs(got[pid] - exact[pid]) < 0.05, (pid, got[pid], exact[pid])
+
+
+def test_uniformise_greedy_matches_reference_order(spark):
+    """method='greedy' replicates R/util.R:150-164's sequential absorb
+    INSIDE a soundex block: the most frequent remaining string absorbs only
+    what lies within maxdist of IT — a transitive chain A~B~C stays split
+    (C keeps its own representative), where method='cc' merges the whole
+    chain. JANSEN/JANSSEN/JANSSENS share soundex J525 and chain at
+    maxdist=0.04: d(A,B)=.029, d(B,C)=.025, d(A,C)=.05."""
+    rows = (
+        [("JANSEN", i) for i in range(3)]
+        + [("JANSSEN", 3), ("JANSSEN", 4)]
+        + [("JANSSENS", 5)]
+    )
+    df = spark.createDataFrame(rows, "mlast string, persid long")
+    greedy = {
+        r["mlast"]: r["mlast_unif"]
+        for r in FE.uniformise_strings(
+            df, "mlast", maxdist=0.04, method="greedy"
+        ).collect()
+    }
+    assert greedy["JANSEN"] == "JANSEN"
+    assert greedy["JANSSEN"] == "JANSEN"  # absorbed by the head
+    assert greedy["JANSSENS"] == "JANSSENS"  # chain NOT followed (reference)
+    cc = {
+        r["mlast"]: r["mlast_unif"]
+        for r in FE.uniformise_strings(
+            df, "mlast", maxdist=0.04, method="cc"
+        ).collect()
+    }
+    assert cc["JANSSENS"] == "JANSEN"  # the documented CC deviation
+
+    # and on non-chained data both methods agree
+    rows2 = [("BOTHA", i) for i in range(5)] + [("BOTA", 5), ("NAUDE", 6)]
+    df2 = spark.createDataFrame(rows2, "mlast string, persid long")
+    g2 = {r["mlast"]: r["mlast_unif"]
+          for r in FE.uniformise_strings(df2, "mlast", method="greedy").collect()}
+    c2 = {r["mlast"]: r["mlast_unif"]
+          for r in FE.uniformise_strings(df2, "mlast", method="cc").collect()}
+    assert g2 == c2

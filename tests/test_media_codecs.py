@@ -154,3 +154,98 @@ def test_spark_extract_real_png(spark):
         assert np.allclose(r["image_features"], want)
     meta = {r["url"]: r["format"] for r in binary_metadata(df).collect()}
     assert set(meta.values()) == {"png"}
+
+
+# --- the decode_fn injection seam, proven with a REAL third-party codec ----
+#
+# The seam's contract (multimodal.extract_image_features): a PICKLABLE
+# module-level callable `bytes -> 1-D array-like of float`; None payloads
+# bypass it; it runs inside the Arrow batch loop, never per-row Python in
+# the plan. PPM (P6) is a genuine image format the engine does NOT decode
+# natively — injecting a real PPM codec through the seam is exactly the
+# move a deployment makes to add PIL/ffmpeg.
+
+
+def decode_ppm_features(payload: bytes) -> np.ndarray:
+    """Real PPM (P6, binary) decoder -> engine feature vector. Module-level,
+    hence picklable by reference — the seam's documented requirement."""
+    fields, pos = [], 0
+    while len(fields) < 4:  # magic, width, height, maxval
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    magic, w, h = fields[0], int(fields[1]), int(fields[2])
+    assert magic == b"P6" and int(fields[3]) == 255
+    img = np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8)
+    return image_feature_vector(img.reshape(h, w, 3), IMAGE_FEATURE_DIM)
+
+
+def _encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n# injected-codec test\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def test_decode_fn_seam_with_real_ppm_codec(spark):
+    """Inject a real (non-native-to-the-engine) image codec through the
+    decode_fn seam and check the features equal the direct decode — the
+    contract a PIL/ffmpeg deployment relies on."""
+    imgs = {f"p{i}": _rand_img(4 + i, 5, 3, seed=100 + i) for i in range(3)}
+    rows = [(u, bytearray(_encode_ppm(a))) for u, a in imgs.items()]
+    rows.append(("pnull", None))  # None payloads bypass the decoder
+    df = spark.createDataFrame(rows, "url string, html binary")
+    # the deployment move the seam documents: ship the codec module to the
+    # workers (spark-submit --py-files / addPyFile), then pass its function
+    spark.sparkContext.addPyFile(__file__)
+    out = {r["url"]: r for r in
+           extract_image_features(df, decode_fn=decode_ppm_features).collect()}
+    assert len(out) == 4
+    for u, img in imgs.items():
+        want = image_feature_vector(img, IMAGE_FEATURE_DIM)
+        assert np.allclose(out[u]["image_features"], want), u
+        assert out[u]["n_bytes"] == len(_encode_ppm(img))
+    assert out["pnull"]["image_features"] is None
+    assert out["pnull"]["n_bytes"] == 0
+
+
+def test_decode_fn_seam_with_pil_jpeg_if_available(spark):
+    """If an imaging library exists in the environment, push a real JPEG
+    through the same seam (import-gated: the sandbox ships no such lib,
+    a real deployment does)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pytest.skip("no imaging library in this environment")
+
+    def pil_decode(payload: bytes) -> np.ndarray:
+        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        return image_feature_vector(arr, IMAGE_FEATURE_DIM)
+
+    img = _rand_img(8, 8, 3, seed=7)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    df = spark.createDataFrame([("j0", bytearray(buf.getvalue()))],
+                               "url string, html binary")
+    out = extract_image_features(df, decode_fn=pil_decode).collect()
+    assert len(out) == 1 and len(out[0]["image_features"]) == IMAGE_FEATURE_DIM
+
+
+def test_fake_contract_holds_for_corrupt_png():
+    """fake=True must return the deterministic stand-in for EVERY payload —
+    including a PNG-signed payload the real decoder rejects (round-2
+    advice: sniff-before-fake broke the contract)."""
+    from capelinker_spark.operators.multimodal import _fake_decode
+
+    corrupt = _PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\xde\xad\xbe\xef" * 6
+    got = decode_image(corrupt, fake=True)
+    assert np.array_equal(got, _fake_decode(corrupt, IMAGE_FEATURE_DIM))
+    with pytest.raises(Exception):
+        decode_image(corrupt, fake=False)  # real path still surfaces the error

@@ -130,6 +130,48 @@ def test_kill_and_resume(spark, pages, truth, workdir, result):
     assert set(recomputed) == {"scores", "links", "clusters"}
 
 
+def test_resume_invalidates_on_config_change(spark, pages, truth, workdir, result):
+    """The manifest gate (config hash + schema + row count per stage dir):
+    resuming with a CHANGED linkage config must recompute every stage the
+    change reaches — _SUCCESS alone no longer green-lights a stage dir
+    written under an older config (round-2 verdict item 4). A
+    ``minimum_confidence`` change invalidates links+clusters but leaves
+    records/candidates/features/scores resumable (chained hashes)."""
+    # fresh read: earlier tests may have rewritten the stage dir, so the
+    # module fixture's DataFrame pins a stale file listing
+    n_links_before = spark.read.parquet(f"{workdir}/links").count()
+    n_lineage_before = len(LineagePath(workdir).entries())
+    pipe = LinkagePipeline(
+        spark, workdir, PipelineConfig(minimum_confidence=0.9)
+    )
+    res2 = pipe.run(pages, truth, resume=True)
+    entries = LineagePath(workdir).entries()
+    recomputed = [e["stage"] for e in entries[n_lineage_before:]]
+    assert set(recomputed) == {"links", "clusters"}, recomputed
+    # the recompute really applied the new config: stricter threshold
+    assert res2["links"].count() <= n_links_before
+    assert res2["links"].agg(F.min("predicted")).collect()[0][0] >= 0.9
+
+    # a manifest-less stage dir (legacy/foreign) is NOT trusted either
+    import os
+
+    os.remove(f"{workdir}/clusters/_manifest.json")
+    n3 = len(LineagePath(workdir).entries())
+    pipe3 = LinkagePipeline(
+        spark, workdir, PipelineConfig(minimum_confidence=0.9)
+    )
+    pipe3.run(pages, truth, resume=True)
+    recomputed3 = [e["stage"] for e in LineagePath(workdir).entries()[n3:]]
+    assert recomputed3 == ["clusters"]
+
+    # restore the module-scoped `result` fixture's config for later tests
+    shutil.rmtree(f"{workdir}/links", ignore_errors=True)
+    shutil.rmtree(f"{workdir}/clusters", ignore_errors=True)
+    LinkagePipeline(spark, workdir, PipelineConfig()).run(
+        pages, truth, resume=True
+    )
+
+
 def LineagePath(workdir):
     from capelinker_spark.qa.lineage import LineageLog
 

@@ -90,10 +90,26 @@ def test_embedding_near_duplicates_finds_planted(spark, emb):
         "label",
     )
     df = emb.unionByName(src)
-    pairs = S.embedding_near_duplicates(df, threshold=0.999)
+    pairs = S.embedding_near_duplicates(df, threshold=0.999, dim=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for i in [r["vec_id"] for r in emb.limit(5).collect()]:
         assert (i, i + 1_000_000) in got
+
+
+def test_near_duplicates_plan_construction_runs_no_job(spark, emb):
+    """Building the near-dup plan must be action-free: the old dim inference
+    ran a hidden ``.first()`` (a surprise driver job, and a crash on an
+    empty/streaming frame — round-2 advice). With ``dim`` explicit, no Spark
+    job may start between call and return."""
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    plan = S.embedding_near_duplicates(emb, threshold=0.999, dim=64)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "plan construction started a Spark job"
+    assert plan.schema is not None  # the plan itself is fully built
+
+    with pytest.raises(ValueError, match="dim is required"):
+        S.embedding_near_duplicates(emb, threshold=0.999)
 
 
 def test_cosine_expr(spark):
@@ -118,7 +134,7 @@ def test_embedding_dedup_canonical(spark, emb):
     )
     df = e.unionByName(planted)
     out = S.embedding_dedup_canonical(
-        df, threshold=0.995, quantize=6, n_tables=8, bits_per_table=4
+        df, threshold=0.995, dim=64, quantize=6, n_tables=8, bits_per_table=4
     )
     assert out.count() == df.count()
     rows = {r["vec_id"]: r["canonical_id"] for r in out.collect()}

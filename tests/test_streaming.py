@@ -194,13 +194,73 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     )
     q.awaitTermination()
     got = {
-        r["event_id"]: r["session"]
+        r["event_id"]: (r["session"], r["session_start"])
         for r in spark.table("sess_stream").collect()
     }
     want = {
-        r["event_id"]: r["session"]
+        r["event_id"]: (r["session"], r["session_start"])
         for r in sessionize(df, gap_minutes=30).collect()
     }
     assert got == want
     assert len(got) == len(rows)
-    assert max(want.values()) >= 4  # the gap rule actually split sessions
+    assert max(s for s, _ in want.values()) >= 4  # the gap rule split sessions
+
+
+def test_stream_sessionize_evicted_user_returns(spark, tmp_path):
+    """A user whose state was evicted (event-time timeout) and who later
+    returns: the stream's session INDEX restarts at 1 (documented), but
+    (user, session_start) remains collision-free and matches batch
+    sessionize exactly — the round-2 advice fix."""
+    from datetime import datetime, timedelta
+
+    from capelinker_spark.operators.events import sessionize
+    from capelinker_spark.streaming import stream_sessionize
+
+    base = datetime(2024, 3, 1, 8, 0, 0)
+    # file 1: user 0 has a short session; user 1 keeps the stream alive
+    f1 = [(0, 1, base), (0, 2, base + timedelta(minutes=5)),
+          (1, 3, base + timedelta(minutes=1))]
+    # file 2: only user 1, five days later → advances the watermark past
+    # user 0's last+gap
+    f2 = [(1, 4, base + timedelta(days=5))]
+    # file 3: only user 1 again — a batch where user 0 has NO data is when
+    # the pending event-time timeout actually fires (timeouts never fire
+    # for groups with arrivals in the same batch), evicting user 0's state
+    f3 = [(1, 5, base + timedelta(days=5, minutes=1))]
+    # file 4: user 0 returns after the eviction
+    f4 = [(0, 6, base + timedelta(days=5, minutes=30)),
+          (1, 7, base + timedelta(days=5, minutes=31))]
+    schema = "user_id long, event_id long, ts timestamp"
+    src = str(tmp_path / "events_evict")
+    for chunk in (f1, f2, f3, f4):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_sessionize(stream, gap_minutes=30, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_evict")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["event_id"]: r for r in spark.table("sess_evict").collect()}
+    df = spark.createDataFrame(f1 + f2 + f3 + f4, schema)
+    want = {r["event_id"]: r for r in sessionize(df, gap_minutes=30).collect()}
+    assert len(got) == 7
+    # the collision-free key matches batch for EVERY event, eviction or not
+    for eid in got:
+        assert got[eid]["session_start"] == want[eid]["session_start"], eid
+    # and the documented index reset actually happened: user 0's second
+    # session is index 2 in batch but restarts at 1 in the stream
+    assert want[6]["session"] == 2
+    assert got[6]["session"] == 1
+    # so (user, session_start) is the only safe aggregation key
+    stream_keys = {(r["user_id"], r["session_start"]) for r in got.values()}
+    batch_keys = {(r["user_id"], r["session_start"]) for r in want.values()}
+    assert stream_keys == batch_keys
