@@ -100,10 +100,18 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        propagated = labels.join(neighbor_min, "node", "left").select(
+        # carry the old label through as _old: the convergence check then
+        # reads a flag off the already-materialized checkpoint instead of
+        # re-joining new labels against old (one join + one shuffle job
+        # saved per iteration — CC overhead is per-iteration job count on
+        # the small near-clique graphs linkage produces)
+        propagated = labels.select(
+            "node", F.col("component").alias("_old")
+        ).join(neighbor_min, "node", "left").select(
             "node",
+            "_old",
             F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                F.col("_old"), F.coalesce(F.col("nbr_min"), F.col("_old"))
             ).alias("component"),
         )
         if it >= jump_after:
@@ -121,19 +129,19 @@ def connected_components(
                 parent, propagated["component"] == parent["_p"], "left"
             ).select(
                 "node",
+                "_old",
                 F.least(
                     F.col("component"), F.coalesce(F.col("_pc"), F.col("component"))
                 ).alias("component"),
             )
-        new_labels = _ckpt(propagated)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # labels only ever decrease, so "changed" ⇔ any component < _old
+        new_labels = _ckpt(
+            propagated.select(
+                "node", "component", (F.col("component") < F.col("_old")).alias("_chg")
+            )
         )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             converged = True
             break
