@@ -1114,6 +1114,109 @@ def ts4_fingerprint(spark, sf_dir):
     return d.select("doc_id", TS.fingerprint(F.col("text"), 8).alias("fingerprint"))
 
 
+# planted PII/line content for ts5/ts6: the synthetic docs are single-line
+# word soup, so the queries inject deterministic emails/urls/phones and
+# repeated lines — same expression on both engines
+_TS5_AUG = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || (doc_id % 10)::VARCHAR"
+    " || '@mail.example.org ok' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' see https://ex' || (doc_id % 10)::VARCHAR"
+    " || '.example.com/p q' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call +27 21 555 01' || (doc_id % 10)::VARCHAR"
+    " ELSE '' END"
+)
+
+
+def _ts5_aug_spark(c, doc_id):
+    d10 = (doc_id % 10).cast("string")
+    return F.concat(
+        c,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" reach user"), d10, F.lit("@mail.example.org ok")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" see https://ex"), d10, F.lit(".example.com/p q")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0, F.concat(F.lit(" call +27 21 555 01"), d10)
+        ).otherwise(F.lit("")),
+    )
+
+
+@register(
+    "ts5_pii_counts",
+    f"""WITH aug AS (SELECT doc_id, {_TS5_AUG} AS t FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{TS.EMAIL_PATTERN}')) AS n_emails,
+               len(regexp_extract_all(t, '{TS.URL_PATTERN}')) AS n_urls,
+               len(regexp_extract_all(t, '{TS.PHONE_PATTERN}')) AS n_phones,
+               ((len(regexp_extract_all(t, '{TS.EMAIL_PATTERN}'))
+                 + len(regexp_extract_all(t, '{TS.URL_PATTERN}'))
+                 + len(regexp_extract_all(t, '{TS.PHONE_PATTERN}'))) > 0)::INT
+                 AS has_pii
+        FROM aug""",
+)
+def ts5_pii_counts(spark, sf_dir):
+    """PII-surface counts (emails/urls/phone-shaped spans) — the scrub-routing
+    signal of a training-data pipeline. The patterns are regex-dialect-
+    portable by construction (textstats.EMAIL_PATTERN etc.: classes +
+    greedy quantifiers only), so Java regex (Spark) and RE2 (DuckDB) count
+    identically; PII content is planted deterministically per doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id", _ts5_aug_spark(F.col("text"), F.col("doc_id")).alias("t")
+    )
+    out = aug
+    for name, expr in TS.pii_features(F.col("t")).items():
+        out = out.withColumn(name, expr)
+    return out.select("doc_id", "n_emails", "n_urls", "n_phones", "has_pii")
+
+
+_TS6_LINED = (
+    "substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10) || "
+    "CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 40) "
+    "ELSE substr(text, 41, 40) END || chr(10) || text"
+)
+
+
+@register(
+    "ts6_line_repetition",
+    f"""WITH lined AS (SELECT doc_id, {_TS6_LINED} AS t FROM documents),
+        s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined)
+        SELECT doc_id,
+               len(ls) AS n_lines,
+               len(list_distinct(ls)) AS n_distinct_lines,
+               (len(ls) - len(list_distinct(ls))) / len(ls) AS dup_line_ratio
+        FROM s""",
+)
+def ts6_line_repetition(spark, sf_dir):
+    """Gopher-style line-repetition signals (duplicate-line ratio) over
+    multi-line documents (lines planted deterministically: two guaranteed
+    duplicates plus an id-dependent third). The ratio is one int/int IEEE
+    division — exact on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(c, 1, 40),
+            F.substring(c, 1, 40),
+            F.when(F.col("doc_id") % 2 == 0, F.substring(c, 1, 40)).otherwise(
+                F.substring(c, 41, 40)
+            ),
+            c,
+        ).alias("t"),
+    )
+    out = lined
+    for name, expr in TS.line_stats(F.col("t")).items():
+        out = out.withColumn(name, expr)
+    return out.select("doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio")
+
+
 # -- similarity search -----------------------------------------------------------
 
 _COS_SQL = (

@@ -117,6 +117,61 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII surface patterns — deliberately regex-dialect-portable (character
+# classes + bounded/greedy quantifiers only; no lookaround/backrefs, which
+# RE2-based engines reject): identical matches under Java regex (Spark) and
+# RE2 (DuckDB/Go), so the counts are oracle-checkable.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+[0-9]{2}[0-9 -]{7,12}[0-9]"
+
+
+def pii_features(col: Column) -> dict[str, Column]:
+    """Per-document PII-surface counts (emails, urls, phone-shaped spans) —
+    the filter signal a training-data pipeline uses to route documents to
+    scrubbing. Pure regexp_count, no Python."""
+    n_emails = F.regexp_count(col, F.lit(EMAIL_PATTERN))
+    n_urls = F.regexp_count(col, F.lit(URL_PATTERN))
+    n_phones = F.regexp_count(col, F.lit(PHONE_PATTERN))
+    return {
+        "n_emails": n_emails,
+        "n_urls": n_urls,
+        "n_phones": n_phones,
+        "has_pii": ((n_emails + n_urls + n_phones) > 0).cast("int"),
+    }
+
+
+def add_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, expr in pii_features(F.col(text_col)).items():
+        out = out.withColumn(name, expr)
+    return out
+
+
+def line_stats(col: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals over a multi-line document: line
+    count, distinct-line count, duplicate-line ratio. Native split +
+    array_distinct; the ratio is a single int/int IEEE division (exact
+    cross-engine)."""
+    lines = F.split(col, "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    return {
+        "n_lines": n_lines,
+        "n_distinct_lines": n_distinct,
+        "dup_line_ratio": F.when(
+            n_lines > 0, (n_lines - n_distinct) / n_lines
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def add_line_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, expr in line_stats(F.col(text_col)).items():
+        out = out.withColumn(name, expr)
+    return out
+
+
 def fingerprint(col: Column, shingle_words: int = 8) -> Column:
     """Winnowing-style document fingerprint: the MIN md5 over the document's
     word 8-shingles (a 1-permutation MinHash — robust to small edits at the

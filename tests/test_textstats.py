@@ -105,3 +105,38 @@ def test_binary_metadata(spark, pages):
     for r in out.collect():
         assert r["format"] == "html"
         assert r["n_bytes"] > 100
+
+
+def test_pii_counts(spark):
+    from capelinker_spark.operators.textstats import add_pii_counts
+
+    rows = [
+        (1, "write to alice.smith+x@sub.example.co.uk or bob@ex.org today"),
+        (2, "see https://a.example.com/x?q=1 and http://plain.example/y"),
+        (3, "call +27 21 555 0123 now"),
+        (4, "no pii here at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in add_pii_counts(df).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["has_pii"] == 1
+    assert got[2]["n_urls"] == 2 and got[2]["n_emails"] == 0
+    assert got[3]["n_phones"] == 1
+    assert got[4]["has_pii"] == 0
+    assert got[5]["n_emails"] is None  # NULL text propagates
+
+
+def test_line_stats(spark):
+    from capelinker_spark.operators.textstats import add_line_stats
+
+    rows = [
+        (1, "a\nb\na\nc"),   # 4 lines, 3 distinct
+        (2, "x\nx\nx"),       # 3 lines, 1 distinct
+        (3, "single line"),   # 1 line, no dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in add_line_stats(df).collect()}
+    assert (got[1]["n_lines"], got[1]["n_distinct_lines"]) == (4, 3)
+    assert got[1]["dup_line_ratio"] == 0.25
+    assert got[2]["dup_line_ratio"] == 2 / 3
+    assert got[3]["dup_line_ratio"] == 0.0
