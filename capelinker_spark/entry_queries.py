@@ -1217,6 +1217,41 @@ def ts6_line_repetition(spark, sf_dir):
     return out.select("doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio")
 
 
+def _dm1_sql() -> str:
+    from capelinker_spark.operators.mixing import _md5_bound
+
+    cases = " ".join(
+        f"WHEN '{cls}' THEN '{_md5_bound(r)}'"
+        for cls, r in sorted(_DM1_RATES.items())
+    )
+    return (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substr(md5(doc_id::VARCHAR), 1, 5) < "
+        f"CASE lang {cases} ELSE '{_md5_bound(1.0)}' END"
+    )
+
+
+_DM1_RATES = {"en": 0.25, "de": 0.5}
+
+
+@register("dm1_stratified_sample", None)
+def dm1_stratified_sample(spark, sf_dir):
+    """Dataset mixing: per-class deterministic downsampling (keep 25% of
+    'en', 50% of 'de', all the rest) — the rebalance-by-source/language
+    primitive of a training-data pipeline. The keep rule is a pure function
+    of the row key (md5 prefix vs hex bound), so the sampled set is
+    rerun-stable, partitioning-independent, resumable, AND cross-engine:
+    the DuckDB oracle selects the exact same rows (this is the
+    oracle-checkable tier of A13's xxhash64 sampling)."""
+    from capelinker_spark.operators.mixing import sample_to_rates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_to_rates(d, "lang", _DM1_RATES, "doc_id")
+
+
+ORACLES["dm1_stratified_sample"] = _dm1_sql()
+
+
 # -- similarity search -----------------------------------------------------------
 
 _COS_SQL = (

@@ -1,0 +1,113 @@
+"""Dataset sampling & mixing for training-data pipelines: deterministic
+per-row keep rules and per-class (source/language) rate mixing.
+
+Why not ``df.sample()``: Spark's sampler is partition-dependent — a rerun,
+a repartition, or an executor loss changes which rows survive, which breaks
+resumable checkpointed pipelines and makes oracle checks impossible. Every
+rule here is a PURE FUNCTION of the row key:
+
+* ``hash_uniform`` (production tier): ``pmod(xxhash64(key, seed), 2^20)`` —
+  JVM-native, one codegen expression, the same primitive as
+  ``predict.group_split`` (A13).
+* ``md5_uniform`` (cross-engine tier): the first 5 hex chars of
+  ``md5(key)`` compared lexicographically against a hex bound — md5 renders
+  identically in every engine (DuckDB included), so sampled sets are
+  oracle-checkable bit-for-bit. Rate resolution 1/16^5 ≈ 1e-6.
+
+Both are uniform over rows, stable under any partitioning, and resumable
+(re-running selects the same rows). Scale shape: narrow filter, no shuffle,
+no driver work — the rule rides inside the scan's codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_DIGITS = 5  # md5 prefix length: rate granularity 1/16^5
+
+
+def _md5_bound(frac: float) -> str:
+    """Lowercase-hex bound such that the share of ``_HEX_DIGITS``-char md5
+    prefixes strictly below it is (the 16^-5 floor of) ``frac``. frac ≥ 1
+    returns 'g' — lexicographically above every hex string, so everything
+    is kept (a 6-char numeric bound would sort BELOW 5-char digests)."""
+    n = int(frac * (16 ** _HEX_DIGITS))
+    if n >= 16 ** _HEX_DIGITS:
+        return "g"
+    return format(n, f"0{_HEX_DIGITS}x")
+
+
+def md5_keep(key: Column, frac: float, seed: str = "") -> Column:
+    """Cross-engine deterministic keep rule: TRUE for ≈``frac`` of distinct
+    keys. ``seed`` is a salt string concatenated into the hash input.
+    SQL twin: ``substr(md5(seed || key), 1, 5) < '<bound>'``."""
+    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1,
+                       _HEX_DIGITS) < F.lit(_md5_bound(frac))
+
+
+def hash_keep(key: Column, frac: float, seed: int = 0) -> Column:
+    """Production keep rule: xxhash64 bucket below frac·2^20 (cheaper than
+    md5, JVM-native; no SQL-oracle twin — use md5_keep when cross-engine
+    reproducibility matters more than cost)."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(1 << 20)) < int(
+        frac * (1 << 20)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    frac: float,
+    key_col: str,
+    seed: str | int = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Keep ≈``frac`` of rows, decided purely by ``key_col`` — rerun-stable,
+    partitioning-independent, resumable. ``method``: 'md5' (cross-engine)
+    or 'xxhash64' (production)."""
+    key = F.col(key_col)
+    if method == "md5":
+        return df.where(md5_keep(key, frac, str(seed)))
+    if method == "xxhash64":
+        return df.where(hash_keep(key, frac, int(seed or 0)))
+    raise ValueError(f"unknown method {method!r}")
+
+
+def sample_to_rates(
+    df: DataFrame,
+    class_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 1.0,
+    seed: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Per-class downsampling — the dataset-mixing primitive: keep class c
+    at ``rates[c]`` (classes absent from ``rates`` keep ``default_rate``).
+    One narrow filter; the per-class rate is a CASE over ``class_col`` and
+    the keep decision is the same deterministic hash rule as
+    ``deterministic_sample`` — so mixing is reproducible across reruns and
+    engines, and composable with checkpointed pipelines.
+
+    Typical use: rebalance web text by source/language before
+    tokenization; rates from a driver-side plan (a dict), never a shuffle.
+    """
+    key = F.col(key_col)
+    rate = F.lit(float(default_rate))
+    for cls, r in sorted(rates.items()):
+        rate = F.when(F.col(class_col) == cls, F.lit(float(r))).otherwise(rate)
+    if method == "md5":
+        digest = F.substring(
+            F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_DIGITS
+        )
+        # per-row bound: the class rate rendered as the same hex bound the
+        # scalar path uses; rate ≥ 1 → 'g' (see _md5_bound)
+        n = F.floor(rate * F.lit(float(16 ** _HEX_DIGITS)))
+        bound = F.when(
+            n >= F.lit(16 ** _HEX_DIGITS), F.lit("g")
+        ).otherwise(F.lpad(F.lower(F.hex(n)), _HEX_DIGITS, "0"))
+        return df.where(digest < bound)
+    if method == "xxhash64":
+        bucket = F.pmod(F.xxhash64(key, F.lit(0)), F.lit(1 << 20))
+        return df.where(bucket < F.floor(rate * F.lit(float(1 << 20))))
+    raise ValueError(f"unknown method {method!r}")

@@ -1,0 +1,63 @@
+"""Deterministic sampling & dataset mixing: rerun/partitioning stability,
+rate accuracy, per-class mixing, frac=1.0 hex-bound edge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.mixing import (
+    _md5_bound,
+    deterministic_sample,
+    sample_to_rates,
+)
+
+
+def test_md5_bound_edges():
+    assert _md5_bound(0.0) == "00000"
+    assert _md5_bound(0.25) == "40000"
+    assert _md5_bound(0.5) == "80000"
+    assert _md5_bound(1.0) == "g"  # above every 5-char hex digest
+    assert "fffff" < "g"  # the sentinel really keeps everything
+
+
+def test_deterministic_sample_stable_and_accurate(spark):
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    for method in ("md5", "xxhash64"):
+        kept = deterministic_sample(df, 0.3, "doc_id", method=method)
+        ids1 = {r["doc_id"] for r in kept.collect()}
+        # partitioning-independent: same rows from a different layout
+        ids2 = {
+            r["doc_id"]
+            for r in deterministic_sample(
+                df.repartition(7), 0.3, "doc_id", method=method
+            ).collect()
+        }
+        assert ids1 == ids2, method
+        assert abs(len(ids1) / 20_000 - 0.3) < 0.02, method
+    # full keep: every row survives (the 'g' bound edge)
+    assert deterministic_sample(df, 1.0, "doc_id").count() == 20_000
+
+
+def test_sample_to_rates_mixes_classes(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    out = sample_to_rates(
+        df, "lang", {"en": 0.2, "de": 0.6}, "doc_id", default_rate=1.0
+    )
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert abs(by["en"] / 10_000 - 0.2) < 0.03
+    assert abs(by["de"] / 10_000 - 0.6) < 0.03
+    assert by["zh"] == 10_000  # default_rate=1.0 keeps every row
+    # the kept set per class equals the scalar rule applied per class
+    en_direct = deterministic_sample(
+        df.where(F.col("lang") == "en"), 0.2, "doc_id"
+    )
+    assert {r["doc_id"] for r in out.where(F.col("lang") == "en").collect()} == {
+        r["doc_id"] for r in en_direct.collect()
+    }
