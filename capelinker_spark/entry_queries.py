@@ -1252,6 +1252,37 @@ def dm1_stratified_sample(spark, sf_dir):
 ORACLES["dm1_stratified_sample"] = _dm1_sql()
 
 
+@register(
+    "dm2_sequence_packing",
+    f"""WITH t AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({WORDS_SQL.format(c='text')}) END AS n_tokens
+               FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               cum - n_tokens AS seq_offset,
+               (cum - n_tokens) // 128 AS seq_id
+        FROM c""",
+)
+def dm2_sequence_packing(spark, sf_dir):
+    """Sequence packing: assign documents (global doc_id order) to
+    128-token training windows — a GLOBAL integer prefix sum, the op a
+    naive Window.orderBy would funnel through one task. The operator uses
+    the range-partition + per-partition-cumsum + broadcast-offsets pattern
+    (same as sorted-neighborhood); counts/sums are longs and the window id
+    is integer division, so the SQL window oracle matches bit-for-bit."""
+    from capelinker_spark.operators.packing import assign_packed_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", TS.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    out = assign_packed_sequences(d, "n_tokens", "doc_id", 128)
+    return out.select("doc_id", "n_tokens", "seq_offset", "seq_id")
+
+
 # -- similarity search -----------------------------------------------------------
 
 _COS_SQL = (
