@@ -467,17 +467,30 @@ def _uniformise_greedy(
     maxdist: float,
     out: str,
     quantize: int | None,
+    max_block_distinct: int = 20_000,
 ) -> DataFrame:
     """Within-block exact greedy absorb (R/util.R:150-164): per soundex
     block, repeatedly take the most frequent unassigned string (ties
     alphabetical) and absorb every unassigned string within JW(p=0.1)
     ``maxdist`` of it. One ``applyInPandas`` over (block → distinct strings
-    + counts); the mapping joins back to the full table."""
+    + counts); the mapping joins back to the full table.
+
+    Greedy is the PARITY path: each block runs sequentially in one Python
+    task at O(k²) worst case, so a block above ``max_block_distinct``
+    distinct strings raises with guidance to use ``method='cc'`` (the
+    scale path) rather than silently burning hours in one task."""
     import pandas as pd
 
     from capelinker_spark.functions.strdist import jaro_winkler_dist
 
     def absorb(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block_distinct:
+            raise ValueError(
+                f"greedy uniformise block '{pdf['_blk'].iloc[0]}' has "
+                f"{len(pdf)} distinct strings (> {max_block_distinct}); "
+                "the sequential absorb is O(k^2) in one task — use "
+                "method='cc' for blocks this size"
+            )
         pool = pdf.sort_values(
             ["_n", "_s"], ascending=[False, True], ignore_index=True
         )

@@ -108,6 +108,8 @@ def sample_to_rates(
         ).otherwise(F.lpad(F.lower(F.hex(n)), _HEX_DIGITS, "0"))
         return df.where(digest < bound)
     if method == "xxhash64":
-        bucket = F.pmod(F.xxhash64(key, F.lit(0)), F.lit(1 << 20))
+        bucket = F.pmod(
+            F.xxhash64(key, F.lit(int(seed or 0))), F.lit(1 << 20)
+        )
         return df.where(bucket < F.floor(rate * F.lit(float(1 << 20))))
     raise ValueError(f"unknown method {method!r}")
