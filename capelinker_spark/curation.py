@@ -1,0 +1,69 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs over raw web documents —
+
+    exact dedup → quality filter → language mix → sequence packing
+
+Each stage is one of the engine's existing operators (``operators.dedup``,
+``operators.textstats``, ``operators.mixing``, ``operators.packing``); this
+module wires them into a single lazily-composed plan (no checkpoint
+between stages — the whole flow is narrow except the dedup hash-agg and
+the packing range shuffle, so Catalyst pipelines it; checkpoint the OUTPUT
+with the LinkagePipeline machinery when running it as a stage graph).
+
+Every decision is deterministic and engine-portable, so the full flow is
+DuckDB-oracle-checkable end-to-end (cu1_curation_pipeline): md5 min-id
+dedup, integer/single-division quality thresholds, md5-bound sampling,
+long prefix-sum packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.dedup import dedup_exact
+from capelinker_spark.operators.mixing import sample_to_rates
+from capelinker_spark.operators.packing import assign_packed_sequences
+from capelinker_spark.operators.textstats import token_count_ws
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    min_alpha_ratio: float = 0.5,
+    lang_rates: dict[str, float] | None = None,
+    tokens_per_seq: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Run the four-stage curation flow; returns the packed survivor table
+    ``(doc_id, lang, n_tokens, seq_offset, seq_id)``.
+
+    Stages:
+    1. exact dedup — keep the min-id row per distinct text (md5);
+    2. quality filter — ``n_tokens ≥ min_tokens`` and
+       ``alpha_ratio > min_alpha_ratio`` (single int/int IEEE division);
+    3. language mixing — per-language deterministic downsampling
+       (``mixing.sample_to_rates``; None keeps every language whole);
+    4. packing — assign survivors, in global ``id_col`` order, to
+       ``tokens_per_seq``-token training windows (distributed prefix sum).
+    """
+    c = F.col(text_col)
+    deduped = dedup_exact(docs, text_col, id_col)
+    scored = deduped.withColumn("n_tokens", token_count_ws(c)).withColumn(
+        "_alpha",
+        F.regexp_count(c, F.lit("[A-Za-z]")) / F.length(c),
+    )
+    kept = scored.where(
+        (F.col("n_tokens") >= min_tokens) & (F.col("_alpha") > min_alpha_ratio)
+    )
+    if lang_rates:
+        kept = sample_to_rates(kept, lang_col, lang_rates, id_col)
+    packed = assign_packed_sequences(
+        kept.select(id_col, lang_col, "n_tokens"),
+        "n_tokens",
+        id_col,
+        tokens_per_seq,
+    )
+    return packed.select(id_col, lang_col, "n_tokens", "seq_offset", "seq_id")

@@ -1283,6 +1283,67 @@ def dm2_sequence_packing(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "seq_offset", "seq_id")
 
 
+def _cu1_sql() -> str:
+    from capelinker_spark.operators.mixing import _md5_bound
+
+    words = WORDS_SQL.format(c="text")
+    return f"""WITH all_docs AS MATERIALIZED (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 40),
+        h AS (SELECT doc_id, text, lang, md5(text) AS ch FROM all_docs),
+        canon AS (SELECT ch, min(doc_id) AS cid FROM h GROUP BY ch),
+        ded AS (SELECT h.doc_id, h.text, h.lang
+                FROM h JOIN canon ON h.ch = canon.ch AND h.doc_id = canon.cid),
+        q AS (SELECT doc_id, lang,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len({words}) END AS n_tokens,
+                len(regexp_extract_all(text, '[A-Za-z]'))
+                  / length(text) AS alpha
+              FROM ded),
+        kept AS (SELECT doc_id, lang, n_tokens FROM q
+                 WHERE n_tokens >= 10 AND alpha > 0.5),
+        mixed AS (SELECT * FROM kept
+                  WHERE substr(md5(doc_id::VARCHAR), 1, 5) <
+                        CASE lang WHEN 'en' THEN '{_md5_bound(0.5)}'
+                                  ELSE '{_md5_bound(1.0)}' END),
+        packed AS (SELECT doc_id, lang, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM mixed)
+        SELECT doc_id, lang, n_tokens,
+               cum - n_tokens AS seq_offset,
+               (cum - n_tokens) // 256 AS seq_id
+        FROM packed"""
+
+
+@register("cu1_curation_pipeline", None)
+def cu1_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation (curation.curate_corpus): exact dedup →
+    quality filter (≥10 ws-tokens, alpha ratio > .5) → language mixing
+    (keep 50% of 'en', all else) → pack survivors into 256-token training
+    windows. Planted exact duplicates exercise the dedup stage. Every
+    stage is deterministic and engine-portable, so the WHOLE composition
+    has a single SQL oracle — the four-operator flow matches DuckDB
+    bit-for-bit, not just each operator in isolation."""
+    from capelinker_spark.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    return curate_corpus(
+        d.unionByName(planted),
+        min_tokens=10,
+        min_alpha_ratio=0.5,
+        lang_rates={"en": 0.5},
+        tokens_per_seq=256,
+    )
+
+
+ORACLES["cu1_curation_pipeline"] = _cu1_sql()
+
+
 # -- similarity search -----------------------------------------------------------
 
 _COS_SQL = (

@@ -40,3 +40,37 @@ def test_packing_plan_is_parallel(spark):
         F.countDistinct("seq_id").alias("n"),
     ).collect()[0]
     assert agg["lo"] == 0 and agg["n"] == agg["hi"] + 1
+
+
+def test_curate_corpus_composition(spark):
+    """The four-stage curation flow end-to-end on a hand-built corpus:
+    exact dups collapse, short and low-alpha docs drop, language rates
+    apply, survivors pack contiguously in id order."""
+    from capelinker_spark.curation import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, good, "en"),
+        (1, good, "en"),                      # exact dup of 0 → dropped
+        (2, "too short", "en"),                # < 10 tokens → dropped
+        (3, "1 2 3 4 5 6 7 8 9 10 11 12", "en"),  # low alpha → dropped
+        (4, good + " with more words", "de"),
+        (5, good + " and a different tail here", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(df, min_tokens=10, min_alpha_ratio=0.5,
+                        lang_rates=None, tokens_per_seq=16)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {0, 4, 5}  # dup/short/low-alpha all gone
+    # packing: contiguous offsets in doc_id order
+    off = 0
+    for i in sorted(got):
+        assert got[i]["seq_offset"] == off
+        assert got[i]["seq_id"] == off // 16
+        off += got[i]["n_tokens"]
+    # language mixing drops deterministically when rates are set
+    n_en_full = sum(1 for i in got if got[i]["lang"] == "en")
+    out2 = curate_corpus(df, min_tokens=10, min_alpha_ratio=0.5,
+                         lang_rates={"en": 0.0}, tokens_per_seq=16)
+    langs2 = {r["lang"] for r in out2.collect()}
+    assert "en" not in langs2 and "de" in langs2 and n_en_full == 1
