@@ -179,6 +179,9 @@ HEADLINE_QUERIES = [
     "st1_streaming_window_agg",
     "ev1_sessionize_stats",
     "dd6_near_dedup_canonical",
+    "dm2_sequence_packing",
+    "cu1_curation_pipeline",
+    "ts5_pii_counts",
 ]
 
 
