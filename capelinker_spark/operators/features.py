@@ -277,13 +277,23 @@ def jw_uniqueness(
     rhs = mult.select(F.col(by), F.col("_s").alias("_sb"), F.col("_mult"))
     if max_group_distinct is not None:
         dn = mult.groupBy(by).agg(F.count("*").alias("_dn"))
-        rhs = rhs.join(F.broadcast(dn), by).where(
-            (F.col("_dn") <= max_group_distinct)
-            | (
-                F.pmod(F.xxhash64("_sb", F.lit(seed)), F.col("_dn"))
-                < F.lit(max_group_distinct)
+        keyed = rhs.join(F.broadcast(dn), by).withColumn(
+            "_h", F.pmod(F.xxhash64("_sb", F.lit(seed)), F.col("_dn"))
+        )
+        # floor guarantee: the group's min-hash name is ALWAYS kept, so a
+        # group can never sample down to an empty comparison set (P≈e^-cap
+        # of zero survivors would otherwise drop the whole group's rows
+        # through the inner group_n join — silent data loss)
+        hmin = keyed.groupBy(by).agg(F.min("_h").alias("_hmin"))
+        rhs = (
+            keyed.join(F.broadcast(hmin), by)
+            .where(
+                (F.col("_dn") <= max_group_distinct)
+                | (F.col("_h") < F.lit(max_group_distinct))
+                | (F.col("_h") == F.col("_hmin"))
             )
-        ).drop("_dn")
+            .drop("_dn", "_h", "_hmin")
+        )
         # denominator = the weight actually compared against (rows whose
         # names survived the sample); equals the full group size wherever
         # the cap did not engage

@@ -91,25 +91,32 @@ def sample_to_rates(
 
     Typical use: rebalance web text by source/language before
     tokenization; rates from a driver-side plan (a dict), never a shuffle.
+
+    The per-class bound is resolved ON THE DRIVER with the same
+    ``_md5_bound`` / integer-threshold math the scalar rules use, then
+    planted as a CASE over literals — one implementation of the bound
+    math (the DuckDB oracle's CASE is its mirror), no runtime hex
+    formatting in the expression tree.
     """
     key = F.col(key_col)
-    rate = F.lit(float(default_rate))
-    for cls, r in sorted(rates.items()):
-        rate = F.when(F.col(class_col) == cls, F.lit(float(r))).otherwise(rate)
     if method == "md5":
+        bound = F.lit(_md5_bound(default_rate))
+        for cls, r in sorted(rates.items()):
+            bound = F.when(
+                F.col(class_col) == cls, F.lit(_md5_bound(r))
+            ).otherwise(bound)
         digest = F.substring(
             F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_DIGITS
         )
-        # per-row bound: the class rate rendered as the same hex bound the
-        # scalar path uses; rate ≥ 1 → 'g' (see _md5_bound)
-        n = F.floor(rate * F.lit(float(16 ** _HEX_DIGITS)))
-        bound = F.when(
-            n >= F.lit(16 ** _HEX_DIGITS), F.lit("g")
-        ).otherwise(F.lpad(F.lower(F.hex(n)), _HEX_DIGITS, "0"))
         return df.where(digest < bound)
     if method == "xxhash64":
+        thr = F.lit(int(default_rate * (1 << 20)))
+        for cls, r in sorted(rates.items()):
+            thr = F.when(
+                F.col(class_col) == cls, F.lit(int(r * (1 << 20)))
+            ).otherwise(thr)
         bucket = F.pmod(
             F.xxhash64(key, F.lit(int(seed or 0))), F.lit(1 << 20)
         )
-        return df.where(bucket < F.floor(rate * F.lit(float(1 << 20))))
+        return df.where(bucket < thr)
     raise ValueError(f"unknown method {method!r}")

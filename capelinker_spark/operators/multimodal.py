@@ -52,15 +52,25 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     before the fake check broke the documented contract)."""
     from capelinker_spark.operators import media_codecs as mc
 
+    # the try covers ONLY the codec decode: a corrupt/unsupported payload
+    # falls back to the fake under fake=True, but a bug in the
+    # featurization code itself must still surface (a broad except here
+    # would mask real regressions as plausible fake vectors)
+    decoded = None
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            return mc.image_feature_vector(mc.decode_png(payload), IMAGE_FEATURE_DIM)
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return mc.audio_feature_vector(*mc.decode_wav(payload), IMAGE_FEATURE_DIM)
+            decoded = ("image", mc.decode_png(payload))
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            decoded = ("audio", mc.decode_wav(payload))
     except Exception:
         if fake:
             return _fake_decode(payload, IMAGE_FEATURE_DIM)
         raise
+    if decoded is not None:
+        kind, data = decoded
+        if kind == "image":
+            return mc.image_feature_vector(data, IMAGE_FEATURE_DIM)
+        return mc.audio_feature_vector(*data, IMAGE_FEATURE_DIM)
     if not fake:
         raise NotImplementedError(
             "only PNG/WAV decode without a native media library; pass "

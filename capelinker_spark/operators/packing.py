@@ -40,11 +40,16 @@ def assign_packed_sequences(
     document's global start offset in tokens."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint, not persist: both passes (totals collect + window)
+    # must see identical partition boundaries, AND the blocks are cleaned
+    # by the ContextCleaner once the frame is garbage-collected — persist()
+    # would pin one copy of the input per call for the whole session
+    # (round-3 review finding)
     srt = (
         df.repartitionByRange(n_part, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     totals = sorted(
         (r["_pid"], r["_t"])

@@ -308,6 +308,19 @@ class LinkagePipeline:
 
         if resume and os.path.exists(model_path) and _model_valid():
             model = LogisticModel.load(model_path)
+        elif truth is None and resume and os.path.exists(model_path):
+            # a model.json exists but fails the manifest gate (trained
+            # under a different config, or a pre-manifest workdir): with
+            # no truth to retrain from, scoring below would fail with a
+            # generic message — fail HERE with the actual cause instead
+            # of silently re-scoring with a model from the wrong config
+            if not self._done("scores"):
+                raise ValueError(
+                    f"{model_path} exists but does not match this config "
+                    "(missing or stale model manifest) and no truth table "
+                    "was given to retrain: pass truth, or remove the "
+                    "workdir to start fresh"
+                )
         elif truth is not None:
             if not (resume and self._done("scores")):
                 model = self._train_model(feats, truth)

@@ -153,6 +153,15 @@ def stream_sessionize(
     by tests/test_streaming.py including an evicted-then-returning user.
     Group on (user, session_start); treat ``session`` as a per-state-epoch
     ordinal only.
+
+    Checkpoint compatibility: the state schema is (last_us, session,
+    start_us) — one field wider than the pre-``session_start`` version.
+    Spark does not support state-schema evolution for
+    ``applyInPandasWithState``, so restarting an EXISTING query from an
+    old checkpointLocation fails its state-compatibility check: resume
+    old checkpoints with the old release, or start the upgraded query
+    with a fresh checkpointLocation (standard Structured Streaming
+    constraint for stateful operators).
     """
     import numpy as np
     import pandas as pd

@@ -300,3 +300,16 @@ def test_uniformise_greedy_matches_reference_order(spark):
     c2 = {r["mlast"]: r["mlast_unif"]
           for r in FE.uniformise_strings(df2, "mlast", method="cc").collect()}
     assert g2 == c2
+
+
+def test_jw_uniqueness_guard_never_empties_a_group(spark):
+    """Floor guarantee (round-3 review finding): even at cap=1 — where the
+    hash sample keeps zero names with probability ~e^-1 per group — the
+    min-hash name is always retained, so every input row still gets a
+    feature value instead of vanishing through the inner group join."""
+    rows = [(i, 1800 + (i % 7), f"NM{i:03d}") for i in range(300)]
+    df = spark.createDataFrame(rows, "persid long, year int, mfirst string")
+    out = FE.jw_uniqueness(df, "mfirst", out="u", max_group_distinct=1)
+    vals = {r["persid"]: r["u"] for r in out.collect()}
+    assert len(vals) == 300  # no group silently dropped
+    assert all(v is not None for v in vals.values())

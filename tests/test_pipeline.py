@@ -197,3 +197,23 @@ def test_features_checkpoint_pruned(result):
     assert "mlastdist" in cols and "matches" in cols
     for raw in ("mlast_from", "mlast_to", "wfirst_from", "year_from"):
         assert raw not in cols, raw
+
+
+def test_truthless_resume_with_stale_model_fails_loudly(spark, pages, tmp_path):
+    """A model.json that fails the manifest gate + no truth to retrain:
+    the run must fail with the actual cause (stale/legacy model) rather
+    than a generic 'scoring requires truth' deep in the scores stage
+    (round-3 review finding)."""
+    import json as _json
+    import os
+
+    import pytest
+
+    wd = str(tmp_path / "legacy_wd")
+    os.makedirs(wd)
+    # a legacy model.json with NO manifest (pre-manifest workdir)
+    with open(f"{wd}/model.json", "w") as fh:
+        _json.dump({"features": ["mlastdist"], "coef": [0.0], "intercept": 0.0}, fh)
+    pipe = LinkagePipeline(spark, wd, PipelineConfig())
+    with pytest.raises(ValueError, match="does not match this config"):
+        pipe.run(pages, truth=None, resume=True)
