@@ -155,11 +155,16 @@ def sorted_neighborhood_pairs(
     order = ["_k", "_side", "_id"]
     spark = u.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # localCheckpoint, not persist: both passes (offset collect + window)
+    # must see identical range boundaries, and checkpoint blocks are
+    # GC-cleaned by the ContextCleaner when the frame goes out of scope —
+    # persist() pinned one copy of the table per call for the whole
+    # session (round-3 review finding, shared with operators/packing.py)
     srt = (
         u.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     part_counts = sorted(
         (r["_pid"], r["_n"])
