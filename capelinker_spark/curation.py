@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from capelinker_spark.operators.dedup import dedup_exact
 from capelinker_spark.operators.mixing import sample_to_rates
 from capelinker_spark.operators.packing import assign_packed_sequences
-from capelinker_spark.operators.textstats import token_count_ws
+from capelinker_spark.operators.textstats import alpha_ratio, token_count_ws
 
 
 def curate_corpus(
@@ -52,8 +52,7 @@ def curate_corpus(
     c = F.col(text_col)
     deduped = dedup_exact(docs, text_col, id_col)
     scored = deduped.withColumn("n_tokens", token_count_ws(c)).withColumn(
-        "_alpha",
-        F.regexp_count(c, F.lit("[A-Za-z]")) / F.length(c),
+        "_alpha", alpha_ratio(c)
     )
     kept = scored.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("_alpha") > min_alpha_ratio)

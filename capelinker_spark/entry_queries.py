@@ -889,18 +889,18 @@ def c2_expand_index(spark, sf_dir):
 
 _DOCS_PLUS_DUPS = (
     "SELECT doc_id, text FROM documents "
-    "UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40 "
-    "UNION ALL SELECT doc_id + 200000, text || ' zzextra' FROM documents WHERE doc_id < 40"
+    "UNION ALL SELECT doc_id + 10000000000, text FROM documents WHERE doc_id < 40 "
+    "UNION ALL SELECT doc_id + 20000000000, text || ' zzextra' FROM documents WHERE doc_id < 40"
 )
 
 
 def _docs_plus_dups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.where(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
     )
     near = d.where(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 20_000_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
     )
     return d.unionByName(exact).unionByName(near)
@@ -1169,9 +1169,7 @@ def ts5_pii_counts(spark, sf_dir):
     aug = d.select(
         "doc_id", _ts5_aug_spark(F.col("text"), F.col("doc_id")).alias("t")
     )
-    out = aug
-    for name, expr in TS.pii_features(F.col("t")).items():
-        out = out.withColumn(name, expr)
+    out = TS.add_pii_counts(aug, "t")
     return out.select("doc_id", "n_emails", "n_urls", "n_phones", "has_pii")
 
 
@@ -1211,9 +1209,7 @@ def ts6_line_repetition(spark, sf_dir):
             c,
         ).alias("t"),
     )
-    out = lined
-    for name, expr in TS.line_stats(F.col("t")).items():
-        out = out.withColumn(name, expr)
+    out = TS.add_line_stats(lined, "t")
     return out.select("doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio")
 
 
@@ -1290,7 +1286,7 @@ def _cu1_sql() -> str:
     return f"""WITH all_docs AS MATERIALIZED (
           SELECT doc_id, text, lang FROM documents
           UNION ALL
-          SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 40),
+          SELECT doc_id + 10000000000, text, lang FROM documents WHERE doc_id < 40),
         h AS (SELECT doc_id, text, lang, md5(text) AS ch FROM all_docs),
         canon AS (SELECT ch, min(doc_id) AS cid FROM h GROUP BY ch),
         ded AS (SELECT h.doc_id, h.text, h.lang
@@ -1330,7 +1326,7 @@ def cu1_curation_pipeline(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     planted = d.where(F.col("doc_id") < 40).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text", "lang"
     )
     return curate_corpus(
         d.unionByName(planted),
@@ -1392,7 +1388,7 @@ def ann1_brute_force_topk(spark, sf_dir):
     f"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
                    FROM embeddings
                    UNION ALL
-                   SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+                   SELECT vec_id + 10000000000, list_transform(embedding, x -> x::DOUBLE)
                    FROM embeddings WHERE vec_id < 10)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 6) AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -1406,7 +1402,7 @@ def ann2_embedding_neardup(spark, sf_dir):
         "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
     )
     planted = e.where(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 10_000_000_000).alias("vec_id"), "embedding"
     )
     df = e.unionByName(planted)
     out = SS.embedding_near_duplicates(
@@ -2083,7 +2079,7 @@ def dd6_near_dedup_canonical(spark, sf_dir):
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings
             UNION ALL
-            SELECT vec_id + 100000, list_transform(embedding, x -> x::DOUBLE)
+            SELECT vec_id + 10000000000, list_transform(embedding, x -> x::DOUBLE)
             FROM embeddings WHERE vec_id < 10),
         prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2111,7 +2107,7 @@ def ann3_embedding_dedup_canonical(spark, sf_dir):
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
     planted = e.where(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 10_000_000_000).alias("vec_id"), "embedding"
     )
     return embedding_dedup_canonical(
         e.unionByName(planted), threshold=0.995, dim=64, quantize=6,

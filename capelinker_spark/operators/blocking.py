@@ -125,6 +125,7 @@ def sorted_neighborhood_pairs(
     id_from: str,
     id_to: str,
     window: int = 5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood blocking: global sort of both sides' keys merged,
     pair rows within ``window`` positions.
@@ -155,16 +156,24 @@ def sorted_neighborhood_pairs(
     order = ["_k", "_side", "_id"]
     spark = u.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # localCheckpoint, not persist: both passes (offset collect + window)
-    # must see identical range boundaries, and checkpoint blocks are
-    # GC-cleaned by the ContextCleaner when the frame goes out of scope —
-    # persist() pinned one copy of the table per call for the whole
-    # session (round-3 review finding, shared with operators/packing.py)
+    # checkpoint, not persist: both passes (offset collect + window) must
+    # see identical range boundaries, and checkpoint blocks are GC-cleaned
+    # by the ContextCleaner when the frame goes out of scope — persist()
+    # pinned one copy of the table per call for the whole session
+    # (round-3 review finding, shared with operators/packing.py).
+    # ``reliable_checkpoint=True`` writes to the reliable checkpoint dir
+    # instead of executor-local blocks — use it on clusters with executor
+    # churn, where a lost local block cannot be recomputed through the
+    # truncated lineage (same escape hatch as cluster.connected_components)
     srt = (
         u.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    )
+    srt = (
+        srt.checkpoint(eager=True)
+        if reliable_checkpoint
+        else srt.localCheckpoint(eager=True)
     )
     part_counts = sorted(
         (r["_pid"], r["_n"])

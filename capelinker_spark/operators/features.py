@@ -489,6 +489,8 @@ def _uniformise_greedy(
     task at O(k²) worst case, so a block above ``max_block_distinct``
     distinct strings raises with guidance to use ``method='cc'`` (the
     scale path) rather than silently burning hours in one task."""
+    import math
+
     import pandas as pd
 
     from capelinker_spark.functions.strdist import jaro_winkler_dist
@@ -513,7 +515,12 @@ def _uniformise_greedy(
             for s in remaining:
                 d = jaro_winkler_dist(head, s, p=0.1)
                 if quantize is not None:
-                    d = round(d, quantize)
+                    # HALF_UP like Spark's F.round — Python round() is
+                    # banker's rounding and would give the greedy path a
+                    # different edge set than the CC path at ties
+                    # (round(0.125,2)=0.12 vs F.round→0.13)
+                    q = 10 ** quantize
+                    d = math.floor(d * q + 0.5) / q
                 if d < maxdist or s == head:
                     rep[s] = head
                 else:

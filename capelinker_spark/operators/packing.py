@@ -28,6 +28,7 @@ def assign_packed_sequences(
     tokens_per_seq: int,
     out: str = "seq_id",
     offset_out: str | None = "seq_offset",
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Greedy contiguous packing: documents ordered by ``order_col`` (must
     be a unique key — ties would make the global order, and therefore the
@@ -40,16 +41,22 @@ def assign_packed_sequences(
     document's global start offset in tokens."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # localCheckpoint, not persist: both passes (totals collect + window)
-    # must see identical partition boundaries, AND the blocks are cleaned
-    # by the ContextCleaner once the frame is garbage-collected — persist()
+    # checkpoint, not persist: both passes (totals collect + window) must
+    # see identical partition boundaries, AND the blocks are cleaned by
+    # the ContextCleaner once the frame is garbage-collected — persist()
     # would pin one copy of the input per call for the whole session
-    # (round-3 review finding)
+    # (round-3 review finding). ``reliable_checkpoint=True`` uses the
+    # reliable checkpoint dir for clusters with executor churn, where a
+    # lost executor-local block is unrecoverable through truncated lineage
     srt = (
         df.repartitionByRange(n_part, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    )
+    srt = (
+        srt.checkpoint(eager=True)
+        if reliable_checkpoint
+        else srt.localCheckpoint(eager=True)
     )
     totals = sorted(
         (r["_pid"], r["_t"])

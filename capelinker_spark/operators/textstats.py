@@ -66,10 +66,19 @@ def token_count_bpe(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
 
 
+def alpha_ratio(col: Column) -> Column:
+    """Share of ASCII letters in the text — THE 'alpha ratio' definition
+    (single int/int IEEE division; empty text → 0.0). Used by both the
+    quality score and the curation filter so the two can never drift."""
+    n_chars = F.length(col)
+    return F.when(
+        n_chars > 0, F.regexp_count(col, F.lit("[A-Za-z]")) / n_chars
+    ).otherwise(F.lit(0.0))
+
+
 def quality_features(col: Column) -> dict[str, Column]:
     n_chars = F.length(col)
     n_tokens = token_count_ws(col)
-    n_alpha = F.regexp_count(col, F.lit("[A-Za-z]"))
     n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
     n_digit = F.regexp_count(col, F.lit("[0-9]"))
     n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])
@@ -79,7 +88,7 @@ def quality_features(col: Column) -> dict[str, Column]:
         "mean_token_len": F.when(
             n_tokens > 0, n_chars.cast("double") / n_tokens
         ).otherwise(F.lit(0.0)),
-        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "alpha_ratio": alpha_ratio(col),
         "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
         "digit_ratio": F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)),
         "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)),

@@ -143,9 +143,13 @@ class LinkagePipeline:
         return df.count() == m.get("row_count")
 
     def _stage(self, stage: str, fn, resume: bool, score_col: str | None = None,
-               key_metrics_col: str | None = None) -> DataFrame:
+               key_metrics_col: str | None = None,
+               done: bool | None = None) -> DataFrame:
+        # ``done``: caller-precomputed _done(stage) — the scores stage's
+        # validation (schema compare + footer count) would otherwise run
+        # up to three times per resumed run (model gate twice + here)
         path = self._path(stage)
-        if resume and self._done(stage):
+        if resume and (self._done(stage) if done is None else done):
             return self.spark.read.parquet(path)
         t0 = time.time()
         df = fn()
@@ -298,6 +302,7 @@ class LinkagePipeline:
         model_path = os.path.join(self.workdir, "model.json")
         model_manifest = model_path + ".manifest"
         scores_hash = self._stage_hash("scores")
+        scores_done = resume and self._done("scores")
 
         def _model_valid() -> bool:
             try:
@@ -314,7 +319,7 @@ class LinkagePipeline:
             # no truth to retrain from, scoring below would fail with a
             # generic message — fail HERE with the actual cause instead
             # of silently re-scoring with a model from the wrong config
-            if not self._done("scores"):
+            if not scores_done:
                 raise ValueError(
                     f"{model_path} exists but does not match this config "
                     "(missing or stale model manifest) and no truth table "
@@ -322,7 +327,7 @@ class LinkagePipeline:
                     "workdir to start fresh"
                 )
         elif truth is not None:
-            if not (resume and self._done("scores")):
+            if not scores_done:
                 model = self._train_model(feats, truth)
                 model.save(model_path)
                 with open(model_manifest, "w") as fh:
@@ -337,7 +342,9 @@ class LinkagePipeline:
                 "persid_from", "persid_to", "predicted"
             )
 
-        scores = self._stage("scores", _scores, resume, score_col="predicted")
+        scores = self._stage(
+            "scores", _scores, resume, score_col="predicted", done=scores_done
+        )
 
         def _links():
             # scores is already the narrow (id_from, id_to, score) projection
