@@ -70,6 +70,52 @@ def dedup_stream(
     )
 
 
+def stream_curate(
+    docs_stream: DataFrame,
+    min_tokens: int = 10,
+    min_alpha_ratio: float = 0.5,
+    text_col: str = "text",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming corpus curation — the stages of ``curation.curate_corpus``
+    that CAN stream, applied to a document stream:
+
+    * quality filter (token count + alpha ratio): pure narrow expressions,
+      stateless, identical semantics to batch;
+    * exact dedup by CONTENT hash (md5 of the text): watermarked
+      ``dropDuplicates`` — re-crawled/duplicated content inside the
+      watermark horizon is dropped, state stays bounded.
+
+    Adds ``n_tokens`` and ``content_hash`` columns. Semantics note vs
+    batch ``dedup_exact``: batch keeps the MIN-id row per distinct text;
+    the stream keeps the FIRST-ARRIVED row — identical when arrival order
+    follows id order (replayed logs), and divergent only in which
+    representative survives, never in the surviving content set. The
+    remaining batch stages don't stream by nature: language mixing is a
+    stateless filter (apply ``mixing.sample_to_rates`` downstream if
+    rates are wanted on the stream too), and sequence packing needs a
+    GLOBAL order — run ``packing.assign_packed_sequences`` as a batch job
+    over the curated sink.
+
+    ``watermark_col=None`` skips the watermark (unbounded dedup state —
+    only for bounded replays/tests)."""
+    from capelinker_spark.operators.textstats import alpha_ratio, token_count_ws
+
+    c = F.col(text_col)
+    filtered = (
+        docs_stream.withColumn("n_tokens", token_count_ws(c))
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (alpha_ratio(c) > min_alpha_ratio)
+        )
+        .withColumn("content_hash", F.md5(c))
+    )
+    if watermark_col is not None:
+        filtered = filtered.withWatermark(watermark_col, watermark)
+    return filtered.dropDuplicates(["content_hash"])
+
+
 def incremental_link(
     pages_stream: DataFrame,
     reference_records: DataFrame,

@@ -264,3 +264,58 @@ def test_stream_sessionize_evicted_user_returns(spark, tmp_path):
     stream_keys = {(r["user_id"], r["session_start"]) for r in got.values()}
     batch_keys = {(r["user_id"], r["session_start"]) for r in want.values()}
     assert stream_keys == batch_keys
+
+
+def test_stream_curate_matches_batch(spark, tmp_path):
+    """Streaming curation ≡ the batch flow's streamable stages: the same
+    documents survive the quality filter + content dedup whether consumed
+    as 3 micro-batches or one batch table (arrival order follows doc_id,
+    so the stream's first-arrived dedup representative equals batch's
+    min-id one)."""
+    from capelinker_spark.curation import curate_corpus
+    from capelinker_spark.streaming import stream_curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, good + " zero", "en"),
+        (1, "too short", "en"),                     # quality-dropped
+        (2, good + " two", "de"),
+        (3, good + " zero", "en"),                  # exact dup of 0 (same batch file)
+        (4, "1 2 3 4 5 6 7 8 9 10 11 12 13", "en"),  # low alpha
+        (5, good + " five", "en"),
+        (6, good + " two", "de"),                   # dup of 2 ACROSS batches
+        (7, good + " seven", "fr"),
+    ]
+    schema = "doc_id long, text string, lang string"
+    src = str(tmp_path / "docs_stream")
+    for lo, hi in ((0, 3), (3, 6), (6, 8)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_curate(stream, min_tokens=10, min_alpha_ratio=0.5,
+                      watermark_col=None)
+        .writeStream.format("memory")
+        .queryName("curate_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("curate_stream").collect()}
+    # batch reference: the same streamable stages (dedup+quality; packing
+    # is batch-only by nature) — compare the surviving doc set
+    batch = curate_corpus(
+        spark.createDataFrame(rows, schema),
+        min_tokens=10, min_alpha_ratio=0.5, lang_rates=None,
+        tokens_per_seq=64,
+    )
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want == {0, 2, 5, 7}
+    # content set sanity: each surviving hash is unique
+    hashes = [r["content_hash"] for r in spark.table("curate_stream").collect()]
+    assert len(hashes) == len(set(hashes))
