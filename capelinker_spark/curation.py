@@ -18,7 +18,9 @@ long prefix-sum packing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from capelinker_spark.operators.dedup import dedup_exact
@@ -36,6 +38,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    token_counter: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """Run the four-stage curation flow; returns the packed survivor table
     ``(doc_id, lang, n_tokens, seq_offset, seq_id)``.
@@ -48,10 +51,19 @@ def curate_corpus(
        (``mixing.sample_to_rates``; None keeps every language whole);
     4. packing — assign survivors, in global ``id_col`` order, to
        ``tokens_per_seq``-token training windows (distributed prefix sum).
+
+    ``token_counter`` sets the token unit for BOTH the ``min_tokens``
+    quality gate and the packing budget (real pretraining windows are
+    budgeted in tokenizer tokens, not whitespace words): any
+    ``Column -> Column`` counter — ``textstats.token_count_bpe``, or an
+    injected UDF wrapping a real tokenizer. Default: whitespace
+    (``token_count_ws``). The counter must be deterministic for the
+    pipeline to stay rerun-stable and oracle-checkable.
     """
+    count = token_counter or token_count_ws
     c = F.col(text_col)
     deduped = dedup_exact(docs, text_col, id_col)
-    scored = deduped.withColumn("n_tokens", token_count_ws(c)).withColumn(
+    scored = deduped.withColumn("n_tokens", count(c)).withColumn(
         "_alpha", alpha_ratio(c)
     )
     kept = scored.where(

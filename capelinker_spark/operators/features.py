@@ -420,6 +420,14 @@ def uniformise_strings(
     absorption cannot cross soundex blocks (shared with the CC path, and
     with any blocked re-expression).
 
+    ``method="greedy_global"``: the reference's absorb order with NO
+    blocking at all — the distinct-string vocabulary is collected to the
+    driver (guarded: raises above 100k distinct) and absorbed in one
+    global sequential pass, closing even the cross-block deviation. This
+    is the full-parity escape hatch for realistic name vocabularies
+    (every surname list fits); above the guard, use ``greedy`` (per-block
+    parity) or ``cc`` (scale path).
+
     ``quantize``: round the JW distance to this many decimals BEFORE the
     threshold (the module's engine-portable convention — thresholds filter
     on the rounded value so the edge set is identical across engines).
@@ -428,8 +436,14 @@ def uniformise_strings(
         return _uniformise_greedy(
             records, name_col, maxdist, out or f"{name_col}_unif", quantize
         )
+    if method == "greedy_global":
+        return _uniformise_greedy_global(
+            records, name_col, maxdist, out or f"{name_col}_unif", quantize
+        )
     if method != "cc":
-        raise ValueError(f"unknown method {method!r} (use 'cc' or 'greedy')")
+        raise ValueError(
+            f"unknown method {method!r} (use 'cc', 'greedy', or 'greedy_global')"
+        )
     from capelinker_spark.operators.cluster import connected_components
 
     out = out or f"{name_col}_unif"
@@ -471,6 +485,52 @@ def uniformise_strings(
     return records.join(reps, name_col, "left")
 
 
+def _greedy_absorb(
+    names: list[str], maxdist: float, quantize: int | None
+) -> dict[str, str]:
+    """The reference's sequential absorb loop (R/util.R:150-164) over a
+    priority-ordered vocabulary: the first remaining string absorbs every
+    remaining string within JW(p=0.1) ``maxdist`` of it (itself included),
+    absorbed strings leave the pool, repeat. Returns string → representative.
+
+    Scores each head against the whole remaining pool in ONE C-kernel batch
+    call when the native library is available (bit-identical to the Python
+    oracle by the kernel's contract), falling back to the scalar Python
+    loop — so cost is O(#reps · V) kernel comparisons, far below the V²
+    worst case on heavy-absorption vocabularies.
+
+    ``quantize`` rounds HALF_UP like Spark's F.round — Python ``round()``
+    is banker's rounding and would give the greedy paths a different edge
+    set than the CC path at ties (round(0.125,2)=0.12 vs F.round→0.13)."""
+    import math
+
+    from capelinker_spark.functions import _native
+    from capelinker_spark.functions.strdist import jaro_winkler_dist
+
+    q = 10 ** quantize if quantize is not None else None
+    rep: dict[str, str] = {}
+    remaining = list(names)
+    while remaining:
+        head = remaining[0]
+        dists = None
+        if _native.available():
+            dists = _native.jw_batch([head] * len(remaining), remaining, 0.1)
+        if dists is None:
+            dists = [jaro_winkler_dist(head, s, p=0.1) for s in remaining]
+        else:
+            dists = dists.tolist()
+        kept = []
+        for s, d in zip(remaining, dists):
+            if q is not None:
+                d = math.floor(d * q + 0.5) / q
+            if d < maxdist or s == head:
+                rep[s] = head
+            else:
+                kept.append(s)
+        remaining = kept
+    return rep
+
+
 def _uniformise_greedy(
     records: DataFrame,
     name_col: str,
@@ -489,11 +549,7 @@ def _uniformise_greedy(
     task at O(k²) worst case, so a block above ``max_block_distinct``
     distinct strings raises with guidance to use ``method='cc'`` (the
     scale path) rather than silently burning hours in one task."""
-    import math
-
     import pandas as pd
-
-    from capelinker_spark.functions.strdist import jaro_winkler_dist
 
     def absorb(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > max_block_distinct:
@@ -507,25 +563,7 @@ def _uniformise_greedy(
             ["_n", "_s"], ascending=[False, True], ignore_index=True
         )
         names = pool["_s"].tolist()
-        rep = {}
-        remaining = list(names)
-        while remaining:
-            head = remaining[0]
-            kept = []
-            for s in remaining:
-                d = jaro_winkler_dist(head, s, p=0.1)
-                if quantize is not None:
-                    # HALF_UP like Spark's F.round — Python round() is
-                    # banker's rounding and would give the greedy path a
-                    # different edge set than the CC path at ties
-                    # (round(0.125,2)=0.12 vs F.round→0.13)
-                    q = 10 ** quantize
-                    d = math.floor(d * q + 0.5) / q
-                if d < maxdist or s == head:
-                    rep[s] = head
-                else:
-                    kept.append(s)
-            remaining = kept
+        rep = _greedy_absorb(names, maxdist, quantize)
         return pd.DataFrame({"_s": names, "_rep": [rep[s] for s in names]})
 
     freq = (
@@ -537,6 +575,48 @@ def _uniformise_greedy(
     mapping = freq.groupBy("_blk").applyInPandas(absorb, "_s string, _rep string")
     reps = mapping.select(F.col("_s").alias(name_col), F.col("_rep").alias(out))
     return records.join(reps, name_col, "left")
+
+
+def _uniformise_greedy_global(
+    records: DataFrame,
+    name_col: str,
+    maxdist: float,
+    out: str,
+    quantize: int | None,
+    max_vocab: int = 100_000,
+) -> DataFrame:
+    """The reference's EXACT global absorb pass (R/util.R:145-166), no
+    blocking: distinct strings + frequencies are aggregated distributed,
+    counted first (one 1-row agg — raises above ``max_vocab`` BEFORE any
+    driver collect), then the ≤``max_vocab``-row vocabulary is collected,
+    absorbed sequentially on the driver in reference priority order (count
+    desc, string asc — R's ``sort(-table(x))``), and the string →
+    representative mapping is broadcast-joined back. Closes the last
+    semantic deviation of the blocked paths: absorption chains that CROSS
+    soundex blocks. Driver cost O(#reps · V) C-kernel comparisons; every
+    realistic surname vocabulary fits, and anything bigger gets a loud
+    error pointing at 'greedy' (per-block parity) / 'cc' (scale)."""
+    freq = (
+        records.where(F.col(name_col).isNotNull())
+        .groupBy(F.col(name_col).alias("_s"))
+        .agg(F.count("*").alias("_n"))
+    )
+    n_vocab = freq.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"greedy_global uniformise: {n_vocab} distinct strings "
+            f"(> {max_vocab}) — the global sequential absorb is a driver-"
+            "side pass; use method='greedy' (per-block parity) or "
+            "method='cc' (scale path) for vocabularies this size"
+        )
+    vocab = freq.orderBy(F.desc("_n"), F.asc("_s")).collect()
+    names = [r["_s"] for r in vocab]
+    rep = _greedy_absorb(names, maxdist, quantize)
+    spark = records.sparkSession
+    reps = spark.createDataFrame(
+        [(s, rep[s]) for s in names], f"`{name_col}` string, `{out}` string"
+    )
+    return records.join(F.broadcast(reps), name_col, "left")
 
 
 def make_labeling_sheet(

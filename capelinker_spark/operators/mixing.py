@@ -38,12 +38,24 @@ def _md5_bound(frac: float) -> str:
     return format(n, f"0{_HEX_DIGITS}x")
 
 
+def _md5_digest(key: Column, seed: str) -> Column:
+    """5-hex-char digest of ``seed || key``. NULL keys hash as the empty
+    string (coalesce) rather than md5(NULL)→NULL: without the coalesce the
+    keep predicate is NULL and null-key rows silently vanish even at
+    frac=1.0. All NULL keys share one digest — deterministic, and rate 1.0
+    truly keeps every row."""
+    return F.substring(
+        F.md5(F.concat(F.lit(seed), F.coalesce(key.cast("string"), F.lit("")))),
+        1,
+        _HEX_DIGITS,
+    )
+
+
 def md5_keep(key: Column, frac: float, seed: str = "") -> Column:
     """Cross-engine deterministic keep rule: TRUE for ≈``frac`` of distinct
     keys. ``seed`` is a salt string concatenated into the hash input.
-    SQL twin: ``substr(md5(seed || key), 1, 5) < '<bound>'``."""
-    return F.substring(F.md5(F.concat(F.lit(seed), key.cast("string"))), 1,
-                       _HEX_DIGITS) < F.lit(_md5_bound(frac))
+    SQL twin: ``substr(md5(seed || coalesce(key, '')), 1, 5) < '<bound>'``."""
+    return _md5_digest(key, seed) < F.lit(_md5_bound(frac))
 
 
 def hash_keep(key: Column, frac: float, seed: int = 0) -> Column:
@@ -105,10 +117,7 @@ def sample_to_rates(
             bound = F.when(
                 F.col(class_col) == cls, F.lit(_md5_bound(r))
             ).otherwise(bound)
-        digest = F.substring(
-            F.md5(F.concat(F.lit(seed), key.cast("string"))), 1, _HEX_DIGITS
-        )
-        return df.where(digest < bound)
+        return df.where(_md5_digest(key, seed) < bound)
     if method == "xxhash64":
         thr = F.lit(int(default_rate * (1 << 20)))
         for cls, r in sorted(rates.items()):

@@ -38,7 +38,13 @@ def assign_packed_sequences(
     split-on-boundary convention.
 
     Adds ``out`` (window id) and, unless ``offset_out=None``, the
-    document's global start offset in tokens."""
+    document's global start offset in tokens.
+
+    NULL ``count_col`` values count as 0 (the document occupies no tokens
+    but still gets the offset/window of its position). Without the
+    coalesce, a NULL count would propagate NULL into ``_start``/``seq_id``
+    for that row AND silently shift every later offset (SUM skips NULLs),
+    breaking the exact-long contract."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # checkpoint, not persist: both passes (totals collect + window) must
@@ -58,11 +64,10 @@ def assign_packed_sequences(
         if reliable_checkpoint
         else srt.localCheckpoint(eager=True)
     )
+    cnt = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
     totals = sorted(
         (r["_pid"], r["_t"])
-        for r in srt.groupBy("_pid")
-        .agg(F.sum(F.col(count_col).cast("long")).alias("_t"))
-        .collect()
+        for r in srt.groupBy("_pid").agg(F.sum(cnt).alias("_t")).collect()
     )
     offsets, acc = [], 0
     for pid, t in totals:
@@ -72,8 +77,8 @@ def assign_packed_sequences(
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum_end = F.col("_off") + F.sum(F.col(count_col).cast("long")).over(w)
-    start = (cum_end - F.col(count_col)).alias("_start")
+    cum_end = F.col("_off") + F.sum(cnt).over(w)
+    start = (cum_end - cnt).alias("_start")
     out_df = (
         srt.join(F.broadcast(off_df), "_pid")
         .withColumn("_start", start)

@@ -131,7 +131,9 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # RE2-based engines reject): identical matches under Java regex (Spark) and
 # RE2 (DuckDB/Go), so the counts are oracle-checkable.
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-URL_PATTERN = r"https?://[^\s]+"
+# \s differs between dialects (Java includes \x0B vertical tab, RE2 does
+# not), so spell out the whitespace class both engines agree on.
+URL_PATTERN = "https?://[^ \\t\\n\\r\\f\\x0b]+"
 PHONE_PATTERN = r"\+[0-9]{2}[0-9 -]{7,12}[0-9]"
 
 

@@ -64,10 +64,18 @@ def dedup_stream(
 ) -> DataFrame:
     """Stateful streaming dedup: keep the first occurrence of each key,
     with the watermark bounding state (re-crawled urls inside the horizon
-    are dropped — the streaming analog of dedup_exact)."""
-    return pages_stream.withWatermark(watermark_col, watermark).dropDuplicates(
-        [key]
-    )
+    are dropped — the streaming analog of dedup_exact).
+
+    Uses ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on a
+    subset that EXCLUDES the event-time column never evicts its state
+    (Spark only ages out streaming-dedup state when the event-time column
+    is part of the dedup key), so the watermark would bound nothing. The
+    WithinWatermark variant keys state on ``key`` alone and expires each
+    entry once the watermark passes its event time — bounded state, and
+    duplicates inside the horizon are still dropped."""
+    return pages_stream.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark([key])
 
 
 def stream_curate(
@@ -83,9 +91,13 @@ def stream_curate(
 
     * quality filter (token count + alpha ratio): pure narrow expressions,
       stateless, identical semantics to batch;
-    * exact dedup by CONTENT hash (md5 of the text): watermarked
-      ``dropDuplicates`` — re-crawled/duplicated content inside the
-      watermark horizon is dropped, state stays bounded.
+    * exact dedup by CONTENT hash (md5 of the text): with a watermark,
+      ``dropDuplicatesWithinWatermark`` — re-crawled/duplicated content
+      inside the watermark horizon is dropped and per-hash state expires
+      once the watermark passes its event time, so state stays bounded.
+      (Plain ``dropDuplicates`` on a subset that excludes the event-time
+      column would never evict state — Spark only ages streaming-dedup
+      state when event time is part of the dedup key.)
 
     Adds ``n_tokens`` and ``content_hash`` columns. Semantics note vs
     batch ``dedup_exact``: batch keeps the MIN-id row per distinct text;
@@ -112,7 +124,9 @@ def stream_curate(
         .withColumn("content_hash", F.md5(c))
     )
     if watermark_col is not None:
-        filtered = filtered.withWatermark(watermark_col, watermark)
+        return filtered.withWatermark(
+            watermark_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
     return filtered.dropDuplicates(["content_hash"])
 
 

@@ -313,3 +313,63 @@ def test_jw_uniqueness_guard_never_empties_a_group(spark):
     vals = {r["persid"]: r["u"] for r in out.collect()}
     assert len(vals) == 300  # no group silently dropped
     assert all(v is not None for v in vals.values())
+
+
+def test_uniformise_greedy_global_crosses_blocks(spark):
+    """method='greedy_global' closes the blocked paths' last deviation:
+    absorption ACROSS soundex blocks. SMITH (S530) and ZMITH (Z530) are
+    within maxdist (jw=.1333<.2) but can never meet under any blocked
+    method; the global pass absorbs ZMITH exactly like the reference's
+    unblocked loop (R/util.R:145-166). Verified against a test-local
+    sequential R-semantics oracle over the same priority order."""
+    import pytest
+
+    from capelinker_spark.functions.strdist import jaro_winkler_dist
+    from capelinker_spark.operators.features import _uniformise_greedy_global
+
+    rows = (
+        [("SMITH", i) for i in range(5)]
+        + [("SMYTH", 5), ("SMYTH", 6)]
+        + [("ZMITH", 7)]
+    )
+    df = spark.createDataFrame(rows, "mlast string, persid long")
+
+    # R-semantics oracle: independent sequential absorb, count desc + name
+    # asc priority, scalar python JW
+    counts = {"SMITH": 5, "SMYTH": 2, "ZMITH": 1}
+    pool = sorted(counts, key=lambda s: (-counts[s], s))
+    want, remaining = {}, list(pool)
+    while remaining:
+        head = remaining[0]
+        nxt = []
+        for s in remaining:
+            if s == head or jaro_winkler_dist(head, s, p=0.1) < 0.2:
+                want[s] = head
+            else:
+                nxt.append(s)
+        remaining = nxt
+
+    got = {
+        r["mlast"]: r["mlast_unif"]
+        for r in FE.uniformise_strings(
+            df, "mlast", maxdist=0.2, method="greedy_global"
+        ).collect()
+    }
+    assert got == want
+    assert got["ZMITH"] == "SMITH"  # the cross-block absorption itself
+
+    # blocked greedy documents the divergence: ZMITH is alone in Z530
+    blocked = {
+        r["mlast"]: r["mlast_unif"]
+        for r in FE.uniformise_strings(
+            df, "mlast", maxdist=0.2, method="greedy"
+        ).collect()
+    }
+    assert blocked["ZMITH"] == "ZMITH"
+    assert blocked["SMYTH"] == "SMITH"  # within-block behavior identical
+
+    # the driver-size guard raises BEFORE collecting, with guidance
+    with pytest.raises(ValueError, match="greedy|cc"):
+        _uniformise_greedy_global(
+            df, "mlast", 0.2, "mlast_unif", None, max_vocab=2
+        )

@@ -61,3 +61,35 @@ def test_sample_to_rates_mixes_classes(spark):
     assert {r["doc_id"] for r in out.where(F.col("lang") == "en").collect()} == {
         r["doc_id"] for r in en_direct.collect()
     }
+
+
+def test_null_keys_kept_at_rate_one(spark):
+    """Round-4 fix: md5(NULL) → NULL used to NULL the keep predicate and
+    silently drop null-key rows even at frac=1.0. NULL keys now hash as ''
+    (all-or-nothing per rate, deterministic); rate 1.0 keeps every row in
+    BOTH tiers, and the xxhash64 tier (which always hashed NULL as the
+    seed-only digest) is unchanged."""
+    from capelinker_spark.operators.mixing import (
+        deterministic_sample,
+        sample_to_rates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "de"), (None, "en"), (None, None)],
+        "k long, lang string",
+    )
+    for method in ("md5", "xxhash64"):
+        assert deterministic_sample(df, 1.0, "k", method=method).count() == 5
+        # per-class rates all 1.0 → identity, NULL class takes default_rate
+        kept = sample_to_rates(
+            df, "lang", {"en": 1.0, "de": 1.0}, "k", default_rate=1.0,
+            method=method,
+        )
+        assert kept.count() == 5, method
+    # determinism: the null-key rows get ONE digest — at any rate they are
+    # all-kept or all-dropped together, and reruns agree
+    a = {tuple(r) for r in deterministic_sample(df, 0.5, "k").collect()}
+    b = {tuple(r) for r in deterministic_sample(df, 0.5, "k").collect()}
+    assert a == b
+    null_rows = [r for r in a if r[0] is None]
+    assert len(null_rows) in (0, 2)

@@ -74,3 +74,54 @@ def test_curate_corpus_composition(spark):
                          lang_rates={"en": 0.0}, tokens_per_seq=16)
     langs2 = {r["lang"] for r in out2.collect()}
     assert "en" not in langs2 and "de" in langs2 and n_en_full == 1
+
+
+def test_null_counts_pack_as_zero(spark):
+    """Round-4 fix: NULL count_col no longer propagates NULL into
+    _start/seq_id or shifts later offsets (SUM skips NULLs) — a NULL-count
+    doc occupies zero tokens at its position and every offset matches the
+    same frame with the NULL replaced by literal 0."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.packing import assign_packed_sequences
+
+    rows = [(0, 60), (1, None), (2, 50), (3, 40), (4, None), (5, 70)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["doc_id"]: (r["seq_offset"], r["seq_id"])
+        for r in assign_packed_sequences(df, "n", "doc_id", 128).collect()
+    }
+    want_df = df.withColumn("n", F.coalesce("n", F.lit(0)))
+    want = {
+        r["doc_id"]: (r["seq_offset"], r["seq_id"])
+        for r in assign_packed_sequences(want_df, "n", "doc_id", 128).collect()
+    }
+    assert got == want
+    assert got[1] == (60, 0) and got[4] == (150, 1)
+    assert got[5] == (150, 1)
+
+
+def test_curate_corpus_injected_token_counter(spark):
+    """The token_counter seam: BPE-ish counts change BOTH the min_tokens
+    gate and the packing budget. 'a-b c-d e-f g-h i-j' is 5 ws tokens
+    (fails min_tokens=10 under ws) but 15 BPE-ish tokens (passes); offsets
+    accumulate in the chosen unit."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.curation import curate_corpus
+    from capelinker_spark.operators.textstats import token_count_bpe
+
+    hyphens = "a-b c-d e-f g-h i-j"          # 5 ws / 15 bpe tokens
+    plain = "one two three four five six seven eight nine ten"  # 10 ws / 10 bpe
+    df = spark.createDataFrame(
+        [(0, hyphens, "en"), (1, plain, "en")], "doc_id long, text string, lang string"
+    )
+    ws = curate_corpus(df, min_tokens=10, min_alpha_ratio=0.5,
+                       lang_rates=None, tokens_per_seq=16)
+    assert {r["doc_id"] for r in ws.collect()} == {1}
+    bpe = curate_corpus(df, min_tokens=10, min_alpha_ratio=0.5,
+                        lang_rates=None, tokens_per_seq=16,
+                        token_counter=token_count_bpe)
+    got = {r["doc_id"]: (r["n_tokens"], r["seq_offset"], r["seq_id"])
+           for r in bpe.collect()}
+    assert got == {0: (15, 0, 0), 1: (10, 15, 0)}

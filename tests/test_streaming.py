@@ -319,3 +319,59 @@ def test_stream_curate_matches_batch(spark, tmp_path):
     # content set sanity: each surviving hash is unique
     hashes = [r["content_hash"] for r in spark.table("curate_stream").collect()]
     assert len(hashes) == len(set(hashes))
+
+
+def test_stream_curate_watermarked_bounded_state(spark, tmp_path):
+    """Watermarked stream_curate drops duplicates INSIDE the watermark
+    horizon and expires state once the watermark passes — the bounded-state
+    contract. (Round-4 fix: plain withWatermark(...).dropDuplicates(subset)
+    never evicts state when the event-time column isn't in the subset;
+    dropDuplicatesWithinWatermark does.) Three micro-batches:
+
+      batch 1: A@00:00, B@00:01
+      batch 2: dup-of-A@00:05 (inside the 10-min horizon → dropped) and
+               C@02:00 (advances the watermark to 01:50)
+      batch 3: D@02:02 — runs with watermark 01:50, so A/B state (expiry
+               00:10/00:11) is evicted at this batch's commit
+      batch 4: dup-of-A@02:03 — state expired → re-emitted (this is the
+               documented horizon semantics, and the proof eviction ran)
+    """
+    import datetime as dt
+
+    from capelinker_spark.streaming import stream_curate
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, minute // 60, minute % 60)
+
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    batches = [
+        [(0, good + " alpha", "en", t(0)), (1, good + " beta", "en", t(1))],
+        [(2, good + " alpha", "en", t(5)), (3, good + " gamma", "en", t(120))],
+        [(4, good + " delta", "en", t(122))],
+        [(5, good + " alpha", "en", t(123))],
+    ]
+    src = str(tmp_path / "docs_wm_stream")
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_curate(stream, min_tokens=10, min_alpha_ratio=0.5,
+                      watermark_col="ts", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("curate_wm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("curate_wm_stream").collect()}
+    # 0,1,3,4 survive; 2 is a within-horizon duplicate of 0; 5 re-emits
+    # after the watermark expired doc 0's state (bounded state, by design)
+    assert got == {0, 1, 3, 4, 5}

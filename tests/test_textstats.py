@@ -140,3 +140,37 @@ def test_line_stats(spark):
     assert got[1]["dup_line_ratio"] == 0.25
     assert got[2]["dup_line_ratio"] == 2 / 3
     assert got[3]["dup_line_ratio"] == 0.0
+
+
+def test_url_pattern_dialect_portable_vertical_tab(spark):
+    """Round-4 fix: Java's \\s includes \\x0b but RE2's does not, so the old
+    [^\\s]+ URL tail counted differently across engines on text containing
+    vertical tabs. The explicit class must terminate the URL at \\x0b
+    identically under Spark (Java) and DuckDB (RE2)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators import textstats as TS
+
+    texts = [
+        "see https://a.example/x\x0bnext",
+        "v https://d.ex/a\x0b\x0bc end",
+        "u https://c.ex/a\tb",
+        "no urls here",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r[0]
+        for r in df.select(
+            F.regexp_extract_all("text", F.lit(TS.URL_PATTERN), 0)
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT regexp_extract_all(?, '{TS.URL_PATTERN}')", params=[t]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    assert got[0] == ["https://a.example/x"]

@@ -53,9 +53,46 @@ def normalize_pdf(pdf: pd.DataFrame, round_floats: bool = True) -> pd.DataFrame:
     return pdf
 
 
+def dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype into the family the driver's value hash is
+    sensitive to: int-vs-float-vs-bool-vs-object. DuckDB SUM(BIGINT)
+    promotes to HUGEINT which pandas renders as float64 — that divergence
+    fails the driver's hash even when values are numerically equal, so it
+    must fail here too (round-3 lesson: dm2/cu1)."""
+    s = str(dtype)
+    if dtype.kind in "iu" or s.startswith(("Int", "UInt")):
+        return "int"
+    if dtype.kind in "fc" or s.startswith("Float"):
+        return "float"
+    if dtype.kind == "b" or s.startswith("boolean"):
+        return "bool"
+    if dtype.kind == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, spark_df, sql: str, con) -> tuple[bool, str]:
     sp_pdf = spark_df.toPandas()
     du_pdf = con.sql(sql).df()
+    # Dtype-strict gate BEFORE any width-neutralizing normalization: the
+    # driver hashes typed values, so an int column on one engine and a
+    # float column on the other is a hard FAIL even with equal values.
+    kind_mismatch = []
+    sp_kinds = {c: dtype_kind(sp_pdf[c].dtype) for c in sp_pdf.columns}
+    du_kinds = {c: dtype_kind(du_pdf[c].dtype) for c in du_pdf.columns}
+    for c in sorted(set(sp_pdf.columns) & set(du_pdf.columns)):
+        a, b = sp_kinds[c], du_kinds[c]
+        if a != b:
+            # all-NULL object columns are indistinguishable; skip only then
+            if (a == "object" and sp_pdf[c].isna().all()) or (
+                b == "object" and du_pdf[c].isna().all()
+            ):
+                continue
+            kind_mismatch.append(f"{c}: spark={sp_pdf[c].dtype} duck={du_pdf[c].dtype}")
+    if kind_mismatch:
+        return False, "DTYPE MISMATCH (driver hash would fail): " + "; ".join(
+            kind_mismatch
+        )
     sp = normalize_pdf(sp_pdf)
     du = normalize_pdf(du_pdf)
     if list(sp.columns) != list(du.columns):
