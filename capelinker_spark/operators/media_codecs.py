@@ -1,15 +1,18 @@
 """Stdlib-only media codecs for the multimodal operators.
 
-Real, dependency-free decoders for the two formats the standard library can
-handle — PNG (zlib + struct: chunk walk, inflate, per-scanline de-filter)
-and WAV (the ``wave`` module) — plus deterministic feature extractors and a
+Real, dependency-free decoders for the formats this sandbox can handle —
+PNG (zlib + struct: chunk walk, inflate, per-scanline de-filter), WAV
+(the ``wave`` module), and JPEG (round 4: two-tier — runtime-compiled
+libjpeg C shim `_jpegnative` as the production path, pure-numpy baseline
+codec `media_jpeg` as the portable reference; ``decode_jpeg`` below picks
+automatically) — plus deterministic feature extractors and a
 nearest-neighbor resize. These make the multimodal path genuinely run
-end-to-end in this sandbox; JPEG/video stay behind the pluggable
+end-to-end in this sandbox; only video remains behind the pluggable
 ``decode_fn`` contract (multimodal.extract_image_features) where a real
-deployment injects a C-backed decoder (PIL/ffmpeg). The pure-Python
-de-filter loop is NOT the 100-TB hot path — it is the correctness
-reference; at scale the same ``mapInPandas`` plumbing calls the injected
-native decoder.
+deployment injects an ffmpeg frame sampler. The pure-Python
+de-filter/huffman loops are NOT the 100-TB hot path — they are the
+correctness reference; at scale the same ``mapInPandas`` plumbing calls
+the C-backed tier.
 
 PNG scope (documented): 8-bit depth, color types 0 (gray), 2 (RGB),
 4 (gray+alpha), 6 (RGBA), non-interlaced. Palette/16-bit/interlaced raise
@@ -120,6 +123,36 @@ def encode_png(arr: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(scanlines, 6))
         + chunk(b"IEND", b"")
     )
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """JPEG bytes → (H, W, C) uint8, tiered like the string-distance
+    kernels: libjpeg shim (`_jpegnative`, runtime-compiled C — the
+    production path) when available, else the pure-numpy baseline decoder
+    (`media_jpeg` — the portable correctness reference, cross-validated
+    against libjpeg to ±2/255 in tests)."""
+    from capelinker_spark.operators import _jpegnative, media_jpeg
+
+    out = None
+    if _jpegnative.available():
+        out = _jpegnative.decode(payload)
+    if out is None:
+        out = media_jpeg.decode_jpeg(payload)
+    return out
+
+
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """(H, W[, C]) uint8 → baseline JPEG bytes; libjpeg shim when
+    available, numpy baseline encoder otherwise."""
+    from capelinker_spark.operators import _jpegnative, media_jpeg
+
+    if _jpegnative.available():
+        out = _jpegnative.encode(arr, quality, subsample)
+        if out is not None:
+            return out
+    return media_jpeg.encode_jpeg(arr, quality, subsample)
 
 
 def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -4,11 +4,13 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side machinery is real and tested — schemas, batch iteration,
 partition-size control, UDF signatures. Decoding: PNG and WAV payloads are
 decoded FOR REAL with the stdlib codecs in ``media_codecs`` (zlib/struct
-and the ``wave`` module) and featurized deterministically; formats that
-genuinely need a native library (JPEG, video codecs) raise
+and the ``wave`` module), and JPEG with the bundled two-tier codec
+(libjpeg C shim when compilable, pure-numpy baseline otherwise — see
+``media_jpeg``); all are featurized deterministically. Formats that still
+genuinely need a native library (video codecs) raise
 ``NotImplementedError`` unless ``fake=True`` (deterministic hash-derived
 stand-in) or a caller-supplied ``decode_fn`` handles them — the contract a
-real deployment uses to inject PIL/ffmpeg.
+real deployment uses to inject an ffmpeg frame sampler.
 """
 
 from __future__ import annotations
@@ -60,6 +62,8 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             decoded = ("image", mc.decode_png(payload))
+        elif payload[:2] == b"\xff\xd8":
+            decoded = ("image", mc.decode_jpeg(payload))
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             decoded = ("audio", mc.decode_wav(payload))
     except Exception:
@@ -73,9 +77,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return mc.audio_feature_vector(*data, IMAGE_FEATURE_DIM)
     if not fake:
         raise NotImplementedError(
-            "only PNG/WAV decode without a native media library; pass "
-            "fake=True for the deterministic stand-in, or supply "
-            "decode_fn to extract_image_features (e.g. PIL/ffmpeg)"
+            "only PNG/JPEG/WAV decode in-repo; video and other formats "
+            "need an injected decoder — pass fake=True for the "
+            "deterministic stand-in, or supply decode_fn to "
+            "extract_image_features (e.g. an ffmpeg frame sampler)"
         )
     return _fake_decode(payload, IMAGE_FEATURE_DIM)
 

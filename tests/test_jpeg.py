@@ -1,0 +1,244 @@
+"""Baseline JPEG codec (round-4 verdict item 8): spec-anchored unit tests,
+round-trip PSNR, restart markers, and — when the runtime-compiled libjpeg
+shim is available (it is in this sandbox) — cross-validation of the
+pure-numpy tier against libjpeg as an INDEPENDENT oracle, in both
+directions (my decoder on libjpeg bitstreams, libjpeg on mine). The two
+tiers share no code, so agreement pins the bitstream format, Huffman
+tables, dequantization, and IDCT to the spec rather than to each other."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from capelinker_spark.operators import _jpegnative as J
+from capelinker_spark.operators import media_jpeg as MJ
+
+
+def _test_image(h=40, w=56):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 80 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0),
+            128 + 60 * np.cos((xx + yy) / 11.0),
+            np.clip(xx * 4 + yy * 2, 0, 255),
+        ],
+        axis=-1,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+# -- spec-anchored units ----------------------------------------------------
+
+
+def test_zigzag_is_the_standard_order():
+    zz = MJ.ZIGZAG
+    assert len(zz) == 64 and sorted(zz.tolist()) == list(range(64))
+    # the well-known head and tail of T.81 figure A.6
+    assert zz[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert zz[-4:].tolist() == [47, 55, 62, 63]
+
+
+def test_idct_is_orthonormal_and_matches_direct_formula():
+    A = MJ._idct_basis()
+    assert np.allclose(A @ A.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(7)
+    F = rng.normal(0, 50, (8, 8))
+    # direct T.81 A.3.3 double sum
+    direct = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+                    cv = np.sqrt(1 / 8) if v == 0 else np.sqrt(2 / 8)
+                    s += (
+                        cu * cv * F[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            direct[x, y] = s
+    assert np.allclose(MJ.idct2(F), direct, atol=1e-9)
+    # FDCT inverts IDCT
+    assert np.allclose(MJ.fdct2(MJ.idct2(F)), F, atol=1e-9)
+
+
+def test_extend_and_category_roundtrip():
+    for v in [-255, -128, -2, -1, 1, 2, 127, 255]:
+        s = MJ._category(v)
+        mag = v if v > 0 else v + (1 << s) - 1
+        assert MJ._extend(mag, s) == v
+    assert MJ._extend(0, 0) == 0
+
+
+def test_flat_gray_block_roundtrip_exact():
+    """A flat 8x8 at 128 is pure DC=0: quantization cannot touch it, so
+    the decode is bit-exact regardless of quality."""
+    img = np.full((8, 8), 128, dtype=np.uint8)
+    out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=10))
+    assert np.array_equal(out[:, :, 0], img)
+
+
+# -- round trips (pure-numpy tier only: encoder and decoder share only the
+#    table constants, so a bitstream bug cannot cancel out) ----------------
+
+
+def test_roundtrip_444_psnr():
+    img = _test_image()
+    out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert _psnr(out, img) > 40
+
+
+def test_roundtrip_420_psnr_and_odd_dims():
+    img = _test_image(h=37, w=51)  # non-multiple of 16 exercises padding/crop
+    out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=85, subsample=True))
+    assert out.shape == img.shape
+    assert _psnr(out, img) > 30
+
+
+def test_roundtrip_grayscale():
+    g = _test_image()[:, :, 0]
+    out = MJ.decode_jpeg(MJ.encode_jpeg(g, quality=90))
+    assert out.shape == (*g.shape, 1)
+    assert _psnr(out[:, :, 0], g) > 40
+
+
+def test_restart_markers_do_not_change_pixels():
+    img = _test_image()
+    plain = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=90))
+    rst = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=90, restart_interval=2))
+    assert np.array_equal(plain, rst)
+
+
+# -- error paths ------------------------------------------------------------
+
+
+def test_progressive_and_garbage_raise():
+    enc = bytearray(MJ.encode_jpeg(_test_image(), quality=80))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError, match="progressive"):
+        MJ.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError):
+        MJ.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        MJ.decode_jpeg(MJ.encode_jpeg(_test_image())[:40])  # truncated
+
+
+# -- cross-validation against libjpeg (independent oracle) -----------------
+
+
+needs_shim = pytest.mark.skipif(
+    not J.available(), reason="libjpeg shim not compilable here"
+)
+
+
+@needs_shim
+def test_my_decoder_on_libjpeg_bitstreams():
+    img = _test_image()
+    for kwargs, tol in [
+        (dict(quality=90, subsample=False), 3),  # IDCT rounding only
+        (dict(quality=50, subsample=False), 3),
+    ]:
+        enc = J.encode(img, **kwargs)
+        assert (
+            np.abs(
+                J.decode(enc).astype(int) - MJ.decode_jpeg(enc).astype(int)
+            ).max()
+            <= tol
+        ), kwargs
+    g = img[:, :, 0]
+    encg = J.encode(g, quality=90)
+    assert (
+        np.abs(
+            J.decode(encg).astype(int) - MJ.decode_jpeg(encg).astype(int)
+        ).max()
+        <= 2
+    )
+
+
+@needs_shim
+def test_my_decoder_on_libjpeg_420_bitstream():
+    """4:2:0: coefficient decode is identical; libjpeg's fancy (triangular)
+    chroma upsampling vs this module's replicate upsampling differ by
+    design (T.81 leaves the filter to implementations) — bound the pixel
+    divergence rather than expecting equality."""
+    img = _test_image()
+    enc = J.encode(img, quality=90, subsample=True)
+    d = np.abs(J.decode(enc).astype(int) - MJ.decode_jpeg(enc).astype(int))
+    assert d.max() <= 16 and d.mean() <= 4
+
+
+@needs_shim
+def test_libjpeg_decodes_my_bitstreams():
+    """The reference implementation accepts this encoder's output — tables,
+    marker layout, stuffing, restart markers and all — and sees the same
+    pixels my decoder sees (±IDCT rounding)."""
+    img = _test_image()
+    for kwargs in [
+        dict(quality=90),
+        dict(quality=90, restart_interval=2),
+    ]:
+        enc = MJ.encode_jpeg(img, **kwargs)
+        d = np.abs(
+            J.decode(enc).astype(int) - MJ.decode_jpeg(enc).astype(int)
+        )
+        assert d.max() <= 3, kwargs
+    # 4:2:0: libjpeg applies its fancy upsampler to MY bitstream too, so
+    # the bound is the filter-divergence one, not IDCT rounding
+    enc = MJ.encode_jpeg(img, quality=85, subsample=True)
+    d = np.abs(J.decode(enc).astype(int) - MJ.decode_jpeg(enc).astype(int))
+    assert d.max() <= 16 and d.mean() <= 4
+
+
+@needs_shim
+def test_shim_rejects_corrupt_payload():
+    with pytest.raises(ValueError):
+        J.decode(b"\xff\xd8\xff\xe0garbage")
+
+
+# -- multimodal integration -------------------------------------------------
+
+
+def test_decode_image_handles_jpeg_without_injection():
+    from capelinker_spark.operators.multimodal import (
+        IMAGE_FEATURE_DIM,
+        decode_image,
+    )
+
+    payload = MJ.encode_jpeg(_test_image(), quality=90)
+    vec = decode_image(payload, fake=False)  # no NotImplementedError
+    assert len(vec) == IMAGE_FEATURE_DIM
+    assert np.array_equal(vec, decode_image(payload, fake=False))  # determin.
+
+
+def test_extract_image_features_mixed_png_jpeg(spark):
+    from capelinker_spark.operators.media_codecs import encode_png
+    from capelinker_spark.operators.multimodal import extract_image_features
+
+    img = _test_image()
+    rows = [
+        ("png://a", bytearray(encode_png(img))),
+        ("jpg://b", bytearray(MJ.encode_jpeg(img, quality=90))),
+        ("jpg://c", bytearray(MJ.encode_jpeg(img[::-1], quality=60,
+                                             subsample=True))),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = {
+        r["url"]: r["image_features"]
+        for r in extract_image_features(df, fake=False).collect()
+    }
+    assert set(out) == {"png://a", "jpg://b", "jpg://c"}
+    assert all(len(v) == 16 for v in out.values())
+    # same underlying image: PNG (lossless) and q90 JPEG features are close
+    a = np.array(out["png://a"])
+    b = np.array(out["jpg://b"])
+    assert np.abs(a - b).max() < 0.05
+    assert np.abs(a - np.array(out["jpg://c"])).max() > 1e-6  # different img

@@ -139,8 +139,13 @@ def test_decode_image_real_formats():
     wav = encode_wav(np.sin(np.arange(800) / 5.0), 8000)
     afeats = decode_image(wav)
     assert afeats.shape == (IMAGE_FEATURE_DIM,)
-    with pytest.raises(NotImplementedError):
+    # round 4: JPEG is decoded in-repo now, so a JPEG-signed-but-corrupt
+    # payload is a DECODE error (ValueError), while a genuinely unknown
+    # format still hits the NotImplementedError injection seam
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish payload")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x20ftypisom video-ish payload")
 
 
 def test_spark_extract_real_png(spark):
