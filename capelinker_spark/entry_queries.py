@@ -2191,6 +2191,150 @@ def a14_labeling_sheet(spark, sf_dir):
 
 
 @register(
+    "dm4_temperature_mix",
+    """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+        t AS (SELECT lang, pow(n / (SELECT sum(n) FROM n), -0.5) AS w FROM n),
+        r AS (SELECT lang, w / (SELECT max(w) FROM t) AS rate FROM t),
+        b AS (SELECT lang,
+                CASE WHEN rate >= 1.0 THEN 'g'
+                     ELSE printf('%05x', CAST(floor(rate * 1048576) AS BIGINT))
+                END AS bound
+              FROM r)
+       SELECT d.doc_id, d.lang
+       FROM documents d JOIN b USING (lang)
+       WHERE substr(md5(d.doc_id::VARCHAR), 1, 5) < b.bound""",
+)
+def dm4_temperature_mix(spark, sf_dir):
+    """Temperature-τ mixture rebalancing (the multilingual/multi-domain
+    sampling rule: output class mass ∝ p^τ): per-language counts → keep
+    rates p^(τ-1)/max (τ=0.5 here, pure subsampling so rates ∈ (0,1]) →
+    the deterministic md5 keep rule. One bounded #classes collect; the
+    filter itself is narrow and shuffle-free. The oracle recomputes
+    counts→rates→hex bounds in SQL — including the rate≥1 → 'g' bound
+    convention — so the ENTIRE schedule, not just the filter, is
+    cross-engine checked (pow boundary distances are ≥1e-2·16^-5 on this
+    corpus; a boundary-proximity pytest guards the general case)."""
+    from capelinker_spark.operators.mixing import temperature_mix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mix(d, "lang", "doc_id", temperature=0.5)
+
+
+@register(
+    "dd7_decontaminate",
+    f"""WITH contam AS MATERIALIZED (
+         SELECT DISTINCT g FROM (
+           SELECT unnest({word_shingles_sql('text', 8)}) AS g
+           FROM documents WHERE doc_id % 100 = 7)),
+       hit AS (
+         SELECT DISTINCT doc_id FROM (
+           SELECT doc_id, unnest({word_shingles_sql('text', 8)}) AS g
+           FROM documents) ds
+         JOIN contam USING (g))
+       SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+       FROM documents d LEFT JOIN hit USING (doc_id)""",
+)
+def dd7_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag every document sharing any word
+    8-gram with the contamination set (here: the doc_id%100==7 slice
+    standing in for an eval benchmark). Corpus side stays narrow — the
+    contamination n-gram set broadcasts and the probe is a broadcast
+    semi-join, so no corpus shuffle; shingle definition shared with the
+    MinHash family (one SQL mirror)."""
+    from capelinker_spark.operators.dedup import flag_contaminated
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    contam = d.where(F.col("doc_id") % 100 == 7)
+    return flag_contaminated(d, contam, n=8).select("doc_id", "contaminated")
+
+
+@register(
+    "ts7_pii_redact",
+    f"""SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{TS.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                   '{TS.URL_PATTERN}', '<URL>', 'g'),
+                 '{TS.PHONE_PATTERN}', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(text, '{TS.EMAIL_PATTERN}'))
+                 + len(regexp_extract_all(text, '{TS.URL_PATTERN}'))
+                 + len(regexp_extract_all(text, '{TS.PHONE_PATTERN}'))
+                 AS n_redactions
+        FROM documents""",
+)
+def ts7_pii_redact(spark, sf_dir):
+    """PII scrubbing (the action ts5's counting routes documents to):
+    emails → <EMAIL>, urls → <URL>, phone spans → <PHONE>, fixed order,
+    chained native regexp_replace — the redacted TEXT matches the oracle
+    byte-for-byte, not just the counts. Narrow, no shuffle; the patterns
+    are the same dialect-portable ones the counters use."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    pii = TS.pii_features(c)
+    return d.select(
+        "doc_id",
+        TS.redact_pii(c).alias("redacted"),
+        (pii["n_emails"] + pii["n_urls"] + pii["n_phones"]).alias(
+            "n_redactions"
+        ),
+    )
+
+
+@register(
+    "cu2_line_filter",
+    """WITH ml AS (
+         -- the synthetic corpus is single-line; plant a deterministic
+         -- 4-line page per doc (2 good lines, a too-short one, an
+         -- unterminated one) so the filter has real work on both engines
+         SELECT doc_id,
+                substr(text, 1, 60) || '.' || chr(10)
+                || substr(text, 61, 20) || chr(10)
+                || substr(text, 81, 50) || ' end!' || chr(10)
+                || 'short line.' AS text
+         FROM documents),
+       f AS (
+         SELECT doc_id,
+                array_to_string(
+                  list_filter(
+                    string_split(text, chr(10)),
+                    x -> length(trim(x)) > 0
+                         AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                         AND regexp_matches(x, '[.!?"][ \\t]*$')),
+                  chr(10)) AS kept_text
+         FROM ml)
+       SELECT doc_id, kept_text,
+              len(string_split(kept_text, chr(10))) AS n_kept_lines
+       FROM f WHERE length(kept_text) > 0""",
+)
+def cu2_line_filter(spark, sf_dir):
+    """C4-style line-level cleanup (the curation stage between document
+    quality scoring and packing): keep lines with ≥5 words ending in
+    terminal punctuation, drop documents with no surviving line. The
+    single-line synthetic corpus gets a deterministic 4-line page planted
+    per doc (mirrored in the oracle) so boilerplate lines genuinely drop.
+    Native split/filter/array_join lambdas — one codegen stage, no
+    Python, and the re-joined text matches the DuckDB list-lambda oracle
+    byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    multiline = d.select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 60), F.lit(".\n"),
+            F.substring(t, 61, 20), F.lit("\n"),
+            F.substring(t, 81, 50), F.lit(" end!\n"),
+            F.lit("short line."),
+        ).alias("text"),
+    )
+    kept = multiline.select(
+        "doc_id", TS.line_filter(F.col("text")).alias("kept_text")
+    ).where(F.length("kept_text") > 0)
+    return kept.withColumn(
+        "n_kept_lines", F.size(F.split("kept_text", "\n"))
+    )
+
+
+@register(
     "dm3_bpe_packing",
     f"""WITH all_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
         h AS (SELECT doc_id, text, lang, md5(text) AS ch FROM all_docs),
@@ -2248,15 +2392,16 @@ def dm3_bpe_packing(spark, sf_dir):
 #      sweep, which covers ALL registered queries every round).
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
-# implementation-untouched since round 1): a2, a4, a5, a6, a8, a10, a11,
-# a12, f2, f5, j7, j8, p2, p3, u1, u2.
+# implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
+# a11, a12, f2, f5, f6, j7, j8, p2, p3, u1, u2, u5, u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
-# st1, dd6, ann3, ev1, a14. Round-4-touched and kept/placed IN: dm1, dm2,
-# cu1, ts5, ts6, ev1.
+# st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
+# dm1, dm2, cu1, dm3, dm4, dd7, ts5, ts6, ts7, cu2, ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
-    "ev1_sessionize_stats",
+    "dm4_temperature_mix", "dd7_decontaminate",
+    "ts7_pii_redact", "cu2_line_filter", "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
     # never-driver-checked until round 4
     "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
@@ -2271,13 +2416,12 @@ _DRIVER_WINDOW = [
     "s1_scan_projection", "p4_clean_name_chain", "q1_flagship_agg",
     "j1_jw_similarity_join", "j2_numeric_band_join", "j5_soundex_blocking_join",
     "j6_left_outer_assembly", "j9_json_regex_extract",
-    "f6_window_matches", "f7_namefreq_grouped_count", "m2_dual_rank_select",
-    "a3_null_share_profile", "c1_connected_components", "c2_expand_index",
+    "f7_namefreq_grouped_count", "m2_dual_rank_select",
+    "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
     "dd4_simhash", "dd5_ngram_jaccard",
     "ts1_lang_id", "ts2_token_counts", "ts3_quality_ratios", "ts4_fingerprint",
     "ann1_brute_force_topk", "ann2_embedding_neardup",
-    "u5_stringdist_closest", "u6_paste_similar",
 ]
 
 

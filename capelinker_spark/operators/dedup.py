@@ -332,3 +332,46 @@ def near_duplicate_clusters(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    contamination: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    contam_text_col: str = "text",
+    out: str = "contaminated",
+) -> DataFrame:
+    """Benchmark decontamination: mark every document sharing ANY word
+    ``n``-gram with the ``contamination`` set (eval benchmarks, held-out
+    test sets) — the standard pretraining hygiene step (n=8..13 in
+    published recipes; overlap at that length is essentially never
+    coincidence).
+
+    Scale shape: the contamination set is tiny next to the corpus
+    (benchmarks are MBs against TBs), so its distinct n-grams BROADCAST;
+    the corpus side explodes shingles and probes the broadcast hash —
+    a narrow map + broadcast semi-join, no corpus shuffle. The only
+    shuffled data is the matched doc-id set (≈ the contaminated docs).
+    Returns ``docs`` + boolean ``out``; filter ``~out`` for the clean
+    corpus. Shingles are the same ``word_shingles`` the MinHash family
+    uses, so the SQL oracle shares one shingle definition."""
+    grams = (
+        contamination.select(
+            F.explode(word_shingles(F.col(contam_text_col), n)).alias("_g")
+        )
+        .distinct()
+    )
+    hits = (
+        docs.select(id_col, F.explode(word_shingles(F.col(text_col), n)).alias("_g"))
+        .join(F.broadcast(grams), "_g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn(out, F.coalesce(F.col("_hit"), F.lit(False)))
+        .drop("_hit")
+    )

@@ -129,3 +129,54 @@ def sample_to_rates(
         )
         return df.where(bucket < thr)
     raise ValueError(f"unknown method {method!r}")
+
+
+def temperature_rates(
+    counts: dict[str, int], temperature: float
+) -> dict[str, float]:
+    """Multinomial temperature-sampling rates (the multilingual/multi-domain
+    rebalance rule: sample class c with probability ∝ p_c^τ): returns the
+    per-class KEEP rate r_c = p_c^(τ-1) / max_c p_c^(τ-1) — i.e. the
+    subsampling schedule whose OUTPUT class distribution is the
+    temperature-flattened one, scaled so the most-upweighted class keeps
+    everything (rates stay in (0, 1]; pure subsampling can only flatten,
+    never oversample). τ=1 keeps everything; τ→0 equalizes class masses.
+
+    Driver-side pure math over the (bounded) class-count dict — the rates
+    then feed ``sample_to_rates`` as planted literals, so the sampling
+    stays a narrow deterministic filter."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    weights = {
+        c: (n / total) ** (temperature - 1.0) for c, n in counts.items() if n
+    }
+    top = max(weights.values())
+    return {c: w / top for c, w in weights.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    temperature: float,
+    seed: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Rebalance a corpus toward the temperature-τ class distribution:
+    one bounded ``groupBy(class).count()`` collect (#classes rows), rates
+    from ``temperature_rates``, then the deterministic
+    ``sample_to_rates`` filter. Rerun-stable and resumable like every
+    mixing rule (pure function of the row key)."""
+    counts = {
+        r[class_col]: r["n"]
+        for r in df.groupBy(class_col).agg(F.count("*").alias("n")).collect()
+        if r[class_col] is not None
+    }
+    rates = temperature_rates(counts, temperature)
+    return sample_to_rates(
+        df, class_col, rates, key_col, default_rate=1.0, seed=seed,
+        method=method,
+    )

@@ -159,6 +159,43 @@ def add_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def redact_pii(col: Column) -> Column:
+    """Scrub PII surfaces with typed placeholders — the companion to
+    ``pii_features``'s counting: emails → ``<EMAIL>``, then urls →
+    ``<URL>``, then phone-shaped spans → ``<PHONE>``, in that fixed order
+    (emails first so a mailto-ish span is typed as an email, not swallowed
+    by the url rule). Pure chained regexp_replace — narrow, no shuffle,
+    dialect-portable patterns shared with the counters, so the redacted
+    text is oracle-checkable byte-for-byte."""
+    out = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, URL_PATTERN, "<URL>")
+    return F.regexp_replace(out, PHONE_PATTERN, "<PHONE>")
+
+
+def line_filter(
+    col: Column, min_words: int = 5, require_terminal: bool = True
+) -> Column:
+    """C4-style line-level cleanup: keep only lines with ≥ ``min_words``
+    whitespace words and (optionally) a terminal-punctuation ending
+    (``. ! ? "`` plus trailing spaces/tabs) — the boilerplate/navigation
+    filter every web-text curation pipeline runs between document-level
+    quality scoring and packing. Returns the re-joined text (kept lines,
+    ``\\n``-separated; no surviving line → empty string). Native
+    split + filter + array_join lambda expressions — stays in codegen,
+    and the rules are engine-portable (explicit whitespace classes)."""
+    lines = F.split(col, "\n")
+
+    def keep(x: Column) -> Column:
+        nonempty = F.length(F.trim(x)) > 0
+        words = F.size(F.split(F.trim(x), r"\s+"))
+        ok = nonempty & (words >= min_words)
+        if require_terminal:
+            ok = ok & x.rlike('[.!?"][ \\t]*$')
+        return ok
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
 def line_stats(col: Column) -> dict[str, Column]:
     """Gopher-style repetition signals over a multi-line document: line
     count, distinct-line count, duplicate-line ratio. Native split +

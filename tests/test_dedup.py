@@ -160,3 +160,23 @@ def test_near_duplicate_clusters(spark, docs_with_dups):
         d for d, c in rows.items() if c == d and d not in planted and d < 1_000_000
     ]
     assert len(singles) > 100  # non-planted docs stay themselves
+
+
+def test_flag_contaminated(spark):
+    """Docs sharing any word 8-gram with the contamination set are
+    flagged; sub-8-word docs only match on whole-text equality (the
+    shingle fallback), and clean docs pass."""
+    from capelinker_spark.operators.dedup import flag_contaminated
+
+    bench = "the quick brown fox jumps over the lazy dog"  # 9 words
+    rows = [
+        (0, "intro words then " + bench + " trailing text here"),  # overlap
+        (1, "a completely different document about spark internals and shuffles today"),
+        (2, bench),                                          # the benchmark itself
+        (3, "short clean doc"),                              # <8 words, no match
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    contam = spark.createDataFrame([(99, bench)], "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"]
+           for r in flag_contaminated(docs, contam, n=8).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False}

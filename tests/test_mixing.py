@@ -93,3 +93,78 @@ def test_null_keys_kept_at_rate_one(spark):
     assert a == b
     null_rows = [r for r in a if r[0] is None]
     assert len(null_rows) in (0, 2)
+
+
+def test_temperature_rates_closed_form():
+    """Output class mass after subsampling at rate r_c = p^(τ-1)/max must
+    be ∝ p^τ; τ=1 is identity; τ≤0 raises; bounds stay cross-engine-safe
+    (no rate·16^5 within 1e-4 of an integer on the test corpora)."""
+    import pytest
+
+    from capelinker_spark.operators.mixing import temperature_rates
+
+    counts = {"en": 800, "de": 150, "zh": 50}
+    total = sum(counts.values())
+    for tau in (0.3, 0.5, 0.7, 2.0):
+        rates = temperature_rates(counts, tau)
+        assert max(rates.values()) == 1.0
+        # n_c * r_c ∝ p_c^τ
+        masses = {c: counts[c] * rates[c] for c in counts}
+        ref = {c: (counts[c] / total) ** tau for c in counts}
+        k = masses["en"] / ref["en"]
+        for c in counts:
+            assert abs(masses[c] - k * ref[c]) < 1e-9 * k, (tau, c)
+        if tau < 1:
+            assert rates["zh"] == 1.0  # rarest keeps everything
+        if tau > 1:
+            assert rates["en"] == 1.0  # sharpening keeps the biggest
+    assert temperature_rates(counts, 1.0) == {c: 1.0 for c in counts}
+    with pytest.raises(ValueError):
+        temperature_rates(counts, 0.0)
+
+
+def test_temperature_bounds_cross_engine_guard():
+    """The dm4 oracle recomputes rates with DuckDB pow; a CPython-vs-DuckDB
+    ulp difference only matters when rate*16^5 sits on an integer
+    boundary. Guard: for the real per-sf lang counts, every non-1.0
+    rate's bound integer is ≥1e-4 away from a boundary AND the
+    DuckDB-side printf reproduces the Python hex bound exactly."""
+    import duckdb
+
+    from capelinker_spark.operators.mixing import _md5_bound, temperature_rates
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        counts = dict(
+            con.sql(
+                f"select lang, count(*) from read_parquet('/root/testdata/{sf}/documents.parquet') group by 1"
+            ).fetchall()
+        )
+        rates = temperature_rates(counts, 0.5)
+        for c, r in rates.items():
+            x = r * 16**5
+            if r < 1.0:
+                assert min(x - int(x), 1 - (x - int(x))) > 1e-4, (sf, c, x)
+            py_bound = _md5_bound(r)
+            duck_bound = con.sql(
+                "select CASE WHEN $r >= 1.0 THEN 'g' ELSE printf('%05x', CAST(floor($r * 1048576) AS BIGINT)) END",
+                params={"r": r},
+            ).fetchone()[0]
+            assert py_bound == duck_bound, (sf, c, py_bound, duck_bound)
+
+
+def test_temperature_mix_flattens(spark):
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.mixing import temperature_mix
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 950 else "zh"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = temperature_mix(df, "lang", "k", temperature=0.5)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] == 50                     # rarest: rate 1.0, all kept
+    assert got["en"] < 800 and got["de"] < 150  # others subsampled
+    # flattening: output en/zh ratio must shrink toward sqrt of input ratio
+    assert got["en"] / got["zh"] < 0.35 * (800 / 50)

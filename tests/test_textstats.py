@@ -174,3 +174,48 @@ def test_url_pattern_dialect_portable_vertical_tab(spark):
     ]
     assert got == want
     assert got[0] == ["https://a.example/x"]
+
+
+def test_redact_pii(spark):
+    """Typed placeholders, fixed order (emails before urls), full-text
+    byte-equality semantics."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "mail bob@x.org or see https://x.org/a?b=1 or call +31 20-555 1234 now"),
+        (1, "no pii at all here"),
+        (2, "two mails a@b.co c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["red"]
+           for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[0] == "mail <EMAIL> or see <URL> or call <PHONE> now"
+    assert got[1] == "no pii at all here"
+    assert got[2] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_line_filter(spark):
+    """≥5 words + terminal punctuation; empty result is '' (caller decides
+    whether to drop the doc)."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.textstats import line_filter
+
+    doc = "\n".join([
+        "this line has enough words to survive.",   # kept
+        "too short.",                                # <5 words
+        "this line has no terminal punctuation at all",  # unterminated
+        "",                                          # empty
+        'a quoted line with plenty of words here"',  # kept (quote counts)
+        "trailing spaces are fine with six words.  ",  # kept
+    ])
+    df = spark.createDataFrame([(doc,), ("nothing survives here",)], "text string")
+    got = [r[0] for r in df.select(line_filter(F.col("text"))).collect()]
+    assert got[0].split("\n") == [
+        "this line has enough words to survive.",
+        'a quoted line with plenty of words here"',
+        "trailing spaces are fine with six words.  ",
+    ]
+    assert got[1] == ""
