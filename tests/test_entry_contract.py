@@ -87,3 +87,17 @@ def test_spousenamedist_join_not_forced_broadcast(spark, pages):
     rec = extract_records(pages, with_spousenamedist=True)
     logical = rec._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in logical.lower(), logical
+
+
+def test_decontaminate_plan_broadcasts_grams(spark):
+    """flag_contaminated's corpus side must stay shuffle-free: the
+    contamination n-grams broadcast into a LeftSemi BroadcastHashJoin
+    probed by the exploded corpus shingles. A SortMergeJoin there would
+    mean the CORPUS shuffled on the gram key — the exact thing the
+    operator exists to avoid at 100 TB."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dd7_decontaminate"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

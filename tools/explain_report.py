@@ -118,6 +118,36 @@ def main():
         _fmt(dm1),
     ))
 
+    dd7 = QUERIES["dd7_decontaminate"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Benchmark decontamination (dd7)",
+        "Look for: the corpus side is scan → explode(shingles) → "
+        "`BroadcastHashJoin ... LeftSemi, BuildRight` probing the BROADCAST "
+        "contamination n-gram set — the corpus itself never shuffles; the "
+        "only exchanges are on the tiny gram/hit sets "
+        "(tests/test_entry_contract.py::test_decontaminate_plan_broadcasts_grams).",
+        _fmt(dd7),
+    ))
+
+    dm4 = QUERIES["dm4_temperature_mix"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Temperature mixture rebalancing (dm4)",
+        "Look for: after the one bounded class-count collect (driver-side "
+        "rate math), the applied schedule is the SAME single codegen "
+        "`Filter` shape as dm1 — a CASE over planted literal hex bounds, no "
+        "shuffle, no Python in the kept-rows plan.",
+        _fmt(dm4),
+    ))
+
+    cu2 = QUERIES["cu2_line_filter"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "C4-style line filtering (cu2)",
+        "Look for: split → `filter(lambda …)` → array_join all inside one "
+        "whole-stage-codegen `Project`/`Filter` over the scan — line-level "
+        "cleanup costs one narrow pass, no Python, no shuffle.",
+        _fmt(cu2),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
