@@ -182,6 +182,13 @@ HEADLINE_QUERIES = [
     "dm2_sequence_packing",
     "cu1_curation_pipeline",
     "ts5_pii_counts",
+    # round 4
+    "dm3_bpe_packing",
+    "dm4_temperature_mix",
+    "dd7_decontaminate",
+    "dd8_dup_span_stats",
+    "ts7_pii_redact",
+    "cu2_line_filter",
 ]
 
 

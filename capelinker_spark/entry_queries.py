@@ -2191,6 +2191,35 @@ def a14_labeling_sheet(spark, sf_dir):
 
 
 @register(
+    "dd8_dup_span_stats",
+    f"""WITH all_docs AS MATERIALIZED ({_DOCS_PLUS_DUPS}),
+        g AS (SELECT doc_id, unnest({word_shingles_sql('text', 8)}) AS g
+              FROM all_docs),
+        sh AS (SELECT g, (min(doc_id) != max(doc_id)) AS shared
+               FROM g GROUP BY g),
+        pd AS (SELECT doc_id,
+                 count(*) AS n_grams,
+                 CAST(sum(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+               FROM g JOIN sh USING (g) GROUP BY doc_id)
+       SELECT doc_id, n_grams, n_shared,
+              n_shared / n_grams AS dup_span_ratio
+       FROM pd""",
+)
+def dd8_dup_span_stats(spark, sf_dir):
+    """Duplicated-span fraction (suffix-array-free substring-dedup signal,
+    Lee et al.): share of each doc's distinct word 8-grams appearing in
+    ≥2 docs. Planted exact + near (suffix-perturbed) duplicates give the
+    full ratio spectrum: clones at 1.0, near-dups just below, organic
+    docs near 0. The shared test is min(id)!=max(id) — a combine-able
+    ≥2-distinct-docs check, no per-gram doc lists, no skew blowup; ratio
+    is one int/int IEEE division."""
+    from capelinker_spark.operators.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(_docs_plus_dups(spark, sf_dir), n=8)
+
+
+@register(
     "dm4_temperature_mix",
     """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
         t AS (SELECT lang, pow(n / (SELECT sum(n) FROM n), -0.5) AS w FROM n),
@@ -2393,14 +2422,14 @@ def dm3_bpe_packing(spark, sf_dir):
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
 # implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, f2, f5, f6, j7, j8, p2, p3, u1, u2, u5, u6.
+# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts4, u1, u2, u5, u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
 # st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, ts5, ts6, ts7, cu2, ev1.
+# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
-    "dm4_temperature_mix", "dd7_decontaminate",
+    "dm4_temperature_mix", "dd7_decontaminate", "dd8_dup_span_stats",
     "ts7_pii_redact", "cu2_line_filter", "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
     # never-driver-checked until round 4
@@ -2420,7 +2449,7 @@ _DRIVER_WINDOW = [
     "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
     "dd4_simhash", "dd5_ngram_jaccard",
-    "ts1_lang_id", "ts2_token_counts", "ts3_quality_ratios", "ts4_fingerprint",
+    "ts1_lang_id", "ts2_token_counts", "ts3_quality_ratios",
     "ann1_brute_force_topk", "ann2_embedding_neardup",
 ]
 

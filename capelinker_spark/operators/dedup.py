@@ -375,3 +375,50 @@ def flag_contaminated(
         .withColumn(out, F.coalesce(F.col("_hit"), F.lit(False)))
         .drop("_hit")
     )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    n: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span fraction — the suffix-array-free
+    approximation of substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): for each document, the share of
+    its distinct word ``n``-grams that also occur in at least one OTHER
+    document. High ratio → boilerplate/templated/near-copied content that
+    exact and MinHash dedup (whole-document granularity) both miss.
+
+    Returns ``(id, n_grams, n_shared, dup_span_ratio)``. Plan shape:
+    explode distinct grams → ONE combine-able aggregation per gram
+    (distinct-doc count via min/max id compare) → broadcast-free join back
+    on the gram, re-aggregate per doc. The gram aggregation is map-side
+    combinable, and heavy-tail grams (the shared ones) carry only a
+    counter, never a doc list — no skew blowup. The ratio is one int/int
+    IEEE division (exact cross-engine)."""
+    grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+    )
+    # a gram is SHARED iff it appears in ≥2 distinct docs; min!=max is a
+    # combine-able distinct-count-≥2 test (no exact distinct count needed)
+    shared = (
+        grams.groupBy("_g")
+        .agg(
+            (F.min(id_col) != F.max(id_col)).alias("_shared")
+        )
+    )
+    per_doc = (
+        grams.join(shared, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("_shared").cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_shared",
+        (F.col("n_shared") / F.col("n_grams")).alias("dup_span_ratio"),
+    )

@@ -180,3 +180,25 @@ def test_flag_contaminated(spark):
     got = {r["doc_id"]: r["contaminated"]
            for r in flag_contaminated(docs, contam, n=8).collect()}
     assert got == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_duplicate_span_stats(spark):
+    """Hand-computed duplicated-span fractions: a doc sharing a 4-word
+    window with another scores the shared distinct-gram fraction; clones
+    score 1.0; organic docs 0.0."""
+    from capelinker_spark.operators.dedup import duplicate_span_stats
+
+    a = "one two three four five six"        # 3 distinct 4-grams
+    b = "zero one two three four seven"      # shares 'one two three four' with a
+    rows = [(0, a), (1, b), (2, a), (3, "totally different words again here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_span_ratio"])
+           for r in duplicate_span_stats(docs, n=4).collect()}
+    # doc 0: grams {one..four, two..five, three..six}; one..four shared
+    # with doc 1, ALL shared with clone doc 2 -> 3/3
+    assert got[0] == (3, 3, 1.0)
+    assert got[2] == (3, 3, 1.0)
+    # doc 1: {zero..three, one..four, two..seven}; only one..four shared
+    assert got[1][0] == 3 and got[1][1] == 1
+    assert abs(got[1][2] - 1 / 3) < 1e-15
+    assert got[3] == (3, 0, 0.0)
