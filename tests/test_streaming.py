@@ -375,3 +375,33 @@ def test_stream_curate_watermarked_bounded_state(spark, tmp_path):
     # 0,1,3,4 survive; 2 is a within-horizon duplicate of 0; 5 re-emits
     # after the watermark expired doc 0's state (bounded state, by design)
     assert got == {0, 1, 3, 4, 5}
+
+
+def test_sample_to_rates_composes_with_streams(spark, tmp_path):
+    """The mixing rules are pure narrow filters, so they run unchanged on a
+    streaming DataFrame (the composition stream_curate's docstring points
+    at): stream-side sample_to_rates keeps EXACTLY the rows the identical
+    batch filter keeps — deterministic hash rule, no state, no watermark."""
+    from capelinker_spark.operators.mixing import sample_to_rates
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(300)]
+    schema = "doc_id long, lang string"
+    src = str(tmp_path / "mix_stream")
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sample_to_rates(stream, "lang", {"en": 0.3, "de": 0.8}, "doc_id")
+        .writeStream.format("memory")
+        .queryName("mix_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("mix_stream_out").collect()}
+    batch = sample_to_rates(
+        spark.createDataFrame(rows, schema), "lang", {"en": 0.3, "de": 0.8},
+        "doc_id",
+    )
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want and 0 < len(got) < 300
