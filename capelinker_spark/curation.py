@@ -78,3 +78,48 @@ def curate_corpus(
         tokens_per_seq,
     )
     return packed.select(id_col, lang_col, "n_tokens", "seq_offset", "seq_id")
+
+
+def model_quality_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model=None,
+) -> DataFrame:
+    """Model-based quality scoring — the classifier tier ABOVE the
+    heuristic thresholds (the CCNet/FineWeb pattern: a linear model over
+    cheap features replaces hand-tuned cutoffs): logistic over
+    ``textstats.quality_features`` (alpha/digit/stopword ratios, mean
+    token length), compiled to ONE native sigmoid expression by
+    ``ml.logistic.LogisticModel`` — zero Python in the scoring path, same
+    contract as pair scoring (M1).
+
+    ``model=None`` uses pinned default weights (documented weak-label
+    recipe: positives = heuristic-passing docs, negatives = word-shuffled
+    text; retrain with ``ml.logistic.train_logistic`` on your corpus and
+    pass the result). Returns ``(id, <features>, quality_prob)`` with the
+    probability rounded to 6 decimals (the engine-portable convention:
+    IEEE feature math is bit-identical, rounding absorbs exp() ulps)."""
+    import numpy as np
+
+    from capelinker_spark.ml.logistic import LogisticModel
+    from capelinker_spark.operators.textstats import quality_features
+
+    if model is None:
+        model = LogisticModel(
+            features=["alpha_ratio", "digit_ratio", "stopword_ratio",
+                      "mean_token_len"],
+            weights=np.array([3.0, -1.5, 2.0, 0.3]),
+            bias=-0.5,
+            means=np.array([0.6, 0.05, 0.1, 5.0]),
+            stds=np.array([0.2, 0.08, 0.08, 2.0]),
+        )
+    feats = quality_features(F.col(text_col))
+    base = docs.select(
+        id_col,
+        *[feats[f].alias(f) for f in model.features],
+    )
+    scored = model.transform(base, out="quality_prob")
+    return scored.select(
+        id_col, *model.features, F.round("quality_prob", 6).alias("quality_prob")
+    )

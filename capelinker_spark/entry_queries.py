@@ -2363,6 +2363,55 @@ def cu2_line_filter(spark, sf_dir):
     )
 
 
+def _cu3_sql() -> str:
+    en_hits = _lang_scores_sql()["en"]
+    words = WORDS_SQL.format(c="text")
+    return f"""WITH f AS (
+          SELECT doc_id,
+                 length(text) AS nc,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({words}) END AS nt,
+                 len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+                 len(regexp_extract_all(text, '[0-9]')) AS nd,
+                 {en_hits} AS ns
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END AS alpha_ratio,
+                 CASE WHEN nc > 0 THEN nd / nc ELSE 0.0 END AS digit_ratio,
+                 CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS stopword_ratio,
+                 CASE WHEN nt > 0 THEN nc::DOUBLE / nt ELSE 0.0 END
+                   AS mean_token_len
+          FROM f)
+        SELECT doc_id, alpha_ratio, digit_ratio, stopword_ratio,
+               mean_token_len,
+               round(1.0 / (1.0 + exp(-(-0.5
+                 + 3.0 * ((alpha_ratio - 0.6) / 0.2)
+                 + -1.5 * ((digit_ratio - 0.05) / 0.08)
+                 + 2.0 * ((stopword_ratio - 0.1) / 0.08)
+                 + 0.3 * ((mean_token_len - 5.0) / 2.0)))), 6)
+                 AS quality_prob
+        FROM x"""
+
+
+@register("cu3_model_quality_score", None)
+def cu3_model_quality_score(spark, sf_dir):
+    """Model-based quality scoring (curation.model_quality_scores): the
+    classifier tier above heuristic cutoffs — logistic over the quality
+    features, compiled to one native sigmoid expression (zero Python,
+    same contract as pair scoring m1). Feature math is pure IEEE
+    divisions (bit-identical cross-engine); the probability rounds to 6
+    decimals to absorb exp() ulps. The oracle replicates the exact
+    left-associated z accumulation of LogisticModel.expr."""
+    from capelinker_spark.curation import model_quality_scores
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return model_quality_scores(d)
+
+
+ORACLES["cu3_model_quality_score"] = _cu3_sql()
+
+
 @register(
     "dm3_bpe_packing",
     f"""WITH all_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
@@ -2422,15 +2471,16 @@ def dm3_bpe_packing(spark, sf_dir):
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
 # implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts4, u1, u2, u5, u6.
+# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts3, ts4, u1, u2, u5, u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
 # st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, ev1.
+# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
     "dm4_temperature_mix", "dd7_decontaminate", "dd8_dup_span_stats",
-    "ts7_pii_redact", "cu2_line_filter", "ev1_sessionize_stats",
+    "ts7_pii_redact", "cu2_line_filter", "cu3_model_quality_score",
+    "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
     # never-driver-checked until round 4
     "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
@@ -2449,7 +2499,7 @@ _DRIVER_WINDOW = [
     "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
     "dd4_simhash", "dd5_ngram_jaccard",
-    "ts1_lang_id", "ts2_token_counts", "ts3_quality_ratios",
+    "ts1_lang_id", "ts2_token_counts",
     "ann1_brute_force_topk", "ann2_embedding_neardup",
 ]
 

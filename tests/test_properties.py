@@ -152,3 +152,78 @@ def test_blocking_recall_property(spark, pages, truth):
                         if (pf, pt) not in got:
                             missed.append((pf, pt, a, b))
     assert not missed, missed[:5]
+
+
+def test_line_filter_idempotent_and_subset(spark):
+    """line_filter is idempotent (kept lines all satisfy the rule, so a
+    second pass keeps them all) and its output lines are a subset of the
+    input lines, in order — on adversarial random multi-line docs."""
+    from capelinker_spark.operators.textstats import line_filter
+
+    rnd = random.Random(99)
+    words = ["alpha", "beta", "gamma", "12", "x", "...", 'q"', "done."]
+    docs = []
+    for _ in range(80):
+        lines = []
+        for _ in range(rnd.randint(0, 8)):
+            k = rnd.randint(0, 9)
+            line = " ".join(rnd.choice(words) for _ in range(k))
+            line += rnd.choice([".", "!", "?", '"', "", " ", "\t", "x"])
+            lines.append(line)
+        docs.append("\n".join(lines))
+    docs += ["", "\n", "\n\n\n", "one two three four five six."]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    once = df.select(line_filter(F.col("text")).alias("text"))
+    twice = once.select(line_filter(F.col("text")).alias("text"))
+    a = [r[0] for r in once.collect()]
+    b = [r[0] for r in twice.collect()]
+    assert a == b  # idempotent
+    for src, out in zip(docs, a):
+        if out == "":
+            continue
+        src_lines = src.split("\n")
+        out_lines = out.split("\n")
+        it = iter(src_lines)
+        assert all(any(l == s for s in it) for l in out_lines), (src, out)
+
+
+def test_packing_conservation_properties(spark):
+    """assign_packed_sequences invariants on random inputs: offsets are
+    the exact prefix sums in key order (conservation: last offset + last
+    count = total), seq_id = offset div cap, and the result is identical
+    across shuffle-partition settings."""
+    from capelinker_spark.operators.packing import assign_packed_sequences
+
+    rnd = random.Random(5)
+    rows = [(i, rnd.choice([0, 1, 7, 64, 130, None])) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, n long")
+    out = {r["k"]: (r["seq_offset"], r["seq_id"])
+           for r in assign_packed_sequences(df, "n", "k", 128).collect()}
+    acc = 0
+    for i in range(200):
+        assert out[i][0] == acc, i
+        assert out[i][1] == acc // 128, i
+        acc += rows[i][1] or 0
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        out3 = {r["k"]: (r["seq_offset"], r["seq_id"])
+                for r in assign_packed_sequences(df, "n", "k", 128).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    assert out3 == out
+
+
+def test_redact_pii_idempotent(spark):
+    """Redaction is idempotent: placeholders contain no PII-shaped spans,
+    so a second pass is the identity."""
+    from capelinker_spark.operators.textstats import redact_pii
+
+    rnd = random.Random(3)
+    frags = ["a@b.co", "https://x.y/z", "+31 20 555 9999", "word", "42",
+             "mail:", "<EMAIL>", "ftp://n.o", "x.y@z.org,", "."]
+    docs = [" ".join(rnd.choice(frags) for _ in range(rnd.randint(0, 12)))
+            for _ in range(100)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    once = df.select(redact_pii(F.col("text")).alias("t"))
+    twice = once.select(redact_pii(F.col("t")).alias("t"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]

@@ -219,3 +219,51 @@ def test_line_filter(spark):
         "trailing spaces are fine with six words.  ",
     ]
     assert got[1] == ""
+
+
+def test_model_quality_scores_weak_label_recipe(spark):
+    """The documented recipe behind cu3's pinned weights actually works:
+    train a logistic quality model on weak labels (real English prose =
+    positive, digit/punct-noised word soup = negative), score with the
+    NATIVE sigmoid expression, and the classes separate. Also pins the
+    no-Python plan contract for the scoring path."""
+    import random
+
+    from capelinker_spark.curation import model_quality_scores
+    from capelinker_spark.ml.logistic import train_logistic
+
+    rng = random.Random(7)
+    good_words = ("the and of to in is that with for this from "
+                  "people history language science water garden").split()
+    rows = []
+    for i in range(120):
+        n = rng.randint(15, 40)
+        rows.append((i, " ".join(rng.choice(good_words) for _ in range(n)), 1))
+    for i in range(120, 240):
+        n = rng.randint(15, 40)
+        junk = " ".join(
+            rng.choice(["%%%", "123", "4,5,6", "!!!", "#@$", "777"])
+            for _ in range(n)
+        )
+        rows.append((i, junk, 0))
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    feats = model_quality_scores(df.select("doc_id", "text"))
+    pdf = (
+        feats.join(df.select("doc_id", "label"), "doc_id")
+        .select("alpha_ratio", "digit_ratio", "stopword_ratio",
+                "mean_token_len", "label")
+        .toPandas()
+    )
+    model = train_logistic(pdf, ["alpha_ratio", "digit_ratio",
+                                 "stopword_ratio", "mean_token_len"],
+                           label_col="label")
+    scored = model_quality_scores(df.select("doc_id", "text"), model=model)
+    got = {r["doc_id"]: r["quality_prob"]
+           for r in scored.join(df.select("doc_id", "label"), "doc_id").collect()}
+    pos = [got[i] for i in range(120)]
+    neg = [got[i] for i in range(120, 240)]
+    assert min(pos) > max(neg)  # fully separable weak labels
+    # the scoring path must stay native (no BatchEvalPython)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
