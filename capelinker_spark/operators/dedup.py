@@ -390,31 +390,29 @@ def duplicate_span_stats(
     document. High ratio → boilerplate/templated/near-copied content that
     exact and MinHash dedup (whole-document granularity) both miss.
 
-    Returns ``(id, n_grams, n_shared, dup_span_ratio)``. Plan shape:
-    explode distinct grams → ONE combine-able aggregation per gram
-    (distinct-doc count via min/max id compare) → broadcast-free join back
-    on the gram, re-aggregate per doc. The gram aggregation is map-side
-    combinable, and heavy-tail grams (the shared ones) carry only a
-    counter, never a doc list — no skew blowup. The ratio is one int/int
-    IEEE division (exact cross-engine)."""
+    Returns ``(id, n_grams, n_shared, dup_span_ratio)``. Plan shape: ONE
+    shuffle of the exploded gram table (window over the gram key computes
+    the min≠max ≥2-distinct-docs test in place — an agg+join-back
+    formulation would shuffle the same big table twice more and recompute
+    the explode), then one per-doc hash aggregation. Heavy-tail grams
+    (the shared ones) carry only a min/max pair per partition, never a
+    doc list. The ratio is one int/int IEEE division (exact
+    cross-engine)."""
+    from pyspark.sql import Window
+
     grams = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("_g")
     )
-    # a gram is SHARED iff it appears in ≥2 distinct docs; min!=max is a
-    # combine-able distinct-count-≥2 test (no exact distinct count needed)
-    shared = (
-        grams.groupBy("_g")
-        .agg(
-            (F.min(id_col) != F.max(id_col)).alias("_shared")
-        )
+    # a gram is SHARED iff it appears in ≥2 distinct docs; min!=max over
+    # the gram window is that test without an exact distinct count
+    w = Window.partitionBy("_g")
+    flagged = grams.withColumn(
+        "_shared",
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).cast("long"),
     )
-    per_doc = (
-        grams.join(shared, "_g")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.col("_shared").cast("long")).alias("n_shared"),
-        )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum("_shared").alias("n_shared"),
     )
     return per_doc.select(
         id_col,
