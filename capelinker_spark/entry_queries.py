@@ -2363,6 +2363,60 @@ def cu2_line_filter(spark, sf_dir):
     )
 
 
+def _u11_urls_sql() -> str:
+    """Deterministic dirty-URL construction from doc_id, mirrored in the
+    Spark query: 4 URL shapes per id class covering case, default ports,
+    tracking params, unsorted params, fragments, and one non-URL row."""
+    return """CASE doc_id % 5
+         WHEN 0 THEN 'HTTP://Example.COM:80/path/' || doc_id::VARCHAR
+                      || '?utm_source=feed&b=2&a=1#frag'
+         WHEN 1 THEN 'https://News.Site:443/a/' || doc_id::VARCHAR || '?z=9&y=8'
+         WHEN 2 THEN 'http://plain.org/' || doc_id::VARCHAR
+         WHEN 3 THEN 'HTTPS://cdn.Net:8443/x?utm_campaign=a&utm_medium=b'
+         ELSE 'not a url ' || doc_id::VARCHAR END"""
+
+
+@register("u11_url_normalize", None)
+def u11_url_normalize(spark, sf_dir):
+    """URL normalization (operators.urls.normalize_url): the URL-level
+    dedup key of a crawl pipeline — lowercased scheme/host, default ports
+    stripped, fragments and utm_* tracking params dropped, remaining
+    params sorted. Dirty URLs are planted deterministically from doc_id
+    (identically in the oracle); non-URL rows pass through unchanged. One
+    narrow codegen pass, no Python."""
+    from capelinker_spark.operators.urls import normalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 5 == 0,
+               F.concat(F.lit("HTTP://Example.COM:80/path/"), i.cast("string"),
+                        F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(i % 5 == 1,
+              F.concat(F.lit("https://News.Site:443/a/"), i.cast("string"),
+                       F.lit("?z=9&y=8")))
+        .when(i % 5 == 2,
+              F.concat(F.lit("http://plain.org/"), i.cast("string")))
+        .when(i % 5 == 3,
+              F.lit("HTTPS://cdn.Net:8443/x?utm_campaign=a&utm_medium=b"))
+        .otherwise(F.concat(F.lit("not a url "), i.cast("string")))
+    )
+    return d.select(
+        "doc_id", url.alias("url"), normalize_url(url).alias("norm_url")
+    )
+
+
+def _register_u11_oracle() -> None:
+    from capelinker_spark.operators.urls import normalize_url_sql
+
+    ORACLES["u11_url_normalize"] = f"""WITH u AS (
+          SELECT doc_id, {_u11_urls_sql()} AS url FROM documents)
+        SELECT doc_id, url, {normalize_url_sql('url')} AS norm_url FROM u"""
+
+
+_register_u11_oracle()
+
+
 def _cu3_sql() -> str:
     en_hits = _lang_scores_sql()["en"]
     words = WORDS_SQL.format(c="text")
@@ -2471,16 +2525,16 @@ def dm3_bpe_packing(spark, sf_dir):
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
 # implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts3, ts4, u1, u2, u5, u6.
+# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts2, ts3, ts4, u1, u2, u5, u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
 # st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, ev1.
+# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, u11, ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
     "dm4_temperature_mix", "dd7_decontaminate", "dd8_dup_span_stats",
     "ts7_pii_redact", "cu2_line_filter", "cu3_model_quality_score",
-    "ev1_sessionize_stats",
+    "u11_url_normalize", "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
     # never-driver-checked until round 4
     "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
@@ -2499,7 +2553,7 @@ _DRIVER_WINDOW = [
     "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
     "dd4_simhash", "dd5_ngram_jaccard",
-    "ts1_lang_id", "ts2_token_counts",
+    "ts1_lang_id",
     "ann1_brute_force_topk", "ann2_embedding_neardup",
 ]
 

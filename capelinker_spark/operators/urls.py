@@ -1,0 +1,98 @@
+"""URL normalization for web-crawl pipelines: the canonical form used as
+the URL-level dedup/join key (the step before content-level dedup in a
+Common-Crawl-style flow — re-crawls of the same resource differ only in
+case, default ports, tracking params, fragments, and param order).
+
+Pure native expressions (regexp_extract / split / filter / array_sort /
+concat), portable to a DuckDB oracle — no Python, no UDF, one codegen
+pass. Deliberately CONSERVATIVE: only transformations that preserve
+resource identity per RFC 3986 section 6 (case of scheme/host, default
+port, empty query/fragment, query-param ORDER) plus the one
+de-facto-standard lossy rule every pipeline applies (dropping utm_*
+tracking params). Path case, trailing slashes, and %-encoding are left
+alone — those CAN change the resource.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# regexp fragments shared with the SQL oracle (dialect-portable: character
+# classes and greedy quantifiers only)
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# the [^#]* prefix anchors the '?' BEFORE any fragment — '#a?b' must not
+# leak fragment content into the query capture
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
+_TRACKING_PREFIX = "utm_"
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize an absolute http(s) URL:
+
+    * scheme and host lowercased (RFC 3986 6.2.2.1);
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * fragment dropped (never sent to the server);
+    * ``utm_*`` tracking params dropped, remaining params SORTED
+      byte-wise (param order is not semantic);
+    * empty query string drops its ``?``.
+
+    Non-URL input (no ``scheme://``) passes through unchanged, so the
+    expression is safe on dirty crawl data."""
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(col, _HOST_RE, 1))
+    path = F.regexp_extract(col, _PATH_RE, 1)
+    query = F.regexp_extract(col, _QUERY_RE, 1)
+
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring(host, 1, F.length(host) - 3),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring(host, 1, F.length(host) - 4),
+    ).otherwise(host)
+
+    kept_params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0)
+            & ~F.startswith(p, F.lit(_TRACKING_PREFIX)),
+        )
+    )
+    norm_query = F.array_join(kept_params, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(norm_query) > 0, F.concat(F.lit("?"), norm_query))
+        .otherwise(F.lit("")),
+    )
+    return F.when(scheme == "", col).otherwise(rebuilt)
+
+
+def normalize_url_sql(c: str) -> str:
+    """DuckDB mirror of ``normalize_url`` — same regexes, same transform
+    order, so normalized URLs are oracle-checkable byte-for-byte."""
+    scheme = f"lower(regexp_extract({c}, '{_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({c}, '{_HOST_RE}', 1))"
+    path = f"regexp_extract({c}, '{_PATH_RE}', 1)"
+    query = f"regexp_extract({c}, '{_QUERY_RE}', 1)"
+    return f"""CASE WHEN {scheme} = '' THEN {c} ELSE
+        {scheme} || '://' ||
+        (CASE WHEN {scheme} = 'http' AND {host} LIKE '%:80'
+              THEN substr({host}, 1, length({host}) - 3)
+              WHEN {scheme} = 'https' AND {host} LIKE '%:443'
+              THEN substr({host}, 1, length({host}) - 4)
+              ELSE {host} END) ||
+        {path} ||
+        (CASE WHEN length(array_to_string(list_sort(list_filter(
+                 string_split({query}, '&'),
+                 p -> length(p) > 0 AND NOT starts_with(p, '{_TRACKING_PREFIX}'))), '&')) > 0
+              THEN '?' || array_to_string(list_sort(list_filter(
+                 string_split({query}, '&'),
+                 p -> length(p) > 0 AND NOT starts_with(p, '{_TRACKING_PREFIX}'))), '&')
+              ELSE '' END)
+        END"""

@@ -267,3 +267,32 @@ def test_model_quality_scores_weak_label_recipe(spark):
     # the scoring path must stay native (no BatchEvalPython)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_normalize_url_edge_cases(spark):
+    """RFC-3986-conservative canonicalization: case, default ports,
+    fragments, tracking params, param order — and ONLY those. Path case,
+    non-default ports, %-encoding pass through; fragment '?' never leaks
+    into the query; non-URLs are untouched."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.urls import normalize_url
+
+    cases = {
+        "HTTP://Ex.COM:80/Path/A?b=2&a=1#frag": "http://ex.com/Path/A?a=1&b=2",
+        "https://X.org:443/": "https://x.org/",
+        "https://x.org:8443/a": "https://x.org:8443/a",   # non-default port kept
+        "http://x.org/a?utm_source=s&utm_medium=m": "http://x.org/a",
+        "http://x.org/a?": "http://x.org/a",              # empty query dropped
+        "http://x.org/p#a?b=1": "http://x.org/p",         # fragment '?' not a query
+        "http://x.org/%7Euser": "http://x.org/%7Euser",   # %-encoding untouched
+        "ftp://Host/A": "ftp://host/A",                   # other scheme: case only
+        "not a url": "not a url",
+        "": "",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = dict(
+        (r["url"], r["n"])
+        for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()
+    )
+    assert got == cases
