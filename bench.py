@@ -192,24 +192,43 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def read_steal() -> int:
+    """Host-wide steal jiffies from /proc/stat (column 9 of the cpu line).
+    The DELTA across exactly one timed run attributes slow samples to
+    co-tenant steal directly instead of inferring from adjacent quiet
+    probes (which bursts defeat — BENCH.md round-3/4 finding)."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except Exception:
+        return 0
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
     from capelinker_spark.entry_queries import QUERIES, _docs_plus_dups
     from capelinker_spark.operators.dedup import minhash_near_duplicates
 
-    out = {}
-    for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
+    out: dict[str, float] = {}
+    steal: dict[str, int] = {}
+
+    def timed(name, thunk):
+        s0, t0 = read_steal(), time.time()
+        thunk()
         out[name] = round(time.time() - t0, 3)
+        steal[name] = read_steal() - s0
+
+    for name in HEADLINE_QUERIES:
+        timed(name, lambda n=name: QUERIES[n](spark, sf_dir).count())
     # production MinHash tier: same input/params as dd3 but xxhash64
     # signatures (JVM-native, no engine-portable-md5 tax; see dedup.py)
-    t0 = time.time()
-    minhash_near_duplicates(
-        _docs_plus_dups(spark, sf_dir), threshold=0.5,
-        num_hashes=16, bands=4, hash_fn="xxhash64",
-    ).count()
-    out["dd3_xxhash_tier"] = round(time.time() - t0, 3)
-    return out
+    timed(
+        "dd3_xxhash_tier",
+        lambda: minhash_near_duplicates(
+            _docs_plus_dups(spark, sf_dir), threshold=0.5,
+            num_hashes=16, bands=4, hash_fn="xxhash64",
+        ).count(),
+    )
+    return out, steal
 
 
 def main():
@@ -242,7 +261,7 @@ def main():
             link_samples.append(round(link2["seconds"], 3))
             if link2["seconds"] < link["seconds"]:
                 link = link2
-        qtimes = run_queries(spark, SF_DIR)
+        qtimes, qsteal = run_queries(spark, SF_DIR)
         stop_spark(spark)
 
         result = {
@@ -252,10 +271,16 @@ def main():
             "sf": SF,
             "queries": {"linkage_pipeline": round(link["seconds"], 3), **qtimes},
             "linkage_samples": link_samples,
+            # per-query co-tenant steal (jiffies, host-wide, delta across
+            # each timed run): a row with high steal relative to its wall
+            # (100 jiffies = 1 steal-core-second) is a contended sample,
+            # measured rather than inferred — read walls accordingly
+            "steal_jiffies": qsteal,
             "sample_policy": (
                 f"linkage: best-of-2 iff first > {retry_above}*sf sec "
                 "(warm-JVM retry, reported above); scaling: best-of-"
-                f"{SCALING_REPEATS} per level, all samples reported"
+                f"{SCALING_REPEATS} per level, all samples reported; "
+                "steal_jiffies = /proc/stat steal delta per timed query"
             ),
             "pairs_scored": link["pairs_scored"],
             "pairs_per_sec": round(link["pairs_per_sec"], 1),
