@@ -2363,6 +2363,122 @@ def cu2_line_filter(spark, sf_dir):
     )
 
 
+def _cu4_sql() -> str:
+    """End-to-end oracle for the FULL curation composition: planted
+    multi-line pages → C4 line filter → exact dedup on the CLEANED text →
+    model-quality gate → BPE-budget packing. Each fragment is the same SQL
+    already proven standalone (cu2 / dd1 / cu3 / dm2-with-casts)."""
+    en_hits = _lang_scores_sql()["en"].replace("text", "kept_text")
+    words = WORDS_SQL.format(c="kept_text")
+    return f"""WITH ml AS (
+         SELECT doc_id,
+                substr(text, 1, 60) || '.' || chr(10)
+                || substr(text, 61, 20) || chr(10)
+                || substr(text, 81, 50) || ' end!' || chr(10)
+                || 'short line.' AS text
+         FROM (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 10000000000, text FROM documents
+               WHERE doc_id < 40)),
+       lf AS (
+         SELECT doc_id,
+                array_to_string(
+                  list_filter(
+                    string_split(text, chr(10)),
+                    x -> length(trim(x)) > 0
+                         AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                         AND regexp_matches(x, '[.!?"][ \\t]*$')),
+                  chr(10)) AS kept_text
+         FROM ml),
+       nz AS (SELECT * FROM lf WHERE length(kept_text) > 0),
+       canon AS (SELECT md5(kept_text) AS ch, min(doc_id) AS cid
+                 FROM nz GROUP BY 1),
+       ded AS (SELECT nz.doc_id, nz.kept_text
+               FROM nz JOIN canon ON md5(nz.kept_text) = canon.ch
+                                 AND nz.doc_id = canon.cid),
+       q AS (
+         SELECT doc_id, kept_text,
+                length(kept_text) AS nc,
+                CASE WHEN length(trim(kept_text)) = 0 THEN 0
+                     ELSE len({words}) END AS nt,
+                len(regexp_extract_all(kept_text, '[A-Za-z]')) AS na,
+                len(regexp_extract_all(kept_text, '[0-9]')) AS nd,
+                {en_hits} AS ns
+         FROM ded),
+       scored AS (
+         SELECT doc_id, kept_text,
+                round(1.0 / (1.0 + exp(-(-0.5
+                  + 3.0 * (((CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END) - 0.6) / 0.2)
+                  + -1.5 * (((CASE WHEN nc > 0 THEN nd / nc ELSE 0.0 END) - 0.05) / 0.08)
+                  + 2.0 * (((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) - 0.1) / 0.08)
+                  + 0.3 * (((CASE WHEN nt > 0 THEN nc::DOUBLE / nt ELSE 0.0 END) - 5.0) / 2.0)
+                ))), 6) AS quality_prob
+         FROM q),
+       kept AS (
+         SELECT doc_id,
+                len(regexp_extract_all(kept_text, '{TS.BPE_ISH_PATTERN}'))
+                  AS n_tokens,
+                quality_prob
+         FROM scored WHERE quality_prob >= 0.2),
+       packed AS (
+         SELECT doc_id, n_tokens, quality_prob,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+         FROM kept)
+       SELECT doc_id, n_tokens, quality_prob,
+              CAST(cum - n_tokens AS BIGINT) AS seq_offset,
+              CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
+       FROM packed"""
+
+
+@register("cu4_full_curation", None)
+def cu4_full_curation(spark, sf_dir):
+    """The FULL curation composition as one lazily-composed plan — every
+    round-4 curation stage chained: planted multi-line pages (+40 exact
+    clones) → C4-style line filter → exact dedup on the CLEANED text
+    (boilerplate-stripped text is the right dedup key: pages differing
+    only in navigation collapse) → model-quality gate (≥0.2 on the native
+    sigmoid) → BPE-budget 256-token packing. One SQL oracle checks the
+    whole six-stage flow bit-for-bit — composition, not just parts."""
+    from capelinker_spark.curation import model_quality_scores
+    from capelinker_spark.operators.dedup import dedup_exact
+    from capelinker_spark.operators.packing import assign_packed_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
+    )
+    t = F.col("text")
+    ml = d.unionByName(planted).select(
+        "doc_id",
+        F.concat(
+            F.substring(t, 1, 60), F.lit(".\n"),
+            F.substring(t, 61, 20), F.lit("\n"),
+            F.substring(t, 81, 50), F.lit(" end!\n"),
+            F.lit("short line."),
+        ).alias("text"),
+    )
+    cleaned = ml.select(
+        "doc_id", TS.line_filter(F.col("text")).alias("kept_text")
+    ).where(F.length("kept_text") > 0)
+    deduped = dedup_exact(cleaned, "kept_text", "doc_id")
+    scored = model_quality_scores(
+        deduped, text_col="kept_text"
+    ).join(deduped.select("doc_id", "kept_text"), "doc_id")
+    kept = scored.where(F.col("quality_prob") >= 0.2).select(
+        "doc_id",
+        TS.token_count_bpe(F.col("kept_text")).alias("n_tokens"),
+        "quality_prob",
+    )
+    packed = assign_packed_sequences(kept, "n_tokens", "doc_id", 256)
+    return packed.select(
+        "doc_id", "n_tokens", "quality_prob", "seq_offset", "seq_id"
+    )
+
+
+ORACLES["cu4_full_curation"] = _cu4_sql()
+
+
 def _u11_urls_sql() -> str:
     """Deterministic dirty-URL construction from doc_id, mirrored in the
     Spark query: 4 URL shapes per id class covering case, default ports,
@@ -2525,16 +2641,18 @@ def dm3_bpe_packing(spark, sf_dir):
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
 # implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, f2, f5, f6, j7, j8, p2, p3, ts2, ts3, ts4, u1, u2, u5, u6.
+# a11, a12, dd5, f2, f5, f6, j7, j8, p2, p3, ts2, ts3, ts4, u1, u2, u5,
+# u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
 # st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, u11, ev1.
+# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, cu4, u11,
+# ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
     "dm4_temperature_mix", "dd7_decontaminate", "dd8_dup_span_stats",
     "ts7_pii_redact", "cu2_line_filter", "cu3_model_quality_score",
-    "u11_url_normalize", "ev1_sessionize_stats",
+    "cu4_full_curation", "u11_url_normalize", "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
     # never-driver-checked until round 4
     "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
@@ -2552,7 +2670,7 @@ _DRIVER_WINDOW = [
     "f7_namefreq_grouped_count", "m2_dual_rank_select",
     "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
-    "dd4_simhash", "dd5_ngram_jaccard",
+    "dd4_simhash",
     "ts1_lang_id",
     "ann1_brute_force_topk", "ann2_embedding_neardup",
 ]
