@@ -189,6 +189,9 @@ HEADLINE_QUERIES = [
     "dd8_dup_span_stats",
     "ts7_pii_redact",
     "cu2_line_filter",
+    "cu3_model_quality_score",
+    "cu4_full_curation",
+    "u11_url_normalize",
 ]
 
 

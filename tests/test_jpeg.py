@@ -242,3 +242,21 @@ def test_extract_image_features_mixed_png_jpeg(spark):
     b = np.array(out["jpg://b"])
     assert np.abs(a - b).max() < 0.05
     assert np.abs(a - np.array(out["jpg://c"])).max() > 1e-6  # different img
+
+
+def test_degenerate_shapes_and_saturation():
+    """1×1 up through odd non-MCU-multiple shapes round-trip at both
+    subsamplings; flat black/white saturate within ±1."""
+    for shape in [(1, 1), (8, 8), (7, 5), (16, 24), (9, 17)]:
+        g = (np.arange(np.prod(shape)).reshape(shape) % 256).astype(np.uint8)
+        out = MJ.decode_jpeg(MJ.encode_jpeg(g, quality=90))
+        assert out.shape == (*shape, 1), shape
+    for shape in [(1, 1, 3), (9, 7, 3), (17, 33, 3)]:
+        img = (np.arange(np.prod(shape)).reshape(shape) % 256).astype(np.uint8)
+        for sub in (False, True):
+            out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=90, subsample=sub))
+            assert out.shape == shape, (shape, sub)
+    for v in (0, 255):
+        img = np.full((16, 16, 3), v, np.uint8)
+        out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=85))
+        assert np.abs(out.astype(int) - v).max() <= 1, v
