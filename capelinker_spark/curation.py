@@ -85,6 +85,7 @@ def model_quality_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     model=None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality scoring — the classifier tier ABOVE the
     heuristic thresholds (the CCNet/FineWeb pattern: a linear model over
@@ -99,7 +100,12 @@ def model_quality_scores(
     text; retrain with ``ml.logistic.train_logistic`` on your corpus and
     pass the result). Returns ``(id, <features>, quality_prob)`` with the
     probability rounded to 6 decimals (the engine-portable convention:
-    IEEE feature math is bit-identical, rounding absorbs exp() ulps)."""
+    IEEE feature math is bit-identical, rounding absorbs exp() ulps).
+
+    ``passthrough``: extra input columns carried into the output — a
+    downstream stage that needs e.g. the text alongside the score should
+    use this instead of re-joining on ``id_col`` (a self-join re-evaluates
+    the whole upstream subtree — review finding r4)."""
     import numpy as np
 
     from capelinker_spark.ml.logistic import LogisticModel
@@ -117,9 +123,13 @@ def model_quality_scores(
     feats = quality_features(F.col(text_col))
     base = docs.select(
         id_col,
+        *passthrough,
         *[feats[f].alias(f) for f in model.features],
     )
     scored = model.transform(base, out="quality_prob")
     return scored.select(
-        id_col, *model.features, F.round("quality_prob", 6).alias("quality_prob")
+        id_col,
+        *passthrough,
+        *model.features,
+        F.round("quality_prob", 6).alias("quality_prob"),
     )

@@ -2221,7 +2221,8 @@ def dd8_dup_span_stats(spark, sf_dir):
 
 @register(
     "dm4_temperature_mix",
-    """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+    """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1),
         t AS (SELECT lang, pow(n / (SELECT sum(n) FROM n), -0.5) AS w FROM n),
         r AS (SELECT lang, w / (SELECT max(w) FROM t) AS rate FROM t),
         b AS (SELECT lang,
@@ -2229,9 +2230,13 @@ def dd8_dup_span_stats(spark, sf_dir):
                      ELSE printf('%05x', CAST(floor(rate * 1048576) AS BIGINT))
                 END AS bound
               FROM r)
+       -- LEFT JOIN + coalesce('g'): NULL-lang rows take default_rate 1.0
+       -- and are EXCLUDED from the rate denominator, mirroring
+       -- temperature_mix (which drops NULL classes from the count dict
+       -- and sample_to_rates' otherwise-branch keeps them whole)
        SELECT d.doc_id, d.lang
-       FROM documents d JOIN b USING (lang)
-       WHERE substr(md5(d.doc_id::VARCHAR), 1, 5) < b.bound""",
+       FROM documents d LEFT JOIN b ON d.lang = b.lang
+       WHERE substr(md5(d.doc_id::VARCHAR), 1, 5) < coalesce(b.bound, 'g')""",
 )
 def dm4_temperature_mix(spark, sf_dir):
     """Temperature-τ mixture rebalancing (the multilingual/multi-domain
@@ -2327,7 +2332,7 @@ def ts7_pii_redact(spark, sf_dir):
                   list_filter(
                     string_split(text, chr(10)),
                     x -> length(trim(x)) > 0
-                         AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                         AND len(string_split_regex(trim(x), '[ \\t\\n\\r\\f\\x0b]+')) >= 5
                          AND regexp_matches(x, '[.!?"][ \\t]*$')),
                   chr(10)) AS kept_text
          FROM ml)
@@ -2386,7 +2391,7 @@ def _cu4_sql() -> str:
                   list_filter(
                     string_split(text, chr(10)),
                     x -> length(trim(x)) > 0
-                         AND len(string_split_regex(trim(x), '\\s+')) >= 5
+                         AND len(string_split_regex(trim(x), '[ \\t\\n\\r\\f\\x0b]+')) >= 5
                          AND regexp_matches(x, '[.!?"][ \\t]*$')),
                   chr(10)) AS kept_text
          FROM ml),
@@ -2463,8 +2468,8 @@ def cu4_full_curation(spark, sf_dir):
     ).where(F.length("kept_text") > 0)
     deduped = dedup_exact(cleaned, "kept_text", "doc_id")
     scored = model_quality_scores(
-        deduped, text_col="kept_text"
-    ).join(deduped.select("doc_id", "kept_text"), "doc_id")
+        deduped, text_col="kept_text", passthrough=("kept_text",)
+    )
     kept = scored.where(F.col("quality_prob") >= 0.2).select(
         "doc_id",
         TS.token_count_bpe(F.col("kept_text")).alias("n_tokens"),

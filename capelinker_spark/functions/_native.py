@@ -26,17 +26,17 @@ _LIB = None
 _TRIED = False
 
 
-def _read_src() -> bytes | None:
-    """Read _strdistc.c from the package dir — including when the package is
+def read_pkg_source(src_path: str) -> bytes | None:
+    """Read a package-resident source file — including when the package is
     zip-resident (``spark-submit --py-files``: __file__ points inside the
     shipped .zip, where plain open() fails)."""
     try:
-        with open(_SRC, "rb") as f:
+        with open(src_path, "rb") as f:
             return f.read()
     except OSError:
         pass
     # walk up until an existing FILE (the zip archive), read the remainder
-    path = _SRC
+    path = src_path
     parts: list[str] = []
     while path and path != os.path.dirname(path):
         if os.path.isfile(path):
@@ -52,16 +52,21 @@ def _read_src() -> bytes | None:
     return None
 
 
-def _build() -> str | None:
-    src = _read_src()
+def build_shared(src_path: str, prefix: str, extra_cc_args: tuple = ()) -> str | None:
+    """Compile a package C source into the per-user cache and return the
+    .so path (None on any failure → caller falls back to pure Python).
+    Shared by every native tier (_strdistc, _jpegshim): one md5-tagged
+    build per source version; concurrent workers race safely on the
+    atomic rename."""
+    src = read_pkg_source(src_path)
     if src is None:
         return None
     tag = hashlib.md5(src).hexdigest()[:12]
     cache = os.path.join(tempfile.gettempdir(), f"capelinker_native_{os.getuid()}")
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"strdistc_{tag}.so")
+    so = os.path.join(cache, f"{prefix}_{tag}.so")
     if not os.path.exists(so):
-        csrc = os.path.join(cache, f"strdistc_{tag}.c")
+        csrc = os.path.join(cache, f"{prefix}_{tag}.c")
         if not os.path.exists(csrc):
             ctmp = csrc + f".tmp{os.getpid()}"
             with open(ctmp, "wb") as f:
@@ -70,7 +75,8 @@ def _build() -> str | None:
         tmp = so + f".tmp{os.getpid()}"
         try:
             subprocess.run(
-                ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, csrc],
+                ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, csrc,
+                 *extra_cc_args],
                 check=True,
                 capture_output=True,
                 timeout=60,
@@ -79,6 +85,10 @@ def _build() -> str | None:
         except Exception:
             return None
     return so
+
+
+def _build() -> str | None:
+    return build_shared(_SRC, "strdistc")
 
 
 def _load():

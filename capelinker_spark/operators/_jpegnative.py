@@ -1,80 +1,25 @@
-"""Runtime-compiled libjpeg shim loader (the `functions/_native.py` pattern
-applied to media decode): compile `_jpegshim.c` with ``cc -O2 -shared
--ljpeg`` into a per-user temp cache, load via ctypes, expose
-``decode(payload) -> np.ndarray`` / ``encode(arr, quality, subsample) ->
-bytes``. Any failure — no compiler, no libjpeg, zip-resident source not
-readable — degrades to ``available() == False`` and callers fall back to
-the pure-numpy baseline codec (`media_jpeg`).
-
-Like the string-distance kernel, the .so is built once per source hash and
-raced atomically by concurrent executor workers; set
-``CAPELINKER_NO_NATIVE=1`` to force the pure-Python paths everywhere.
+"""ctypes loader for the libjpeg shim (`_jpegshim.c`): compiled at runtime
+through the SAME cache/zip-read/atomic-race machinery as the string-distance
+kernel (``functions._native.build_shared`` — one implementation, two native
+tiers), plus ``-ljpeg``. Exposes ``decode(payload) -> np.ndarray`` /
+``encode(arr, quality, subsample) -> bytes``. Any failure — no compiler, no
+libjpeg, zip-resident source unreadable — degrades to ``available() ==
+False`` and callers fall back to the pure-numpy baseline codec
+(`media_jpeg`). ``CAPELINKER_NO_NATIVE=1`` forces the pure-Python paths.
 """
 
 from __future__ import annotations
 
 import ctypes
-import hashlib
 import os
-import subprocess
-import tempfile
 
 import numpy as np
+
+from capelinker_spark.functions._native import build_shared
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_jpegshim.c")
 _LIB = None
 _TRIED = False
-
-
-def _read_src() -> bytes | None:
-    try:
-        with open(_SRC, "rb") as f:
-            return f.read()
-    except OSError:
-        pass
-    path = _SRC
-    parts: list[str] = []
-    while path and path != os.path.dirname(path):
-        if os.path.isfile(path):
-            try:
-                import zipfile
-
-                with zipfile.ZipFile(path) as z:
-                    return z.read("/".join(parts))
-            except Exception:
-                return None
-        path, tail = os.path.split(path)
-        parts.insert(0, tail)
-    return None
-
-
-def _build() -> str | None:
-    src = _read_src()
-    if src is None:
-        return None
-    tag = hashlib.md5(src).hexdigest()[:12]
-    cache = os.path.join(tempfile.gettempdir(), f"capelinker_native_{os.getuid()}")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, f"jpegshim_{tag}.so")
-    if not os.path.exists(so):
-        csrc = os.path.join(cache, f"jpegshim_{tag}.c")
-        if not os.path.exists(csrc):
-            ctmp = csrc + f".tmp{os.getpid()}"
-            with open(ctmp, "wb") as f:
-                f.write(src)
-            os.replace(ctmp, csrc)
-        tmp = so + f".tmp{os.getpid()}"
-        try:
-            subprocess.run(
-                ["cc", "-O2", "-fPIC", "-shared", "-o", tmp, csrc, "-ljpeg"],
-                check=True,
-                capture_output=True,
-                timeout=60,
-            )
-            os.replace(tmp, so)
-        except Exception:
-            return None
-    return so
 
 
 def _load():
@@ -84,7 +29,7 @@ def _load():
     _TRIED = True
     if os.environ.get("CAPELINKER_NO_NATIVE"):
         return None
-    so = _build()
+    so = build_shared(_SRC, "jpegshim", ("-ljpeg",))
     if so is None:
         return None
     try:
@@ -142,7 +87,12 @@ def decode(payload: bytes) -> np.ndarray | None:
 def encode(
     arr: np.ndarray, quality: int = 85, subsample: bool = False
 ) -> bytes | None:
-    """(H, W[, C]) uint8 → JPEG bytes via libjpeg; None when unavailable."""
+    """(H, W[, C]) uint8 → JPEG bytes via libjpeg; None when unavailable.
+
+    The shim returns -(needed) when the output buffer is too small (a
+    high-entropy image at high quality CAN exceed its raw size — review
+    finding r4), so a one-shot retry with the exact needed capacity makes
+    buffer sizing a non-issue; -1 is a genuine encode error."""
     lib = _load()
     if lib is None:
         return None
@@ -151,12 +101,16 @@ def encode(
     h, w, ch = arr.shape
     pix = np.ascontiguousarray(arr, dtype=np.uint8)
     cap = h * w * ch + 65536
-    out = np.empty(cap, dtype=np.uint8)
-    n = lib.jpeg_encode(
-        pix.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, ch,
-        int(quality), 1 if subsample else 0,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), cap,
-    )
-    if n < 0:
-        raise ValueError("libjpeg: encode failed")
-    return bytes(out[:n])
+    for _ in range(2):
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.jpeg_encode(
+            pix.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), w, h, ch,
+            int(quality), 1 if subsample else 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), cap,
+        )
+        if n >= 0:
+            return bytes(out[:n])
+        if n == -1:
+            raise ValueError("libjpeg: encode failed")
+        cap = -n  # overflow: retry once with the exact needed size
+    raise ValueError("libjpeg: encode buffer retry failed")

@@ -81,24 +81,30 @@ int jpeg_decode(const unsigned char *buf, long len, unsigned char *out,
     return 0;
 }
 
-/* Encode h*w*ch (ch = 1 gray or 3 RGB) into out; returns bytes written or
- * -1. subsample: 0 = 4:4:4, 1 = libjpeg default (2x2 on Y => 4:2:0). */
+/* Encode h*w*ch (ch = 1 gray or 3 RGB) into out; returns bytes written,
+ * -1 on encode error, or -(needed bytes) when out_cap is too small (the
+ * caller retries with a bigger buffer — needed is always > 1, so the two
+ * negative cases cannot collide). subsample: 0 = 4:4:4, 1 = libjpeg
+ * default (2x2 on Y => 4:2:0).
+ * 'mem' is volatile: it is written between setjmp and a potential longjmp,
+ * and the error path frees it — without volatile that read is UB (C11
+ * 7.13.2.1) and a register-cached stale pointer would corrupt the heap. */
 long jpeg_encode(const unsigned char *pix, int w, int h, int ch, int quality,
                  int subsample, unsigned char *out, long out_cap) {
     struct jpeg_compress_struct cinfo;
     struct err_mgr jerr;
-    unsigned char *mem = NULL;
+    unsigned char *volatile mem = NULL;
     unsigned long mem_len = 0;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = on_error;
     jerr.pub.output_message = on_message;
     if (setjmp(jerr.jb)) {
         jpeg_destroy_compress(&cinfo);
-        if (mem) free(mem);
+        if (mem) free((unsigned char *)mem);
         return -1;
     }
     jpeg_create_compress(&cinfo);
-    jpeg_mem_dest(&cinfo, &mem, &mem_len);
+    jpeg_mem_dest(&cinfo, (unsigned char **)&mem, &mem_len);
     cinfo.image_width = (JDIMENSION)w;
     cinfo.image_height = (JDIMENSION)h;
     cinfo.input_components = ch;
@@ -119,8 +125,8 @@ long jpeg_encode(const unsigned char *pix, int w, int h, int ch, int quality,
     jpeg_finish_compress(&cinfo);
     jpeg_destroy_compress(&cinfo);
     long n = (long)mem_len;
-    if (n > out_cap) n = -1;
-    else memcpy(out, mem, mem_len);
-    free(mem);
+    if (n > out_cap) n = -n;  /* overflow: tell the caller the needed size */
+    else memcpy(out, (unsigned char *)mem, mem_len);
+    free((unsigned char *)mem);
     return n;
 }

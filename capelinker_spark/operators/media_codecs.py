@@ -149,7 +149,10 @@ def encode_jpeg(
     from capelinker_spark.operators import _jpegnative, media_jpeg
 
     if _jpegnative.available():
-        out = _jpegnative.encode(arr, quality, subsample)
+        try:
+            out = _jpegnative.encode(arr, quality, subsample)
+        except ValueError:
+            out = None  # shim failure on valid input → numpy tier decides
         if out is not None:
             return out
     return media_jpeg.encode_jpeg(arr, quality, subsample)

@@ -155,8 +155,6 @@ class _HuffDecoder:
         self.table = {
             (ln, code): sym for ln, code, sym in _canonical_codes(bits, vals)
         }
-        self.maxlen = max((ln for ln, _, _ in _canonical_codes(bits, vals)),
-                          default=0)
 
     def decode(self, reader: "_BitReader") -> int:
         code = 0
@@ -217,7 +215,20 @@ _SOF_UNSUPPORTED = {
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, C) uint8 (C = 1 gray, 3 RGB)."""
+    """Baseline JPEG bytes → (H, W, C) uint8 (C = 1 gray, 3 RGB).
+    Raises ValueError on any corrupt/truncated/unsupported payload."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, StopIteration, KeyError) as e:
+        # a truncated/corrupt stream can run any parser off the end; the
+        # module contract is ValueError for ALL bad payloads (callers
+        # classify on it — review finding r4)
+        raise ValueError(f"truncated or corrupt JPEG ({type(e).__name__})")
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2

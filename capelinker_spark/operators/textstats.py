@@ -184,10 +184,13 @@ def line_filter(
     split + filter + array_join lambda expressions — stays in codegen,
     and the rules are engine-portable (explicit whitespace classes)."""
     lines = F.split(col, "\n")
+    # explicit whitespace class, not \s: Java's \s includes \x0b while
+    # RE2's does not, and this count is mirrored in the DuckDB oracle
+    ws = "[ \\t\\n\\r\\f\\x0b]+"
 
     def keep(x: Column) -> Column:
         nonempty = F.length(F.trim(x)) > 0
-        words = F.size(F.split(F.trim(x), r"\s+"))
+        words = F.size(F.split(F.trim(x), ws))
         ok = nonempty & (words >= min_words)
         if require_terminal:
             ok = ok & x.rlike('[.!?"][ \\t]*$')

@@ -260,3 +260,31 @@ def test_degenerate_shapes_and_saturation():
         img = np.full((16, 16, 3), v, np.uint8)
         out = MJ.decode_jpeg(MJ.encode_jpeg(img, quality=85))
         assert np.abs(out.astype(int) - v).max() <= 1, v
+
+
+@needs_shim
+def test_shim_encode_high_entropy_retry():
+    """Review finding r4: a high-entropy image at quality=100 can exceed
+    its raw byte size when JPEG-encoded, overflowing the first output
+    buffer — the shim now reports the needed size and encode() retries
+    once, so the tiered encode_jpeg returns bytes instead of raising."""
+    from capelinker_spark.operators import media_codecs as mc
+
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    enc = J.encode(noise, quality=100)
+    assert enc is not None and len(enc) > 256 * 256 * 3  # genuinely inflated
+    assert np.array_equal(J.decode(enc).shape, (256, 256, 3))
+    # and the public tier never raises on valid input
+    enc2 = mc.encode_jpeg(noise, quality=100)
+    assert isinstance(enc2, (bytes, bytearray)) and len(enc2) > 0
+
+
+def test_truncated_payloads_raise_valueerror():
+    """Review finding r4: every corrupt/truncated payload raises ValueError
+    (the classification contract), never IndexError/struct.error."""
+    good = MJ.encode_jpeg(_test_image(), quality=80)
+    for payload in [b"\xff\xd8\xff", b"\xff\xd8\xff\xe0\x00",
+                    good[:3], good[:20], good[: len(good) // 2]]:
+        with pytest.raises(ValueError):
+            MJ.decode_jpeg(payload)

@@ -168,3 +168,19 @@ def test_temperature_mix_flattens(spark):
     assert got["en"] < 800 and got["de"] < 150  # others subsampled
     # flattening: output en/zh ratio must shrink toward sqrt of input ratio
     assert got["en"] / got["zh"] < 0.35 * (800 / 50)
+
+
+def test_temperature_mix_null_class_rows_kept(spark):
+    """NULL-class rows take default_rate 1.0 (kept whole) and are EXCLUDED
+    from the rate denominator — the dm4 oracle mirrors both (review
+    finding r4: an inner join there silently dropped NULL-class rows and
+    skewed every p_c)."""
+    rows = [(i, "en" if i % 2 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    from capelinker_spark.operators.mixing import temperature_mix
+
+    out = temperature_mix(df, "lang", "k", temperature=0.5)
+    got = {r["k"] for r in out.collect()}
+    # every NULL-lang row survives; 'en' is the only counted class so its
+    # rate is 1.0 too -> the whole frame survives
+    assert got == {i for i in range(200)}
