@@ -19,9 +19,12 @@ long prefix-sum packing.
 from __future__ import annotations
 
 from collections.abc import Callable
+from dataclasses import dataclass as _dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from capelinker_spark.stage_runner import StageRunner
 
 from capelinker_spark.operators.dedup import dedup_exact
 from capelinker_spark.operators.mixing import sample_to_rates
@@ -133,3 +136,136 @@ def model_quality_scores(
         *model.features,
         F.round("quality_prob", 6).alias("quality_prob"),
     )
+
+
+@_dataclass
+class CurationConfig:
+    min_tokens: int = 10
+    min_alpha_ratio: float = 0.5
+    min_quality_prob: float = 0.0
+    line_min_words: int = 5
+    line_require_terminal: bool = True
+    use_line_filter: bool = False
+    lang_rates: dict | None = None
+    temperature: float | None = None
+    tokens_per_seq: int = 256
+    token_unit: str = "ws"           # 'ws' | 'bpe'
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    lang_col: str = "lang"
+
+
+class CurationPipeline(StageRunner):
+    """Checkpointed, resumable corpus curation — the curation analog of
+    ``pipeline.LinkagePipeline``, on the SAME StageRunner machinery
+    (chained config-hash ``_manifest.json`` per stage, schema/row-count
+    validation, per-stage lineage rows with elapsed time and, for the
+    scored stage, a quality-probability histogram):
+
+        cleaned (line filter) → deduped (exact, on cleaned text) →
+        scored (heuristics + model quality) → mixed (rates or
+        temperature) → packed (token-budget windows)
+
+    Changing ``min_quality_prob`` leaves cleaned/deduped/scored
+    resumable; changing ``line_min_words`` recomputes everything — the
+    manifest chain decides, never _SUCCESS alone. Each checkpoint is a
+    parquet dir (the Iceberg-table stand-in; see pipeline.py header).
+    """
+
+    STAGE_DEPS = {
+        "cleaned": (
+            ("use_line_filter", "line_min_words", "line_require_terminal",
+             "text_col", "id_col"),
+            None,
+        ),
+        "deduped": ((), "cleaned"),
+        "scored": (("token_unit",), "deduped"),
+        "mixed": (
+            ("min_tokens", "min_alpha_ratio", "min_quality_prob",
+             "lang_rates", "temperature"),
+            "scored",
+        ),
+        "packed": (("tokens_per_seq",), "mixed"),
+    }
+
+    def __init__(self, spark, workdir: str, config: CurationConfig | None = None):
+        self._init_runner(spark, workdir, config or CurationConfig())
+
+    def run(self, docs: DataFrame, resume: bool = True) -> dict:
+        from capelinker_spark.operators.mixing import temperature_mix
+        from capelinker_spark.operators.textstats import (
+            line_filter,
+            token_count_bpe,
+        )
+
+        cfg = self.cfg
+        counter = token_count_bpe if cfg.token_unit == "bpe" else token_count_ws
+
+        def _cleaned():
+            kept = line_filter(
+                F.col(cfg.text_col), cfg.line_min_words,
+                cfg.line_require_terminal,
+            )
+            return docs.select(
+                cfg.id_col, kept.alias(cfg.text_col), cfg.lang_col
+            ).where(F.length(cfg.text_col) > 0)
+
+        if cfg.use_line_filter:
+            cleaned = self._stage("cleaned", _cleaned, resume)
+        else:
+            # no cleaning → no checkpoint: materializing an unmodified copy
+            # of the corpus would double storage at scale. The manifest
+            # chain still covers the choice (use_line_filter is in
+            # cleaned's hash, which deduped's hash chains on).
+            cleaned = docs.select(cfg.id_col, cfg.text_col, cfg.lang_col)
+
+        deduped = self._stage(
+            "deduped",
+            lambda: dedup_exact(cleaned, cfg.text_col, cfg.id_col),
+            resume,
+        )
+
+        def _scored():
+            c = F.col(cfg.text_col)
+            base = deduped.withColumn("n_tokens", counter(c)).withColumn(
+                "alpha", alpha_ratio(c)
+            )
+            return model_quality_scores(
+                base,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+                passthrough=(cfg.lang_col, "n_tokens", "alpha"),
+            )
+
+        scored = self._stage("scored", _scored, resume, score_col="quality_prob")
+
+        def _mixed():
+            kept = scored.where(
+                (F.col("n_tokens") >= cfg.min_tokens)
+                & (F.col("alpha") > cfg.min_alpha_ratio)
+                & (F.col("quality_prob") >= cfg.min_quality_prob)
+            )
+            if cfg.lang_rates:
+                kept = sample_to_rates(
+                    kept, cfg.lang_col, cfg.lang_rates, cfg.id_col
+                )
+            elif cfg.temperature is not None:
+                kept = temperature_mix(
+                    kept, cfg.lang_col, cfg.id_col, cfg.temperature
+                )
+            return kept.select(cfg.id_col, cfg.lang_col, "n_tokens",
+                               "quality_prob")
+
+        mixed = self._stage("mixed", _mixed, resume, key_metrics_col=cfg.lang_col)
+
+        packed = self._stage(
+            "packed",
+            lambda: assign_packed_sequences(
+                mixed, "n_tokens", cfg.id_col, cfg.tokens_per_seq
+            ),
+            resume,
+        )
+        return {
+            "cleaned": cleaned, "deduped": deduped, "scored": scored,
+            "mixed": mixed, "packed": packed,
+        }

@@ -10,10 +10,8 @@ the reference's end-to-end flow (vignettes/example.rmd:64-223, SURVEY §3.3).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
-import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,7 +23,7 @@ from capelinker_spark.operators import features as FE
 from capelinker_spark.operators.candidates import candidates, candidates_multikey
 from capelinker_spark.operators.cluster import cluster_links
 from capelinker_spark.operators.predict import group_split, rank_links, select_links
-from capelinker_spark.qa.lineage import LineageLog, score_histogram
+from capelinker_spark.stage_runner import StageRunner
 
 DEFAULT_CHAR_VARS = ("mlast", "mfirst", "wlast", "wfirst", "minitials", "winitials")
 DEFAULT_NUM_VARS = ("year", "settlerchildren", "cattle", "sheep", "horses")
@@ -68,27 +66,16 @@ def add_rel_deltas(df: DataFrame, variables=("cattle", "sheep", "horses")) -> Da
     return df
 
 
-class LinkagePipeline:
+class LinkagePipeline(StageRunner):
     def __init__(self, spark: SparkSession, workdir: str, config: PipelineConfig | None = None):
-        from capelinker_spark.util import ensure_workers_importable
+        self._init_runner(spark, workdir, config or PipelineConfig())
 
-        ensure_workers_importable(spark)
-        self.spark = spark
-        self.workdir = workdir
-        self.cfg = config or PipelineConfig()
-        self.lineage = LineageLog(workdir)
-        os.makedirs(workdir, exist_ok=True)
-
-    # -- checkpoint plumbing ------------------------------------------------
-    #
-    # Each stage dir carries a ``_manifest.json`` next to Spark's _SUCCESS:
-    # {stage, config_hash, schema, row_count}. ``config_hash`` chains — a
-    # stage's hash covers its OWN config fields plus its upstream stage's
-    # hash — so changing e.g. ``maxdist`` invalidates candidates AND every
-    # stage downstream of it, while a ``minimum_confidence`` change leaves
-    # records/candidates/features/scores resumable (the Iceberg
-    # snapshot-metadata analog SURVEY §7 promises; _SUCCESS alone trusted a
-    # stage dir written by ANY older config — round-2 verdict item 4).
+    # -- checkpoint plumbing lives in StageRunner (shared with
+    # CurationPipeline since round 4): chained config-hash manifests,
+    # schema/row-count validation, lineage recording. Changing e.g.
+    # ``maxdist`` invalidates candidates AND every stage downstream, while
+    # a ``minimum_confidence`` change leaves records/candidates/features/
+    # scores resumable.
 
     # (own config fields, upstream stage) per stage; "__all__" = whole config
     STAGE_DEPS = {
@@ -106,76 +93,6 @@ class LinkagePipeline:
         "links": (("minimum_confidence", "linktype"), "scores"),
         "clusters": ((), "links"),
     }
-
-    def _path(self, stage: str) -> str:
-        return os.path.join(self.workdir, stage)
-
-    def _stage_hash(self, stage: str) -> str:
-        fields, dep = self.STAGE_DEPS.get(stage, (("__all__",), None))
-        if "__all__" in fields:
-            payload = repr(sorted(self.cfg.__dict__.items()))
-        else:
-            payload = repr([(f, self.cfg.__dict__.get(f)) for f in fields])
-        up = self._stage_hash(dep) if dep else ""
-        return hashlib.sha256(f"{up}|{stage}|{payload}".encode()).hexdigest()
-
-    def _manifest_path(self, stage: str) -> str:
-        return os.path.join(self._path(stage), "_manifest.json")
-
-    def _done(self, stage: str) -> bool:
-        """A stage resumes only if _SUCCESS exists AND its manifest matches:
-        same chained config hash, same schema, same row count. A legacy or
-        foreign stage dir (no/stale manifest) recomputes instead of silently
-        feeding wrong data downstream. Cost on resume: one parquet
-        footer-metadata count per resumed stage."""
-        if not os.path.exists(os.path.join(self._path(stage), "_SUCCESS")):
-            return False
-        try:
-            with open(self._manifest_path(stage)) as fh:
-                m = json.load(fh)
-        except (OSError, ValueError):
-            return False
-        if m.get("config_hash") != self._stage_hash(stage):
-            return False
-        df = self.spark.read.parquet(self._path(stage))
-        if df.schema.jsonValue() != m.get("schema"):
-            return False
-        return df.count() == m.get("row_count")
-
-    def _stage(self, stage: str, fn, resume: bool, score_col: str | None = None,
-               key_metrics_col: str | None = None,
-               done: bool | None = None) -> DataFrame:
-        # ``done``: caller-precomputed _done(stage) — the scores stage's
-        # validation (schema compare + footer count) would otherwise run
-        # up to three times per resumed run (model gate twice + here)
-        path = self._path(stage)
-        if resume and (self._done(stage) if done is None else done):
-            return self.spark.read.parquet(path)
-        t0 = time.time()
-        df = fn()
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
-        n = out.count()
-        with open(self._manifest_path(stage), "w") as fh:
-            json.dump(
-                {
-                    "stage": stage,
-                    "config_hash": self._stage_hash(stage),
-                    "schema": out.schema.jsonValue(),
-                    "row_count": n,
-                },
-                fh,
-            )
-        extra = {}
-        if score_col and score_col in out.columns:
-            extra["score_histogram"] = score_histogram(out, score_col)
-        km = None
-        if key_metrics_col and key_metrics_col in out.columns:
-            km = out.groupBy(key_metrics_col).agg(F.count("*").alias("pair_count"))
-        self.lineage.record(
-            stage, time.time() - t0, row_count=n, extra=extra, key_metrics=km
-        )
-        return out
 
     # -- stages ---------------------------------------------------------------
     def run(self, pages: DataFrame, truth: DataFrame | None = None, resume: bool = True) -> dict:

@@ -125,3 +125,68 @@ def test_curate_corpus_injected_token_counter(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["seq_offset"], r["seq_id"])
            for r in bpe.collect()}
     assert got == {0: (15, 0, 0), 1: (10, 15, 0)}
+
+
+def test_curation_pipeline_kill_and_resume(spark, tmp_path):
+    """CurationPipeline on the shared StageRunner machinery: a killed run
+    resumes from completed checkpoints; a late-stage config change
+    recomputes ONLY downstream stages; an early-stage change invalidates
+    everything (manifest chain, not _SUCCESS, decides)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.curation import CurationConfig, CurationPipeline
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(60):
+        rows.append((i, f"{good} variant {i}.\nshort.\n{good} tail {i} end!",
+                     "en" if i % 3 else "de"))
+    rows += [(100 + i, rows[i][1], rows[i][2]) for i in range(10)]  # dups
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    wd = str(tmp_path / "cur_wd")
+    cfg = CurationConfig(use_line_filter=True, tokens_per_seq=64,
+                         token_unit="bpe", min_quality_prob=0.0)
+    res1 = CurationPipeline(spark, wd, cfg).run(docs)
+    packed1 = {(r["doc_id"], r["seq_offset"], r["seq_id"])
+               for r in res1["packed"].collect()}
+    assert res1["deduped"].count() == 60          # 10 planted dups removed
+    assert 0 < res1["packed"].count() <= 60
+
+    # resume: all stages reused — stage mtimes unchanged
+    mt = {s: os.path.getmtime(os.path.join(wd, s, "_manifest.json"))
+          for s in ("cleaned", "deduped", "scored", "mixed", "packed")}
+    res2 = CurationPipeline(spark, wd, cfg).run(docs)
+    for s, t in mt.items():
+        assert os.path.getmtime(os.path.join(wd, s, "_manifest.json")) == t, s
+    assert {(r["doc_id"], r["seq_offset"], r["seq_id"])
+            for r in res2["packed"].collect()} == packed1
+
+    # late-stage change (packing cap): only 'packed' recomputes
+    cfg2 = CurationConfig(use_line_filter=True, tokens_per_seq=32,
+                          token_unit="bpe", min_quality_prob=0.0)
+    CurationPipeline(spark, wd, cfg2).run(docs)
+    for s in ("cleaned", "deduped", "scored", "mixed"):
+        assert os.path.getmtime(os.path.join(wd, s, "_manifest.json")) == mt[s], s
+    assert os.path.getmtime(os.path.join(wd, "packed", "_manifest.json")) > mt["packed"]
+
+    # early-stage change (line rule): everything recomputes
+    cfg3 = CurationConfig(use_line_filter=True, line_min_words=3,
+                          tokens_per_seq=32, token_unit="bpe")
+    CurationPipeline(spark, wd, cfg3).run(docs)
+    for s in ("cleaned", "deduped", "scored", "mixed", "packed"):
+        assert os.path.getmtime(os.path.join(wd, s, "_manifest.json")) > mt[s], s
+
+    # lineage rows exist for every stage; the scored stage carries the
+    # quality-probability histogram
+    import json as _json
+
+    with open(os.path.join(wd, "_lineage.jsonl")) as fh:
+        entries = [_json.loads(l) for l in fh if l.strip()]
+    stages = {e["stage"] for e in entries}
+    assert {"cleaned", "deduped", "scored", "mixed", "packed"} <= stages
+    assert any(
+        e["stage"] == "scored" and e.get("score_histogram") for e in entries
+    )
