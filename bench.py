@@ -192,6 +192,8 @@ HEADLINE_QUERIES = [
     "cu3_model_quality_score",
     "cu4_full_curation",
     "u11_url_normalize",
+    "ts8_top_ngram_fraction",
+    "ts9_bigram_lm_score",
 ]
 
 

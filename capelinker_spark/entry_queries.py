@@ -113,15 +113,20 @@ def duckdb_jw_sql(a: str, b: str, p: float = 0.1) -> str:
 WORDS_SQL = "string_split_regex(trim({c}), '\\s+')"
 
 
-def word_shingles_sql(c: str, n: int = 3) -> str:
-    """Mirror of operators.dedup.word_shingles (distinct word n-grams)."""
+def word_ngrams_sql(c: str, n: int = 3) -> str:
+    """Mirror of operators.dedup.word_ngrams (ALL word n-grams, in order)."""
     w = WORDS_SQL.format(c=c)
     return (
         f"(CASE WHEN len({w}) >= {n} THEN "
-        f"list_distinct(list_transform(range(0, len({w}) - {n - 1}), "
-        f"i -> array_to_string(list_slice({w}, i + 1, i + {n}), ' '))) "
+        f"list_transform(range(0, len({w}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({w}, i + 1, i + {n}), ' ')) "
         f"ELSE [array_to_string({w}, ' ')] END)"
     )
+
+
+def word_shingles_sql(c: str, n: int = 3) -> str:
+    """Mirror of operators.dedup.word_shingles (distinct word n-grams)."""
+    return f"list_distinct({word_ngrams_sql(c, n)})"
 
 
 def char_ngrams_sql(c: str, n: int = 3) -> str:
@@ -2368,6 +2373,67 @@ def cu2_line_filter(spark, sf_dir):
     )
 
 
+@register(
+    "ts8_top_ngram_fraction",
+    f"""WITH g AS (SELECT doc_id, unnest({{NG}}) AS g FROM documents),
+        pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        pd AS (SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_ngrams,
+                 max(c) AS top_ngram_count
+               FROM pg GROUP BY 1)
+       SELECT doc_id, n_ngrams, top_ngram_count,
+              top_ngram_count / n_ngrams AS top_ngram_fraction
+       FROM pd""".replace("{NG}", word_ngrams_sql("text", 2)),
+)
+def ts8_top_ngram_fraction(spark, sf_dir):
+    """Gopher-style within-document repetition: the fraction of a doc's
+    word 2-grams taken by its most frequent 2-gram (high → templated or
+    spammy; the within-doc counterpart of dd8's cross-doc signal). All
+    occurrences counted (not distinct shingles); two combine-able
+    aggregations; one IEEE division."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.top_ngram_stats(d, n=2)
+
+
+def _ts9_sql() -> str:
+    bg = word_ngrams_sql("text", 2)
+    w = WORDS_SQL.format(c="text")
+    return f"""WITH d AS (SELECT doc_id, text FROM documents
+                WHERE len({w}) >= 2),
+        bg AS (SELECT doc_id, unnest({bg}) AS bg FROM d),
+        c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+        u AS (SELECT unnest(list_slice({w}, 1, len({w}) - 1)) AS w1
+              FROM (SELECT text FROM documents)),
+        c1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v FROM
+                (SELECT unnest({w}) AS w FROM documents)),
+        t AS (SELECT bg.doc_id,
+                CAST(round(ln((c12.c12 + 1) / (c1.c1 + (SELECT v FROM v))), 6)
+                     AS DECIMAL(18,6)) AS term
+              FROM bg JOIN c12 USING (bg)
+              JOIN c1 ON string_split(bg.bg, ' ')[1] = c1.w1)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(term) AS DOUBLE) / count(*) AS mean_logprob
+       FROM t GROUP BY 1"""
+
+
+@register("ts9_bigram_lm_score", None)
+def ts9_bigram_lm_score(spark, sf_dir):
+    """Corpus bigram-LM quality scoring (textstats.bigram_lm_scores): the
+    CCNet/KenLM-style perplexity filter — Laplace-smoothed word-bigram
+    model fit on the corpus, every document scored by mean bigram
+    log-probability. Exactness: per-term round(ln(p),6) accumulated as
+    DECIMAL (order-independent exact sum, immune to partition-order float
+    drift) + ONE final IEEE division; ln ulps absorbed by the per-term
+    rounding (the m1/cu3 convention)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return TS.bigram_lm_scores(d)
+
+
+ORACLES["ts9_bigram_lm_score"] = _ts9_sql()
+
+
 def _cu4_sql() -> str:
     """End-to-end oracle for the FULL curation composition: planted
     multi-line pages → C4 line filter → exact dedup on the CLEANED text →
@@ -2646,12 +2712,12 @@ def dm3_bpe_packing(spark, sf_dir):
 #
 # Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
 # implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, dd5, f2, f5, f6, j7, j8, p2, p3, ts2, ts3, ts4, u1, u2, u5,
-# u6.
+# a11, a12, ann1, dd5, f2, f5, f6, j7, j8, j9, p2, p3, ts2, ts3, ts4,
+# u1, u2, u5, u6.
 # Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
 # st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, cu2, cu3, cu4, u11,
-# ev1.
+# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, ts8, ts9, cu2, cu3,
+# cu4, u11, ev1.
 _DRIVER_WINDOW = [
     # round-4-new/changed + previously-red, first
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
@@ -2659,6 +2725,7 @@ _DRIVER_WINDOW = [
     "ts7_pii_redact", "cu2_line_filter", "cu3_model_quality_score",
     "cu4_full_curation", "u11_url_normalize", "ev1_sessionize_stats",
     "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
+    "ts8_top_ngram_fraction", "ts9_bigram_lm_score",
     # never-driver-checked until round 4
     "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
     "m1_logistic_score", "u4_uniformise_strings", "st1_streaming_window_agg",
@@ -2671,13 +2738,13 @@ _DRIVER_WINDOW = [
     # stable core kept in-window (flagship / representative operators)
     "s1_scan_projection", "p4_clean_name_chain", "q1_flagship_agg",
     "j1_jw_similarity_join", "j2_numeric_band_join", "j5_soundex_blocking_join",
-    "j6_left_outer_assembly", "j9_json_regex_extract",
+    "j6_left_outer_assembly",
     "f7_namefreq_grouped_count", "m2_dual_rank_select",
     "c1_connected_components", "c2_expand_index",
     "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
     "dd4_simhash",
     "ts1_lang_id",
-    "ann1_brute_force_topk", "ann2_embedding_neardup",
+    "ann2_embedding_neardup",
 ]
 
 

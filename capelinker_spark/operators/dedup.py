@@ -36,19 +36,24 @@ def char_ngrams(col: Column, n: int = 3) -> Column:
     )
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, native (split on whitespace)."""
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (duplicates kept — the occurrence-counting
+    primitive for repetition/LM signals). Texts shorter than ``n`` words
+    yield the whole text as one element."""
     words = F.split(F.trim(col), r"\s+")
     k = F.size(words)
-    return F.array_distinct(
-        F.when(
-            k >= n,
-            F.transform(
-                F.sequence(F.lit(0), k - n),
-                lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-            ),
-        ).otherwise(F.array(F.array_join(words, " ")))
-    )
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, native (split on whitespace)."""
+    return F.array_distinct(word_ngrams(col, n))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -236,3 +236,88 @@ def fingerprint(col: Column, shingle_words: int = 8) -> Column:
 
 def content_hash(col: Column) -> Column:
     return F.md5(col)
+
+
+def top_ngram_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition: the fraction of a document's
+    word ``n``-grams taken by its single most frequent n-gram (high →
+    templated/spammy text; the within-doc counterpart of
+    ``dedup.duplicate_span_stats``'s cross-doc signal).
+
+    Returns ``(id, n_ngrams, top_ngram_count, top_ngram_fraction)``. Plan:
+    explode ALL n-grams (duplicates kept) → one combine-able
+    (doc, gram) count → one per-doc max + sum re-aggregation. Both
+    aggregations are map-side combinable; the fraction is one int/int
+    IEEE division (exact cross-engine)."""
+    from capelinker_spark.operators.dedup import word_ngrams
+
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(F.count("*").alias("_c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"),
+        F.max("_c").alias("top_ngram_count"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "top_ngram_count",
+        (F.col("top_ngram_count") / F.col("n_ngrams")).alias(
+            "top_ngram_fraction"
+        ),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus bigram-LM quality scoring — the CCNet/KenLM-style perplexity
+    filter re-expressed exactly: a Laplace-smoothed word-bigram model is
+    fit on the corpus itself (two combine-able count aggregations + one
+    1-row vocab count), then every document is scored by its mean bigram
+    log-probability (higher = more typical of the corpus; gibberish and
+    boilerplate score low).
+
+    Exactness recipe (the module convention): each bigram term
+    ``ln((c12+1)/(c1+V))`` is rounded to 6 decimals FIRST and accumulated
+    as DECIMAL(18,6) — an order-independent exact sum, immune to float
+    summation order across partitions — and the mean is ONE final IEEE
+    division. Returns ``(id, n_bigrams, mean_logprob)``; single-word
+    documents score NULL (no bigrams)."""
+    from capelinker_spark.operators.dedup import word_ngrams
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(id_col, F.col(text_col))
+    bigrams = docs.where(F.size(words) >= 2).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg")
+    )
+    c12 = bigrams.groupBy("_bg").agg(F.count("*").alias("_c12"))
+    unigrams = docs.select(
+        F.explode(F.slice(words, 1, F.size(words) - 1)).alias("_w1")
+    )
+    c1 = unigrams.groupBy("_w1").agg(F.count("*").alias("_c1"))
+    vocab = docs.select(F.explode(words).alias("_w")).distinct().count()
+
+    term = F.round(
+        F.log((F.col("_c12") + 1) / (F.col("_c1") + F.lit(vocab))), 6
+    ).cast("decimal(18,6)")
+    scored = (
+        bigrams.join(c12, "_bg")
+        .withColumn("_w1", F.split(F.col("_bg"), " ").getItem(0))
+        .join(c1, "_w1")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(term).alias("_lp"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        (F.col("_lp").cast("double") / F.col("n_bigrams")).alias(
+            "mean_logprob"
+        ),
+    )

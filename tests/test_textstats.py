@@ -296,3 +296,45 @@ def test_normalize_url_edge_cases(spark):
         for r in df.select("url", normalize_url(F.col("url")).alias("n")).collect()
     )
     assert got == cases
+
+
+def test_top_ngram_stats_hand_computed(spark):
+    """'a b a b a b' has 5 2-grams, top ('a b') x3 -> 0.6; a no-repeat doc
+    scores 1/n; a 1-word doc is its own single 'gram'."""
+    from capelinker_spark.operators.textstats import top_ngram_stats
+
+    rows = [(0, "a b a b a b"), (1, "one two three four"), (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ngrams"], r["top_ngram_count"],
+                         r["top_ngram_fraction"])
+           for r in top_ngram_stats(df, n=2).collect()}
+    assert got[0] == (5, 3, 0.6)
+    assert got[1] == (3, 1, 1 / 3)
+    assert got[2] == (1, 1, 1.0)
+
+
+def test_bigram_lm_scores_properties(spark):
+    """The corpus LM ranks corpus-typical documents above gibberish; a
+    repeated common bigram scores higher than unseen pairs; single-word
+    docs are excluded; rerun + repartition bit-stable (DECIMAL-routed
+    term sum)."""
+    from capelinker_spark.operators.textstats import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    rows = ([(i, common) for i in range(10)]
+            + [(10, "cat the on sat mat the"),     # same words, rare order
+               (11, "zq xv jk wp"),                # unseen vocabulary
+               (12, "solo")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_logprob"] for r in bigram_lm_scores(df).collect()}
+    assert 12 not in got                      # no bigrams
+    # corpus-typical docs beat both atypical ones; between the two
+    # atypical docs, Laplace smoothing penalizes rare continuations of
+    # COMMON contexts (c1 large) harder than unseen contexts (c1 small) —
+    # standard add-one behavior, so no ordering is asserted between them
+    assert got[0] > max(got[10], got[11])
+    assert got[0] == got[5]                   # identical docs, identical score
+    # partitioning independence (the DECIMAL sum contract)
+    got3 = {r["doc_id"]: r["mean_logprob"]
+            for r in bigram_lm_scores(df.repartition(7)).collect()}
+    assert got3 == got
