@@ -148,6 +148,17 @@ def main():
         _fmt(cu2),
     ))
 
+    ts9 = QUERIES["ts9_bigram_lm_score"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Corpus bigram-LM scoring (ts9)",
+        "Look for: the model fit is two partial→final `HashAggregate` "
+        "pairs (bigram counts, context counts — both map-side combinable) "
+        "joined back onto the exploded bigrams; the per-doc sum accumulates "
+        "DECIMAL(18,6) terms (order-independent exact), and nothing leaves "
+        "the JVM — no Python anywhere in a corpus-wide LM fit + score.",
+        _fmt(ts9),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
