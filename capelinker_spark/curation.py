@@ -173,9 +173,13 @@ class CurationPipeline(StageRunner):
     """
 
     STAGE_DEPS = {
+        # lang_col rides in the root stage's hash: every stage's output
+        # carries the language column, so renaming it must invalidate the
+        # whole chain (review finding r4 pass 2 — omitting it silently
+        # resumed checkpoints built from the OLD column)
         "cleaned": (
             ("use_line_filter", "line_min_words", "line_require_terminal",
-             "text_col", "id_col"),
+             "text_col", "id_col", "lang_col"),
             None,
         ),
         "deduped": ((), "cleaned"),

@@ -110,7 +110,7 @@ def duckdb_jw_sql(a: str, b: str, p: float = 0.1) -> str:
     )
 
 
-WORDS_SQL = "string_split_regex(trim({c}), '\\s+')"
+WORDS_SQL = "string_split_regex(trim({c}), '[ \\t\\n\\r\\f\\x0b]+')"
 
 
 def word_ngrams_sql(c: str, n: int = 3) -> str:
@@ -344,11 +344,11 @@ def u2_split_prefixes(spark, sf_dir):
 # -- J: the join family -------------------------------------------------------
 
 _WORDS_A = (
-    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS w "
     "FROM documents WHERE source IN ('src0','src2','src4')"
 )
 _WORDS_B = (
-    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS w "
     "FROM documents WHERE source IN ('src1','src3','src5')"
 )
 
@@ -357,7 +357,7 @@ def _words(spark, sf_dir, sources):
     d = _t(spark, sf_dir, "documents")
     return (
         d.where(F.col("source").isin(*sources))
-        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .select(F.explode(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0b]+")).alias("w"))
         .distinct()
     )
 
@@ -534,7 +534,7 @@ def f7_namefreq_grouped_count(spark, sf_dir):
     """F7/A1: frequency count per token (the namefreq feature shape)."""
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        d.select(F.explode(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0b]+")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("namefreq"))
         .where(F.col("namefreq") > 3)
@@ -1029,11 +1029,11 @@ def dd5_ngram_jaccard(spark, sf_dir):
 # -- text analysis --------------------------------------------------------------
 
 
-def _lang_scores_sql() -> dict[str, str]:
+def _lang_scores_sql(col: str = "text") -> dict[str, str]:
     out = {}
     for lang, ws in sorted(TS.LANG_STOPWORDS.items()):
         pat = r"\b(" + "|".join(ws) + r")\b"
-        out[lang] = f"len(regexp_extract_all(lower(text), '{pat}'))"
+        out[lang] = f"len(regexp_extract_all(lower({col}), '{pat}'))"
     return out
 
 
@@ -1422,7 +1422,7 @@ def ann2_embedding_neardup(spark, sf_dir):
 
 
 _ALL_WORDS = (
-    "SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w "
+    "SELECT DISTINCT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS w "
     "FROM documents"
 )
 
@@ -1430,7 +1430,7 @@ _ALL_WORDS = (
 def _all_words(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        d.select(F.explode(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0b]+")).alias("w"))
         .distinct()
     )
 
@@ -1917,7 +1917,7 @@ def m1_logistic_score(spark, sf_dir):
 
 
 _U4_WORDS = (
-    "SELECT unnest(string_split_regex(trim(text), '\\s+')) AS s "
+    "SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0b]+')) AS s "
     "FROM documents WHERE source IN ('src0', 'src1')"
 )
 
@@ -1953,7 +1953,7 @@ def u4_uniformise_strings(spark, sf_dir):
     from capelinker_spark.operators.features import uniformise_strings
 
     d = _t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1"))
-    words = d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    words = d.select(F.explode(F.split(F.trim(F.col("text")), "[ \\t\\n\\r\\f\\x0b]+")).alias("w"))
     out = uniformise_strings(
         words, "w", id_col="w", maxdist=0.2, out="unif", quantize=6
     )
@@ -2335,10 +2335,10 @@ def ts7_pii_redact(spark, sf_dir):
          SELECT doc_id,
                 array_to_string(
                   list_filter(
-                    string_split(text, chr(10)),
+                    string_split_regex(text, '\\r*\\n'),
                     x -> length(trim(x)) > 0
                          AND len(string_split_regex(trim(x), '[ \\t\\n\\r\\f\\x0b]+')) >= 5
-                         AND regexp_matches(x, '[.!?"][ \\t]*$')),
+                         AND regexp_matches(x, '[.!?"][ \\t\\r]*$')),
                   chr(10)) AS kept_text
          FROM ml)
        SELECT doc_id, kept_text,
@@ -2439,7 +2439,7 @@ def _cu4_sql() -> str:
     multi-line pages → C4 line filter → exact dedup on the CLEANED text →
     model-quality gate → BPE-budget packing. Each fragment is the same SQL
     already proven standalone (cu2 / dd1 / cu3 / dm2-with-casts)."""
-    en_hits = _lang_scores_sql()["en"].replace("text", "kept_text")
+    en_hits = _lang_scores_sql("kept_text")["en"]
     words = WORDS_SQL.format(c="kept_text")
     return f"""WITH ml AS (
          SELECT doc_id,
@@ -2455,10 +2455,10 @@ def _cu4_sql() -> str:
          SELECT doc_id,
                 array_to_string(
                   list_filter(
-                    string_split(text, chr(10)),
+                    string_split_regex(text, '\\r*\\n'),
                     x -> length(trim(x)) > 0
                          AND len(string_split_regex(trim(x), '[ \\t\\n\\r\\f\\x0b]+')) >= 5
-                         AND regexp_matches(x, '[.!?"][ \\t]*$')),
+                         AND regexp_matches(x, '[.!?"][ \\t\\r]*$')),
                   chr(10)) AS kept_text
          FROM ml),
        nz AS (SELECT * FROM lf WHERE length(kept_text) > 0),

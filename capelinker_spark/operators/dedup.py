@@ -40,7 +40,9 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     """ALL word n-grams in order (duplicates kept — the occurrence-counting
     primitive for repetition/LM signals). Texts shorter than ``n`` words
     yield the whole text as one element."""
-    words = F.split(F.trim(col), r"\s+")
+    from capelinker_spark.operators.textstats import WS_SPLIT
+
+    words = F.split(F.trim(col), WS_SPLIT)
     k = F.size(words)
     return F.when(
         k >= n,
@@ -227,7 +229,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     assert bits <= 32
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r\\f\\x0b]+")).alias("_tok"),
     ).withColumn("_h", F.md5(F.col("_tok")))
     bit_exprs = [
         F.when(

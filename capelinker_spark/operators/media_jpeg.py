@@ -221,7 +221,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except ValueError:
         raise
-    except (IndexError, struct.error, StopIteration, KeyError) as e:
+    except (IndexError, struct.error, StopIteration, KeyError,
+            ZeroDivisionError) as e:
         # a truncated/corrupt stream can run any parser off the end; the
         # module contract is ValueError for ALL bad payloads (callers
         # classify on it — review finding r4)

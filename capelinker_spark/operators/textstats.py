@@ -50,10 +50,18 @@ def detect_language(col: Column) -> Column:
     )
 
 
+# THE whitespace class every word-count/split primitive uses, on both
+# engines: Java's \s includes \x0b, RE2's does not, so \s+ silently
+# diverges between Spark and a DuckDB oracle on vertical-tab text. One
+# explicit class, shared by token_count_ws / word_ngrams / line_filter /
+# bigram_lm_scores and mirrored by entry_queries.WORDS_SQL.
+WS_SPLIT = "[ \\t\\n\\r\\f\\x0b]+"
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(col), r"\s+"))
+        F.size(F.split(F.trim(col), WS_SPLIT))
     )
 
 
@@ -177,23 +185,24 @@ def line_filter(
 ) -> Column:
     """C4-style line-level cleanup: keep only lines with ≥ ``min_words``
     whitespace words and (optionally) a terminal-punctuation ending
-    (``. ! ? "`` plus trailing spaces/tabs) — the boilerplate/navigation
-    filter every web-text curation pipeline runs between document-level
-    quality scoring and packing. Returns the re-joined text (kept lines,
-    ``\\n``-separated; no surviving line → empty string). Native
-    split + filter + array_join lambda expressions — stays in codegen,
-    and the rules are engine-portable (explicit whitespace classes)."""
-    lines = F.split(col, "\n")
-    # explicit whitespace class, not \s: Java's \s includes \x0b while
-    # RE2's does not, and this count is mirrored in the DuckDB oracle
-    ws = "[ \\t\\n\\r\\f\\x0b]+"
+    (``. ! ? "`` plus trailing spaces/tabs/CRs) — the boilerplate/
+    navigation filter every web-text curation pipeline runs between
+    document-level quality scoring and packing. Returns the re-joined
+    text (kept lines, ``\\n``-separated — CRLF input normalizes to LF on
+    the way through; no surviving line → empty string). Native split +
+    filter + array_join lambdas — stays in codegen, and the rules are
+    engine-portable: explicit whitespace classes, and the terminal anchor
+    consumes trailing CRs with an explicit ``[ \\t\\r]*`` so ``$`` sits
+    at true end-of-string under BOTH Java (bare ``$`` also matches before
+    a final line terminator) and RE2 (it does not)."""
+    lines = F.split(col, "\\r*\\n")
 
     def keep(x: Column) -> Column:
         nonempty = F.length(F.trim(x)) > 0
-        words = F.size(F.split(F.trim(x), ws))
+        words = F.size(F.split(F.trim(x), WS_SPLIT))
         ok = nonempty & (words >= min_words)
         if require_terminal:
-            ok = ok & x.rlike('[.!?"][ \\t]*$')
+            ok = ok & x.rlike('[.!?"][ \\t\\r]*$')
         return ok
 
     return F.array_join(F.filter(lines, keep), "\n")
@@ -289,7 +298,7 @@ def bigram_lm_scores(
     documents score NULL (no bigrams)."""
     from capelinker_spark.operators.dedup import word_ngrams
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), WS_SPLIT)
     docs = df.select(id_col, F.col(text_col))
     bigrams = docs.where(F.size(words) >= 2).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg")
@@ -299,15 +308,21 @@ def bigram_lm_scores(
         F.explode(F.slice(words, 1, F.size(words) - 1)).alias("_w1")
     )
     c1 = unigrams.groupBy("_w1").agg(F.count("*").alias("_c1"))
-    vocab = docs.select(F.explode(words).alias("_w")).distinct().count()
+    # vocab size as a LAZY 1-row broadcast (the oracle's scalar subquery):
+    # an eager .distinct().count() here would launch a full corpus scan at
+    # plan-construction time, once per call (review finding r4 pass 2)
+    vocab = docs.select(F.explode(words).alias("_w")).agg(
+        F.count_distinct("_w").alias("_v")
+    )
 
     term = F.round(
-        F.log((F.col("_c12") + 1) / (F.col("_c1") + F.lit(vocab))), 6
+        F.log((F.col("_c12") + 1) / (F.col("_c1") + F.col("_v"))), 6
     ).cast("decimal(18,6)")
     scored = (
         bigrams.join(c12, "_bg")
         .withColumn("_w1", F.split(F.col("_bg"), " ").getItem(0))
         .join(c1, "_w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

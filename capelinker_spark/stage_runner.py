@@ -45,12 +45,27 @@ class StageRunner:
     def _path(self, stage: str) -> str:
         return os.path.join(self.workdir, stage)
 
+    @staticmethod
+    def _canon(v):
+        """Canonicalize a config value for hashing: dicts are hashed by
+        SORTED items (a {'en':.5,'de':.2} vs {'de':.2,'en':.5} rerun is the
+        same config and must not invalidate checkpoints), recursively."""
+        if isinstance(v, dict):
+            return tuple(sorted((k, StageRunner._canon(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(StageRunner._canon(x) for x in v)
+        return v
+
     def _stage_hash(self, stage: str) -> str:
         fields, dep = self.STAGE_DEPS.get(stage, (("__all__",), None))
         if "__all__" in fields:
-            payload = repr(sorted(self.cfg.__dict__.items()))
+            payload = repr(
+                sorted((k, self._canon(v)) for k, v in self.cfg.__dict__.items())
+            )
         else:
-            payload = repr([(f, self.cfg.__dict__.get(f)) for f in fields])
+            payload = repr(
+                [(f, self._canon(self.cfg.__dict__.get(f))) for f in fields]
+            )
         up = self._stage_hash(dep) if dep else ""
         return hashlib.sha256(f"{up}|{stage}|{payload}".encode()).hexdigest()
 

@@ -288,3 +288,16 @@ def test_truncated_payloads_raise_valueerror():
                     good[:3], good[:20], good[: len(good) // 2]]:
         with pytest.raises(ValueError):
             MJ.decode_jpeg(payload)
+
+
+def test_zero_sampling_factor_raises_valueerror():
+    """Pass-2 review finding: an SOF0 whose component claims 0x00 sampling
+    factors must raise ValueError (not ZeroDivisionError) — the
+    classification contract covers every malformed-field crash path."""
+    enc = bytearray(MJ.encode_jpeg(_test_image(), quality=80))
+    sof = enc.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) H(2) W(2) ncomp(1), then per-comp
+    # (id, hv, tq) — zero out the first component's hv byte
+    enc[sof + 11] = 0x00
+    with pytest.raises(ValueError):
+        MJ.decode_jpeg(bytes(enc))

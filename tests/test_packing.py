@@ -190,3 +190,24 @@ def test_curation_pipeline_kill_and_resume(spark, tmp_path):
     assert any(
         e["stage"] == "scored" and e.get("score_histogram") for e in entries
     )
+
+
+def test_curation_hash_covers_lang_col_and_dict_order(spark, tmp_path):
+    """Pass-2 review findings: renaming lang_col must invalidate every
+    checkpoint (it used to resume stale data silently), while reordering
+    a lang_rates dict literal must NOT (semantically equal configs share
+    a hash)."""
+    from capelinker_spark.curation import CurationConfig, CurationPipeline
+
+    wd = str(tmp_path / "wd")
+    p = CurationPipeline(spark, wd, CurationConfig(lang_rates={"en": 0.5, "de": 0.2}))
+    h_mixed = p._stage_hash("mixed")
+    h_cleaned = p._stage_hash("cleaned")
+
+    p2 = CurationPipeline(spark, wd, CurationConfig(lang_rates={"de": 0.2, "en": 0.5}))
+    assert p2._stage_hash("mixed") == h_mixed        # dict order irrelevant
+
+    p3 = CurationPipeline(spark, wd, CurationConfig(
+        lang_rates={"en": 0.5, "de": 0.2}, lang_col="language"))
+    assert p3._stage_hash("cleaned") != h_cleaned    # chain invalidated
+    assert p3._stage_hash("mixed") != h_mixed
