@@ -75,6 +75,14 @@ def decode(payload: bytes) -> np.ndarray | None:
     if lib.jpeg_probe(src, len(payload), ctypes.byref(w),
                       ctypes.byref(h), ctypes.byref(ch)) != 0:
         raise ValueError("libjpeg: corrupt or unsupported JPEG")
+    if ch.value not in (1, 3):
+        # tier contract: the numpy baseline raises ValueError on 4-component
+        # (CMYK/YCCK) streams, so the native tier must too — otherwise
+        # decode_jpeg's result shape/failure mode would depend on whether a
+        # compiler+libjpeg happened to be available (round-4 advice)
+        raise ValueError(
+            f"unsupported JPEG component count {ch.value} (contract: 1 or 3)"
+        )
     out = np.empty(h.value * w.value * ch.value, dtype=np.uint8)
     if lib.jpeg_decode(
         src, len(payload),

@@ -90,14 +90,27 @@ def _bigram_pairs(
         # idf over the union of both sides' distinct strings (jMatrix-aligned
         # axes analog, R/candidates.R:97-112); idf = ln(N / df_bigram)
         union = cf.select("_s", "_bg").union(ct.select("_s", "_bg")).distinct()
-        n_docs = union.select("_s").distinct().count()
         idf_w = union.groupBy("_bg").agg(F.count("*").alias("_df"))
         if idf_quant:
+            # the CPython-log quantizer needs N as a literal for its closure
+            # (and the ORACLE SQL mirror needs the same literal), so the
+            # quantized oracle tier keeps the eager count — production below
+            # does not pay it
+            n_docs = union.select("_s").distinct().count()
             idf_w = _quantized_idf(idf_w, n_docs, idf_quant).select("_bg", "_idfq")
             weight = F.col("_idfq")
         else:
-            idf_w = idf_w.select(
-                "_bg", F.log(F.lit(float(n_docs)) / F.col("_df")).alias("_idfq")
+            # production tier: N enters LAZILY as a broadcast 1-row
+            # count_distinct frame (the oracle's scalar-subquery analog) —
+            # an eager .count() here would launch a full scan of both
+            # string sets at plan-CONSTRUCTION time, once per candidates()
+            # call (same fix as the ts9 lazy vocab, textstats.py:311-316).
+            # log((double N)/df) keeps the original expression shape, so
+            # the result is bit-identical to the eager-literal form.
+            n_docs_df = union.agg(F.countDistinct("_s").alias("_ndocs"))
+            idf_w = idf_w.crossJoin(F.broadcast(n_docs_df)).select(
+                "_bg",
+                F.log(F.col("_ndocs").cast("double") / F.col("_df")).alias("_idfq"),
             )
             weight = F.col("_idfq")
         cf = cf.join(F.broadcast(idf_w), "_bg").withColumn(

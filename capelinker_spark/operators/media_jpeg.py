@@ -239,6 +239,7 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     frame = None  # (H, W, [(cid, h, v, tq)])
     scan = None   # ([(comp_idx, dc_id, ac_id)], scan_data_offset)
+    adobe_transform = None  # APP14 'Adobe' color-transform byte, if present
 
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -288,6 +289,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17:o + 17 + n])
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _HuffDecoder(bits, vals)
                 o += 17 + n
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14 Adobe: 'Adobe' + version(2) + flags0(2) + flags1(2) +
+            # transform(1). transform=0 means the 3 components are stored
+            # RGB, not YCbCr — libjpeg honors this; ignoring it (round-4
+            # advice) silently decoded Adobe-RGB baselines with wrong colors
+            adobe_transform = seg[11]
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
@@ -396,6 +403,15 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     if len(comps) == 1:
         return np.clip(np.rint(img), 0, 255).astype(np.uint8)
     if len(comps) == 3:
+        if adobe_transform == 0:
+            # Adobe transform=0: components are already RGB — no transform
+            return np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        if adobe_transform not in (None, 1):
+            # transform=2 (YCCK) is a 4-component convention; anything else
+            # on a 3-component stream is outside the documented scope
+            raise ValueError(
+                f"unsupported Adobe APP14 transform {adobe_transform}"
+            )
         y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
         rgb = np.stack(
             [

@@ -65,7 +65,11 @@ def token_count_ws(col: Column) -> Column:
     )
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# NOTE: the whitespace exclusion is spelled out like WS_SPLIT — a bare \s
+# here would silently diverge between Spark (Java \s ⊇ \x0b) and the DuckDB
+# oracles this pattern is injected into verbatim (RE2 \s ∌ \x0b): DuckDB
+# counts 3 tokens in 'a\x0bb' where Java-style \s counts 2 (round-4 advice).
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f\\x0b]"
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -87,7 +91,9 @@ def alpha_ratio(col: Column) -> Column:
 def quality_features(col: Column) -> dict[str, Column]:
     n_chars = F.length(col)
     n_tokens = token_count_ws(col)
-    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    # same spelled-out class policy as BPE_ISH_PATTERN/WS_SPLIT: \w is
+    # dialect-stable ([A-Za-z0-9_] in both Java and RE2) but \s is not
+    n_punct = F.regexp_count(col, F.lit("[^A-Za-z0-9_ \\t\\n\\r\\f\\x0b]"))
     n_digit = F.regexp_count(col, F.lit("[0-9]"))
     n_stop = _stopword_hits(col, LANG_STOPWORDS["en"])
     return {

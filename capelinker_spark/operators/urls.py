@@ -26,13 +26,21 @@ _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 # the [^#]* prefix anchors the '?' BEFORE any fragment — '#a?b' must not
 # leak fragment content into the query capture
 _QUERY_RE = r"^[^#]*?\?([^#]*)"
+# authority = [userinfo '@'] hostport — userinfo is CASE-SENSITIVE per
+# RFC 3986 3.2.1, so only the part after the LAST '@' may be lowercased
+# (round-4 advice). Greedy .* puts the split at the last '@' identically
+# under Java and RE2; both return '' when the group doesn't match.
+_USERINFO_RE = "^(.*@)"
+_HOSTPORT_RE = "([^@]*)$"
 _TRACKING_PREFIX = "utm_"
 
 
 def normalize_url(col: Column) -> Column:
     """Canonicalize an absolute http(s) URL:
 
-    * scheme and host lowercased (RFC 3986 6.2.2.1);
+    * scheme and host lowercased (RFC 3986 6.2.2.1) — userinfo, when
+      present, is case-PRESERVED (it is case-sensitive per RFC 3986
+      3.2.1; only the authority after the last ``@`` is lowercased);
     * default port stripped (``:80`` for http, ``:443`` for https);
     * fragment dropped (never sent to the server);
     * ``utm_*`` tracking params dropped, remaining params SORTED
@@ -42,7 +50,9 @@ def normalize_url(col: Column) -> Column:
     Non-URL input (no ``scheme://``) passes through unchanged, so the
     expression is safe on dirty crawl data."""
     scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
-    host = F.lower(F.regexp_extract(col, _HOST_RE, 1))
+    auth = F.regexp_extract(col, _HOST_RE, 1)
+    userinfo = F.regexp_extract(auth, _USERINFO_RE, 1)  # case PRESERVED
+    host = F.lower(F.regexp_extract(auth, _HOSTPORT_RE, 1))
     path = F.regexp_extract(col, _PATH_RE, 1)
     query = F.regexp_extract(col, _QUERY_RE, 1)
 
@@ -53,6 +63,7 @@ def normalize_url(col: Column) -> Column:
         (scheme == "https") & host.endswith(":443"),
         F.substring(host, 1, F.length(host) - 4),
     ).otherwise(host)
+    host = F.concat(userinfo, host)
 
     kept_params = F.array_sort(
         F.filter(
@@ -77,11 +88,13 @@ def normalize_url_sql(c: str) -> str:
     """DuckDB mirror of ``normalize_url`` — same regexes, same transform
     order, so normalized URLs are oracle-checkable byte-for-byte."""
     scheme = f"lower(regexp_extract({c}, '{_SCHEME_RE}', 1))"
-    host = f"lower(regexp_extract({c}, '{_HOST_RE}', 1))"
+    auth = f"regexp_extract({c}, '{_HOST_RE}', 1)"
+    userinfo = f"regexp_extract({auth}, '{_USERINFO_RE}', 1)"
+    host = f"lower(regexp_extract({auth}, '{_HOSTPORT_RE}', 1))"
     path = f"regexp_extract({c}, '{_PATH_RE}', 1)"
     query = f"regexp_extract({c}, '{_QUERY_RE}', 1)"
     return f"""CASE WHEN {scheme} = '' THEN {c} ELSE
-        {scheme} || '://' ||
+        {scheme} || '://' || {userinfo} ||
         (CASE WHEN {scheme} = 'http' AND {host} LIKE '%:80'
               THEN substr({host}, 1, length({host}) - 3)
               WHEN {scheme} = 'https' AND {host} LIKE '%:443'

@@ -301,3 +301,87 @@ def test_zero_sampling_factor_raises_valueerror():
     enc[sof + 11] = 0x00
     with pytest.raises(ValueError):
         MJ.decode_jpeg(bytes(enc))
+
+
+def _with_app14(payload: bytes, transform: int) -> bytes:
+    """Insert an APP14 'Adobe' segment (version 100, flags 0, the given
+    color-transform byte) right after SOI."""
+    seg = b"Adobe" + b"\x00\x64" + b"\x00\x00" + b"\x00\x00" + bytes([transform])
+    app14 = b"\xff\xee" + (len(seg) + 2).to_bytes(2, "big") + seg
+    return payload[:2] + app14 + payload[2:]
+
+
+def test_adobe_app14_transform_honored():
+    """Round-4 advice: the baseline decoder assumed JFIF YCbCr for every
+    3-component image. APP14 transform=1 (YCbCr) must decode identically to
+    no-APP14; transform=0 (RGB stored directly) must SKIP the YCbCr→RGB
+    step — i.e. return the raw planes, which for a YCbCr-coded stream are
+    the Y/Cb/Cr values; unknown transforms raise ValueError."""
+    img = np.full((16, 16, 3), (200, 40, 90), dtype=np.uint8)
+    enc = MJ.encode_jpeg(img, quality=95)
+
+    base = MJ.decode_jpeg(enc)
+    ycc = MJ.decode_jpeg(_with_app14(enc, 1))
+    assert np.array_equal(base, ycc)
+
+    raw = MJ.decode_jpeg(_with_app14(enc, 0))
+    # expected raw planes = the encoder's YCbCr of (200, 40, 90)
+    r, g, b = 200.0, 40.0, 90.0
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    got = raw[8, 8].astype(float)
+    assert np.all(np.abs(got - np.array([y, cb, cr])) < 3.0), got
+
+    with pytest.raises(ValueError, match="APP14 transform"):
+        MJ.decode_jpeg(_with_app14(enc, 5))
+
+
+def _four_component_jpeg() -> bytes:
+    """Hand-assemble a minimal VALID baseline JPEG claiming 4 components
+    (8x8, no subsampling, all-zero blocks) — the CMYK/YCCK shape the codec
+    contract excludes. Built from the module's own Annex-K Huffman specs so
+    both tiers parse it as a real stream, not as garbage."""
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, all ones
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes([1] * 64)
+    # SOF0: 8x8, 4 components, (1,1) sampling, qtable 0
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") + bytes([4])
+    for cid in (1, 2, 3, 4):
+        sof += bytes([cid, 0x11, 0])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT: DC table 0 and AC table 0 (Annex-K luma specs)
+    for cls, (bits, vals) in ((0, MJ.DC_LUMA_SPEC), (1, MJ.AC_LUMA_SPEC)):
+        seg = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    # SOS: all 4 components on DC/AC table 0
+    sos = bytes([4])
+    for cid in (1, 2, 3, 4):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    # entropy data: one MCU, 4 blocks of (DC category 0, AC EOB)
+    w = MJ._BitWriter()
+    dc = {sym: (ln, code) for ln, code, sym in MJ._canonical_codes(*MJ.DC_LUMA_SPEC)}
+    ac = {sym: (ln, code) for ln, code, sym in MJ._canonical_codes(*MJ.AC_LUMA_SPEC)}
+    for _ in range(4):
+        ln, code = dc[0]
+        w.write(code, ln)
+        ln, code = ac[0x00]
+        w.write(code, ln)
+    w.flush()
+    out += w.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_four_component_contract_both_tiers():
+    """Round-4 advice: a 4-component (CMYK-shaped) JPEG must raise
+    ValueError in BOTH tiers — previously libjpeg returned an (H,W,4)
+    array while the numpy baseline raised, so decode_jpeg's failure mode
+    depended on whether a compiler happened to be available."""
+    payload = _four_component_jpeg()
+    with pytest.raises(ValueError, match="component count"):
+        MJ.decode_jpeg(payload)
+    if J.available():
+        with pytest.raises(ValueError, match="component count"):
+            J.decode(payload)
