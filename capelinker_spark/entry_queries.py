@@ -2225,6 +2225,50 @@ def dd8_dup_span_stats(spark, sf_dir):
 
 
 @register(
+    "dd9_remove_dup_spans",
+    f"""WITH all_docs AS MATERIALIZED ({_DOCS_PLUS_DUPS}),
+        w AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []
+                     ELSE {WORDS_SQL.format(c='text')} END AS ws
+              FROM all_docs),
+        g AS (SELECT doc_id, u.s AS s, u.g AS g
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(ws) >= 8
+                        THEN list_transform(range(0, len(ws) - 7),
+                               i -> {{'s': i, 'g': array_to_string(
+                                       list_slice(ws, i + 1, i + 8), ' ')}})
+                        ELSE [] END) AS u
+                    FROM w)),
+        sh AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) != max(doc_id)),
+        st AS (SELECT doc_id, list_sort(list(s)) AS starts
+               FROM g JOIN sh USING (g) GROUP BY doc_id)
+       SELECT w.doc_id,
+              -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+              -- array_join([]) is '' — a fully-removed doc must be ''
+              coalesce(array_to_string(list_filter(ws, (x, i) ->
+                len(list_filter(coalesce(starts, []),
+                    s2 -> s2 >= i - 8 AND s2 <= i - 1)) = 0), ' '), '')
+                AS clean_text,
+              len(ws) AS n_words,
+              len(ws) - len(list_filter(ws, (x, i) ->
+                len(list_filter(coalesce(starts, []),
+                    s2 -> s2 >= i - 8 AND s2 <= i - 1)) = 0)) AS n_removed
+       FROM w LEFT JOIN st USING (doc_id)""",
+)
+def dd9_remove_dup_spans(spark, sf_dir):
+    """Substring-dedup ACTION tier (round-4 verdict item 6): the transform
+    that acts on what dd8 measures — every word covered by a word 8-gram
+    occurring in ≥2 distinct docs is REMOVED (Lee-et-al semantics at word
+    granularity; all copies lose the span), text rebuilt as the kept words
+    joined by single spaces. The planted exact + near duplicates make the
+    clones collapse to empty/near-empty clean_text while organic docs pass
+    through whole; CLEAN TEXT is oracle-checked byte-for-byte."""
+    from capelinker_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs_plus_dups(spark, sf_dir), n=8)
+
+
+@register(
     "dm4_temperature_mix",
     """WITH n AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
                 WHERE lang IS NOT NULL GROUP BY 1),
@@ -2710,41 +2754,45 @@ def dm3_bpe_packing(spark, sf_dir):
 #      rotate OUT (they remain in the judge's full `tools/check_oracle.py`
 #      sweep, which covers ALL registered queries every round).
 #
-# Rotated OUT for round 4 (every one 3x driver-green, rounds 1-3, and
-# implementation-untouched since round 1): a2, a3, a4, a5, a6, a8, a10,
-# a11, a12, ann1, dd5, f2, f5, f6, j7, j8, j9, p2, p3, ts2, ts3, ts4,
-# u1, u2, u5, u6.
-# Rotated IN (never driver-checked before round 4): f10, f11, f15, m1, u4,
-# st1, dd6, ann3, ev1, a14. Round-4-touched or NEW and kept/placed IN:
-# dm1, dm2, cu1, dm3, dm4, dd7, dd8, ts5, ts6, ts7, ts8, ts9, cu2, cu3,
-# cu4, u11, ev1.
+# With >50 registered queries the window necessarily alternates: rule 3 is
+# amended (round 5) — when the window is full, rows with the LONGEST
+# consecutive-green streak rotate out first; round-touched and shortest-
+# streak rows stay in. Every rotated-out row remains in the judge's full
+# `tools/check_oracle.py` sweep each round.
+#
+# Round-5 rotation: OUT = the 4x-green stable core (s1, p4, q1, j1, j2,
+# j5, j6, f7, m2, c1, c2, dd1-dd4, ts1, ann2), the 3x-consecutive-green
+# f8, f9, and the 2x-green dm1, ts5, ts6, j3, j3b, p7, p9. IN = the 26
+# round-4-rotated cohort re-earning a driver row (a2-a12, ann1, dd5, f2,
+# f5, f6, j7-j9, p2, p3, ts2-ts4, u1, u2, u5, u6 — round-4 verdict item
+# 4), every 1x-green round-4 row building its streak, and everything
+# round-5-touched (j4 lazy idf; dm3/cu4 BPE whitespace class; cu3 punct
+# class; u11 userinfo case).
 _DRIVER_WINDOW = [
-    # round-4-new/changed + previously-red, first
-    "dm2_sequence_packing", "cu1_curation_pipeline", "dm3_bpe_packing",
-    "dm4_temperature_mix", "dd7_decontaminate", "dd8_dup_span_stats",
-    "ts7_pii_redact", "cu2_line_filter", "cu3_model_quality_score",
-    "cu4_full_curation", "u11_url_normalize", "ev1_sessionize_stats",
-    "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
-    "ts8_top_ngram_fraction", "ts9_bigram_lm_score",
-    # never-driver-checked until round 4
-    "f10_spousenamedist", "f11_wifeinboth", "f15_minmax_normalise",
-    "m1_logistic_score", "u4_uniformise_strings", "st1_streaming_window_agg",
-    "dd6_near_dedup_canonical", "ann3_embedding_dedup_canonical",
-    "a14_labeling_sheet",
-    # fewer than 3 driver-green rounds
-    "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
-    "j4_idf_bigram_cosine_join", "p7_mojibake_fixups", "p9_na_guarded_concat",
-    "f8_jw_uniqueness", "f9_cos_uniqueness",
-    # stable core kept in-window (flagship / representative operators)
-    "s1_scan_projection", "p4_clean_name_chain", "q1_flagship_agg",
-    "j1_jw_similarity_join", "j2_numeric_band_join", "j5_soundex_blocking_join",
-    "j6_left_outer_assembly",
-    "f7_namefreq_grouped_count", "m2_dual_rank_select",
-    "c1_connected_components", "c2_expand_index",
-    "dd1_exact_dedup", "dd2_minhash_signature", "dd3_minhash_lsh_neardup",
-    "dd4_simhash",
-    "ts1_lang_id",
-    "ann2_embedding_neardup",
+    # round-5-new first, then round-5-touched
+    "dd9_remove_dup_spans",
+    "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
+    "cu4_full_curation", "cu3_model_quality_score",
+    # the 26-query cohort rotated back in (last driver row: round 3)
+    "a2_grouped_bool_agg", "a3_null_share_profile", "a4_minmax_range",
+    "a5_dedup_keep_min", "a6_distinct_count", "a8_sort_topk",
+    "a10_union_fill", "a11_unpivot_melt", "a12_onehot",
+    "ann1_brute_force_topk", "dd5_ngram_jaccard", "f2_soundex_distance",
+    "f5_gaussian_kernel", "f6_window_matches", "j7_semi_anti",
+    "j8_composite_key_join", "j9_json_regex_extract", "p2_filter_predicates",
+    "p3_conditional_update", "ts2_token_counts", "ts3_quality_ratios",
+    "ts4_fingerprint", "u1_initials_longest_word", "u2_split_prefixes",
+    "u5_stringdist_closest", "u6_paste_similar",
+    # 1x-green round-4 rows building their streak (incl. the two ex-red)
+    "dm2_sequence_packing", "cu1_curation_pipeline", "dm4_temperature_mix",
+    "dd7_decontaminate", "dd8_dup_span_stats", "ts7_pii_redact",
+    "cu2_line_filter", "ev1_sessionize_stats", "ts8_top_ngram_fraction",
+    "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
+    "f15_minmax_normalise", "m1_logistic_score", "u4_uniformise_strings",
+    "st1_streaming_window_agg", "dd6_near_dedup_canonical",
+    "ann3_embedding_dedup_canonical",
+    # a14_labeling_sheet (1x green, untouched) yields its slot to the new
+    # dd9 this round
 ]
 
 

@@ -202,3 +202,45 @@ def test_duplicate_span_stats(spark):
     assert got[1][0] == 3 and got[1][1] == 1
     assert abs(got[1][2] - 1 / 3) < 1e-15
     assert got[3] == (3, 0, 0.0)
+
+
+def test_remove_duplicate_spans(spark):
+    """dd9 action tier: every word covered by a shared 4-gram is removed
+    from EVERY copy (boilerplate has no canonical owner); docs shorter than
+    n words and empty docs pass through; output is whitespace-normalized."""
+    from capelinker_spark.operators.dedup import remove_duplicate_spans
+
+    rows = [
+        (1, "alpha beta gamma delta unique one tail here"),
+        (2, "prefix two alpha beta gamma delta other words"),
+        (3, "totally different text with no shared spans at all"),
+        (4, ""),
+        (5, "short doc"),
+        (6, "alpha beta gamma delta"),  # exactly the shared span, whole doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+           for r in remove_duplicate_spans(docs, n=4).collect()}
+    assert got[1] == ("unique one tail here", 8, 4)
+    assert got[2] == ("prefix two other words", 8, 4)
+    assert got[3] == ("totally different text with no shared spans at all", 9, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("short doc", 2, 0)      # < n words: untouched
+    assert got[6] == ("", 4, 4)               # fully-covered doc -> empty
+
+    # overlapping shared spans merge their coverage
+    rows2 = [
+        (1, "a b c d e f g x y z"),
+        (2, "a b c d q q q q q q"),   # shares a b c d
+        (3, "q q q q d e f g w w"),   # shares d e f g -> doc1 loses a..g
+    ]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {r["doc_id"]: r["clean_text"]
+            for r in remove_duplicate_spans(docs2, n=4).collect()}
+    assert got2[1] == "x y z"
+
+    # plan shape: no Python, no single-partition exchange
+    plan = remove_duplicate_spans(docs, n=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
