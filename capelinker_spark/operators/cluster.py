@@ -182,3 +182,68 @@ def cluster_links(
         .drop("component")
     )
     return out
+
+
+def update_components(
+    labels: DataFrame,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fold one NEW wave of edges into an existing (node, component) label
+    table — the streaming/incremental analog of ``expand_index``
+    (R/util.R:14-44: "fold a new wave of links into an existing index"),
+    and the per-micro-batch step of ``streaming.stream_cluster_links``.
+
+    Only the batch-AFFECTED subgraph is re-propagated: each new edge's
+    endpoints are mapped to their current component (unseen nodes map to
+    themselves), self-loops drop out, and full ``connected_components``
+    runs on that small component-level graph — its size is bounded by the
+    batch, never by the accumulated graph. The resulting old→new mapping
+    is applied to the label table with ONE join (mapping is batch-sized →
+    broadcast under AQE), so the 100-TB-scale cost per batch is one
+    narrow rewrite of the label table, not a global re-clustering. Labels
+    stay min-id-deterministic: components only ever merge, and the merged
+    id is the min over the union (min of mins).
+
+    Returns the UPDATED full label table (existing rows re-labeled, new
+    nodes appended with their component).
+    """
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+    la = labels.select(F.col("node").alias("_a"), F.col("component").alias("_ca"))
+    lb = labels.select(F.col("node").alias("_b"), F.col("component").alias("_cb"))
+    comp_edges = (
+        e.join(la, "_a", "left")
+        .join(lb, "_b", "left")
+        .select(
+            F.coalesce("_ca", "_a").alias("src"),
+            F.coalesce("_cb", "_b").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mapping = connected_components(comp_edges).select(
+        F.col("node").alias("_old_c"), F.col("component").alias("_new_c")
+    )
+
+    relabeled = (
+        labels.join(mapping, labels["component"] == mapping["_old_c"], "left")
+        .select(
+            "node",
+            F.coalesce("_new_c", "component").alias("component"),
+        )
+    )
+    # brand-new nodes: appear in this batch's edges but not in the table.
+    # Every one of them is a node of the component graph (a new endpoint
+    # maps to itself and cannot self-loop away), but coalesce keeps the
+    # self-label fallback anyway.
+    new_nodes = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+        .join(labels.select("node"), "node", "left_anti")
+    )
+    new_rows = new_nodes.join(
+        mapping, new_nodes["node"] == mapping["_old_c"], "left"
+    ).select("node", F.coalesce("_new_c", "node").alias("component"))
+    return relabeled.unionByName(new_rows)

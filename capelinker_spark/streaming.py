@@ -284,3 +284,99 @@ def stream_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_cluster_links(
+    links_stream: DataFrame,
+    checkpoint_dir: str,
+    labels_dir: str,
+    src_col: str = "persid_from",
+    dst_col: str = "persid_to",
+    trigger_available_now: bool = True,
+    keep_versions: int = 2,
+):
+    """Incremental connected components over the link stream — the
+    streaming analog of ``expand_index`` (R/util.R:14-44) closing the
+    composition ``incremental_link`` left open (round-4 verdict item 7):
+    each micro-batch of accepted links is folded into a PERSISTED
+    (node, component) label table via ``cluster.update_components``, which
+    re-propagates only the batch-affected subgraph (batch-sized CC + one
+    mapping join over the table).
+
+    The label store is versioned parquet under ``labels_dir/v=<batch_id>``
+    with an atomically-replaced ``_LATEST.json`` manifest — the local
+    stand-in for an Iceberg table with MERGE semantics at cluster scale.
+    foreachBatch replays after failure are IDEMPOTENT: a batch id ≤ the
+    manifest version is already folded in and skips (the same
+    write-then-swap discipline as ``StageRunner``). Old versions beyond
+    ``keep_versions`` are pruned after the swap.
+
+    Read the current clustering any time with
+    ``read_component_labels(spark, labels_dir)``.
+    """
+    import json
+    import os
+    import shutil
+
+    from capelinker_spark.operators.cluster import update_components
+
+    spark = links_stream.sparkSession
+    os.makedirs(labels_dir, exist_ok=True)
+    manifest = os.path.join(labels_dir, "_LATEST.json")
+
+    def _latest_version() -> int:
+        if not os.path.exists(manifest):
+            return -1
+        with open(manifest) as fh:
+            return json.load(fh)["v"]
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        v = _latest_version()
+        if batch_id <= v:
+            return  # replayed batch: already folded into the table
+        edges = batch_df.select(src_col, dst_col)
+        if v < 0:
+            labels = (
+                edges.select(F.col(src_col).alias("node"))
+                .limit(0)
+                .withColumn("component", F.col("node"))
+            )
+        else:
+            labels = spark.read.parquet(os.path.join(labels_dir, f"v={v}"))
+        new_labels = update_components(labels, edges, src_col, dst_col)
+        out = os.path.join(labels_dir, f"v={batch_id}")
+        new_labels.write.mode("overwrite").parquet(out)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"v": batch_id}, fh)
+        os.replace(tmp, manifest)
+        vers = sorted(
+            int(d[2:]) for d in os.listdir(labels_dir) if d.startswith("v=")
+        )
+        for dv in vers[:-keep_versions]:
+            shutil.rmtree(os.path.join(labels_dir, f"v={dv}"),
+                          ignore_errors=True)
+
+    writer = (
+        links_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_component_labels(spark, labels_dir: str) -> DataFrame:
+    """Current (node, component) table maintained by
+    ``stream_cluster_links`` — raises FileNotFoundError before the first
+    batch commits."""
+    import json
+    import os
+
+    manifest = os.path.join(labels_dir, "_LATEST.json")
+    with open(manifest) as fh:
+        v = json.load(fh)["v"]
+    return spark.read.parquet(os.path.join(labels_dir, f"v={v}"))

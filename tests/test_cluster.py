@@ -173,3 +173,29 @@ def test_connected_components_giant_component_stress(spark):
     ).count()
     assert bad == 0
     assert comp.count() == n_chain + 1_001
+
+
+def test_update_components_folds_waves(spark):
+    """update_components (expand_index's incremental analog): folding edge
+    waves one at a time equals batch CC over the union; self-loops are
+    inert but still register the node; merges keep min-id determinism."""
+    from capelinker_spark.operators.cluster import (
+        connected_components,
+        update_components,
+    )
+
+    labels = spark.createDataFrame([], "node long, component long")
+    waves = [[(5, 6)], [(1, 2), (3, 4)], [(2, 3)], [(9, 9)], [(4, 5)]]
+    for w in waves:
+        edges = spark.createDataFrame(w, "src long, dst long")
+        labels = update_components(labels, edges).localCheckpoint(eager=True)
+    got = sorted((r["node"], r["component"]) for r in labels.collect())
+    all_edges = spark.createDataFrame(
+        [e for w in waves for e in w], "src long, dst long"
+    )
+    want = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(all_edges).collect()
+    )
+    assert got == want
+    assert got[0] == (1, 1) and (9, 9) in got

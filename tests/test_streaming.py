@@ -405,3 +405,75 @@ def test_sample_to_rates_composes_with_streams(spark, tmp_path):
     )
     want = {r["doc_id"] for r in batch.collect()}
     assert got == want and 0 < len(got) < 300
+
+
+def test_stream_cluster_links_matches_batch(spark, tmp_path):
+    """Incremental CC over the link stream ≡ batch connected components,
+    across micro-batches with cross-batch bridging edges (round-4 verdict
+    item 7), including a stream RESTART folding a later wave into the
+    persisted label table, and version retention in the label store."""
+    import os
+
+    from capelinker_spark.operators.cluster import connected_components
+    from capelinker_spark.streaming import (
+        read_component_labels,
+        stream_cluster_links,
+    )
+
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],
+        [(2, 3)],                      # bridges {1,2} and {3,4}
+        [(20, 21), (4, 20)],           # new nodes AND a bridge into 1's comp
+    ]
+    src = str(tmp_path / "links_stream")
+    for b in batches:
+        spark.createDataFrame(
+            b, "persid_from long, persid_to long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("persid_from long, persid_to long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_cluster_links(
+            stream, str(tmp_path / "ckpt"), str(tmp_path / "labels")
+        )
+        q.awaitTermination()
+
+    def labels():
+        return sorted(
+            (r["node"], r["component"])
+            for r in read_component_labels(
+                spark, str(tmp_path / "labels")
+            ).collect()
+        )
+
+    def batch_cc(edge_lists):
+        all_edges = spark.createDataFrame(
+            [e for b in edge_lists for e in b],
+            "persid_from long, persid_to long",
+        )
+        return sorted(
+            (r["node"], r["component"])
+            for r in connected_components(
+                all_edges, src="persid_from", dst="persid_to"
+            ).collect()
+        )
+
+    run_stream()
+    assert labels() == batch_cc(batches)
+
+    # restart with a fourth wave: checkpoint + label-store versions resume
+    wave4 = [(100, 101), (11, 100)]
+    spark.createDataFrame(
+        wave4, "persid_from long, persid_to long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    assert labels() == batch_cc(batches + [wave4])
+
+    # retention: at most keep_versions=2 label versions remain on disk
+    vers = [d for d in os.listdir(str(tmp_path / "labels"))
+            if d.startswith("v=")]
+    assert len(vers) <= 2
