@@ -138,6 +138,77 @@ def model_quality_scores(
     )
 
 
+def apply_domain_policies(
+    df: DataFrame,
+    policies: dict[str, dict],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    quality_col: str = "quality_prob",
+    default_min_quality: float = 0.0,
+    default_rate: float = 1.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-domain curation policy — the FineWeb per-source recipe shape
+    (round-4 verdict item 8): each registrable domain (``urls.
+    registrable_domain``) may override the quality threshold and/or the
+    keep rate; everything else (including NULL domains — non-URL rows)
+    takes the defaults.
+
+    ``policies``: ``{domain: {"min_quality_prob": q, "rate": r}}`` — a
+    DRIVER-SIDE dict compiled into CASE-over-literal expressions, exactly
+    like ``mixing.sample_to_rates``: the policy map is configuration, not
+    data, so it rides the plan as literals (broadcast by construction) and
+    the whole gate is ONE narrow filter — no join, no shuffle. The
+    threshold compares against the ROUNDED ``quality_col`` (the
+    engine-portable convention) and the rate uses the md5-bound keep rule,
+    so the gate is oracle-checkable end-to-end."""
+    from capelinker_spark.operators.mixing import _md5_bound, _md5_digest
+
+    thr = F.lit(float(default_min_quality))
+    bound = F.lit(_md5_bound(default_rate))
+    for dom, p in sorted(policies.items()):
+        q = float(p.get("min_quality_prob", default_min_quality))
+        r = float(p.get("rate", default_rate))
+        thr = F.when(F.col(domain_col) == dom, F.lit(q)).otherwise(thr)
+        bound = F.when(
+            F.col(domain_col) == dom, F.lit(_md5_bound(r))
+        ).otherwise(bound)
+    return df.where(
+        (F.col(quality_col) >= thr)
+        & (_md5_digest(F.col(id_col), seed) < bound)
+    )
+
+
+def domain_policies_sql(
+    policies: dict[str, dict],
+    domain_col: str = "domain",
+    id_col: str = "doc_id",
+    quality_col: str = "quality_prob",
+    default_min_quality: float = 0.0,
+    default_rate: float = 1.0,
+    seed: str = "",
+) -> str:
+    """DuckDB WHERE-clause mirror of ``apply_domain_policies`` (same CASE
+    order, same md5 bounds — byte-for-byte)."""
+    from capelinker_spark.operators.mixing import _md5_bound
+
+    thr = repr(float(default_min_quality))
+    bound = f"'{_md5_bound(default_rate)}'"
+    for dom, p in sorted(policies.items()):
+        q = float(p.get("min_quality_prob", default_min_quality))
+        r = float(p.get("rate", default_rate))
+        thr = f"CASE WHEN {domain_col} = '{dom}' THEN {q!r} ELSE {thr} END"
+        bound = (
+            f"CASE WHEN {domain_col} = '{dom}' THEN '{_md5_bound(r)}' "
+            f"ELSE {bound} END"
+        )
+    return (
+        f"({quality_col} >= ({thr}) AND "
+        f"substr(md5('{seed}' || coalesce({id_col}::VARCHAR, '')), 1, 5) "
+        f"< ({bound}))"
+    )
+
+
 @_dataclass
 class CurationConfig:
     min_tokens: int = 10
@@ -153,6 +224,13 @@ class CurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     lang_col: str = "lang"
+    # per-domain policy (round-4 verdict item 8): when url_col is set, a
+    # `domain` column (urls.registrable_domain) rides every stage and the
+    # mixed stage applies apply_domain_policies(domain_policies) BEFORE
+    # language mixing. Changing ONE domain's thresholds invalidates mixed+
+    # packed but leaves cleaned/deduped/scored resumable (STAGE_DEPS).
+    url_col: str | None = None
+    domain_policies: dict | None = None
 
 
 class CurationPipeline(StageRunner):
@@ -176,24 +254,33 @@ class CurationPipeline(StageRunner):
         # lang_col rides in the root stage's hash: every stage's output
         # carries the language column, so renaming it must invalidate the
         # whole chain (review finding r4 pass 2 — omitting it silently
-        # resumed checkpoints built from the OLD column)
+        # resumed checkpoints built from the OLD column). url_col likewise:
+        # it decides whether a domain column rides the chain.
         "cleaned": (
             ("use_line_filter", "line_min_words", "line_require_terminal",
-             "text_col", "id_col", "lang_col"),
+             "text_col", "id_col", "lang_col", "url_col"),
             None,
         ),
         "deduped": ((), "cleaned"),
         "scored": (("token_unit",), "deduped"),
+        # domain_policies sits HERE: editing one domain's thresholds
+        # re-runs mixed+packed only, never the dedup/scoring upstream
         "mixed": (
             ("min_tokens", "min_alpha_ratio", "min_quality_prob",
-             "lang_rates", "temperature"),
+             "lang_rates", "temperature", "domain_policies"),
             "scored",
         ),
         "packed": (("tokens_per_seq",), "mixed"),
     }
 
     def __init__(self, spark, workdir: str, config: CurationConfig | None = None):
-        self._init_runner(spark, workdir, config or CurationConfig())
+        cfg = config or CurationConfig()
+        if cfg.domain_policies and not cfg.url_col:
+            raise ValueError(
+                "domain_policies requires url_col (the domain column is "
+                "derived from it)"
+            )
+        self._init_runner(spark, workdir, cfg)
 
     def run(self, docs: DataFrame, resume: bool = True) -> dict:
         from capelinker_spark.operators.mixing import temperature_mix
@@ -205,13 +292,24 @@ class CurationPipeline(StageRunner):
         cfg = self.cfg
         counter = token_count_bpe if cfg.token_unit == "bpe" else token_count_ws
 
+        # per-domain curation: derive the registrable domain ONCE at the
+        # root (narrow expression over url_col) and let it ride every
+        # stage's output — policies are applied in `mixed`
+        dom_cols: list = []
+        if cfg.url_col:
+            from capelinker_spark.operators.urls import registrable_domain
+
+            dom_cols = [
+                registrable_domain(F.col(cfg.url_col)).alias("domain")
+            ]
+
         def _cleaned():
             kept = line_filter(
                 F.col(cfg.text_col), cfg.line_min_words,
                 cfg.line_require_terminal,
             )
             return docs.select(
-                cfg.id_col, kept.alias(cfg.text_col), cfg.lang_col
+                cfg.id_col, kept.alias(cfg.text_col), cfg.lang_col, *dom_cols
             ).where(F.length(cfg.text_col) > 0)
 
         if cfg.use_line_filter:
@@ -221,7 +319,9 @@ class CurationPipeline(StageRunner):
             # of the corpus would double storage at scale. The manifest
             # chain still covers the choice (use_line_filter is in
             # cleaned's hash, which deduped's hash chains on).
-            cleaned = docs.select(cfg.id_col, cfg.text_col, cfg.lang_col)
+            cleaned = docs.select(
+                cfg.id_col, cfg.text_col, cfg.lang_col, *dom_cols
+            )
 
         deduped = self._stage(
             "deduped",
@@ -238,7 +338,8 @@ class CurationPipeline(StageRunner):
                 base,
                 text_col=cfg.text_col,
                 id_col=cfg.id_col,
-                passthrough=(cfg.lang_col, "n_tokens", "alpha"),
+                passthrough=(cfg.lang_col, "n_tokens", "alpha",
+                             *(["domain"] if dom_cols else [])),
             )
 
         scored = self._stage("scored", _scored, resume, score_col="quality_prob")
@@ -249,6 +350,11 @@ class CurationPipeline(StageRunner):
                 & (F.col("alpha") > cfg.min_alpha_ratio)
                 & (F.col("quality_prob") >= cfg.min_quality_prob)
             )
+            if cfg.domain_policies:
+                kept = apply_domain_policies(
+                    kept, cfg.domain_policies, id_col=cfg.id_col,
+                    default_min_quality=cfg.min_quality_prob,
+                )
             if cfg.lang_rates:
                 kept = sample_to_rates(
                     kept, cfg.lang_col, cfg.lang_rates, cfg.id_col
@@ -258,7 +364,8 @@ class CurationPipeline(StageRunner):
                     kept, cfg.lang_col, cfg.id_col, cfg.temperature
                 )
             return kept.select(cfg.id_col, cfg.lang_col, "n_tokens",
-                               "quality_prob")
+                               "quality_prob",
+                               *(["domain"] if dom_cols else []))
 
         mixed = self._stage("mixed", _mixed, resume, key_metrics_col=cfg.lang_col)
 

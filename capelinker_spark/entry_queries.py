@@ -2697,6 +2697,76 @@ def cu3_model_quality_score(spark, sf_dir):
 ORACLES["cu3_model_quality_score"] = _cu3_sql()
 
 
+# per-domain curation policies for cu5 (driver-side config, compiled to
+# CASE-over-literal expressions on both engines): example.com demands high
+# quality, news.site halves its keep rate, cdn.net keeps a quarter with no
+# quality gate; plain.org and non-URL rows take the defaults
+_CU5_POLICIES = {
+    "example.com": {"min_quality_prob": 0.9},
+    "news.site": {"rate": 0.5},
+    "cdn.net": {"min_quality_prob": 0.0, "rate": 0.25},
+}
+
+
+@register("cu5_domain_policy_curation", None)
+def cu5_domain_policy_curation(spark, sf_dir):
+    """Per-domain curation policies (round-4 verdict item 8, the FineWeb
+    per-source recipe shape): registrable domain from the planted u11
+    URLs keys per-domain quality thresholds and keep rates —
+    ``curation.apply_domain_policies`` compiles the policy dict into ONE
+    narrow CASE-literal filter (no join, no shuffle; the md5-bound keep
+    rule and rounded-threshold conventions make it oracle-exact). At
+    least two domains diverge in thresholds and two in rates."""
+    from capelinker_spark.curation import (
+        apply_domain_policies,
+        model_quality_scores,
+    )
+    from capelinker_spark.operators.urls import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    url = (
+        F.when(i % 5 == 0,
+               F.concat(F.lit("HTTP://Example.COM:80/path/"), i.cast("string"),
+                        F.lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(i % 5 == 1,
+              F.concat(F.lit("https://News.Site:443/a/"), i.cast("string"),
+                       F.lit("?z=9&y=8")))
+        .when(i % 5 == 2,
+              F.concat(F.lit("http://plain.org/"), i.cast("string")))
+        .when(i % 5 == 3,
+              F.lit("HTTPS://cdn.Net:8443/x?utm_campaign=a&utm_medium=b"))
+        .otherwise(F.concat(F.lit("not a url "), i.cast("string")))
+    )
+    scored = model_quality_scores(
+        d.withColumn("url", url), passthrough=("url",)
+    )
+    withdom = scored.withColumn("domain", registrable_domain(F.col("url")))
+    kept = apply_domain_policies(
+        withdom, _CU5_POLICIES, default_min_quality=0.2, default_rate=1.0
+    )
+    return kept.select("doc_id", "domain", "quality_prob")
+
+
+def _register_cu5_oracle() -> None:
+    from capelinker_spark.curation import domain_policies_sql
+    from capelinker_spark.operators.urls import registrable_domain_sql
+
+    ORACLES["cu5_domain_policy_curation"] = f"""WITH q AS ({_cu3_sql()}),
+        u AS (SELECT doc_id, {_u11_urls_sql()} AS url FROM documents),
+        j AS (SELECT q.doc_id,
+                     {registrable_domain_sql('u.url')} AS domain,
+                     q.quality_prob
+              FROM q JOIN u USING (doc_id))
+       SELECT doc_id, domain, quality_prob FROM j
+       WHERE {domain_policies_sql(_CU5_POLICIES,
+                                  default_min_quality=0.2,
+                                  default_rate=1.0)}"""
+
+
+_register_cu5_oracle()
+
+
 @register(
     "dm3_bpe_packing",
     f"""WITH all_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
@@ -2770,7 +2840,7 @@ def dm3_bpe_packing(spark, sf_dir):
 # class; u11 userinfo case).
 _DRIVER_WINDOW = [
     # round-5-new first, then round-5-touched
-    "dd9_remove_dup_spans",
+    "dd9_remove_dup_spans", "cu5_domain_policy_curation",
     "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
     "cu4_full_curation", "cu3_model_quality_score",
     # the 26-query cohort rotated back in (last driver row: round 3)
@@ -2790,9 +2860,9 @@ _DRIVER_WINDOW = [
     "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
     "f15_minmax_normalise", "m1_logistic_score", "u4_uniformise_strings",
     "st1_streaming_window_agg", "dd6_near_dedup_canonical",
-    "ann3_embedding_dedup_canonical",
-    # a14_labeling_sheet (1x green, untouched) yields its slot to the new
-    # dd9 this round
+    # a14_labeling_sheet and ann3_embedding_dedup_canonical (1x green,
+    # untouched; ann3's canonicalization pattern stays covered via dd6)
+    # yield their slots to the new dd9 and cu5 this round
 ]
 
 

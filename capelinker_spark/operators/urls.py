@@ -109,3 +109,65 @@ def normalize_url_sql(c: str) -> str:
                  p -> length(p) > 0 AND NOT starts_with(p, '{_TRACKING_PREFIX}'))), '&')
               ELSE '' END)
         END"""
+
+
+# second-level public suffixes the conservative heuristic recognises: when
+# the host's last two labels are one of these, the registrable domain is
+# THREE labels (bbc.co.uk), otherwise two (example.com). A pinned, small
+# subset of the public-suffix list — broad ccTLD coverage would need the
+# full PSL shipped as a broadcast table; out of scope by design and
+# documented as such.
+SECOND_LEVEL_SUFFIXES = (
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au",
+    "co.za", "com.br", "co.in", "co.nz",
+    "com.cn", "com.mx", "com.ar", "com.tr",
+)
+
+
+def registrable_domain(col: Column) -> Column:
+    """Registrable domain of an absolute URL — the per-source key a
+    curation pipeline groups policies by (FineWeb-style per-domain
+    recipes): lowercased host (userinfo and port stripped), reduced to its
+    last two labels, or three when the last two are a pinned second-level
+    public suffix (``SECOND_LEVEL_SUFFIXES``). All-numeric hosts (IPv4)
+    pass through whole; non-URL input (no ``scheme://``) yields NULL.
+    Pure native expressions, mirrored by ``registrable_domain_sql``."""
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    auth = F.regexp_extract(col, _HOST_RE, 1)
+    hostport = F.lower(F.regexp_extract(auth, _HOSTPORT_RE, 1))
+    host = F.regexp_extract(hostport, "^([^:]*)", 1)
+    labels = F.split(host, "\\.")
+    k = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    dom = (
+        F.when(host.rlike("^[0-9.]+$"), host)
+        .when(
+            (k >= 3) & last2.isin(*SECOND_LEVEL_SUFFIXES),
+            F.concat_ws(".", F.element_at(labels, -3), last2),
+        )
+        .when(k >= 2, last2)
+        .otherwise(host)
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(dom)
+
+
+def registrable_domain_sql(c: str) -> str:
+    """DuckDB mirror of ``registrable_domain`` — same regexes, same label
+    arithmetic, byte-for-byte oracle-checkable."""
+    suffixes = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+    scheme = f"lower(regexp_extract({c}, '{_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({c}, '{_HOST_RE}', 1)"
+    hostport = f"lower(regexp_extract({auth}, '{_HOSTPORT_RE}', 1))"
+    host = f"regexp_extract({hostport}, '^([^:]*)', 1)"
+    labels = f"string_split_regex({host}, '\\.')"
+    last2 = f"({labels})[-2] || '.' || ({labels})[-1]"
+    return f"""CASE WHEN {scheme} = '' THEN NULL
+        WHEN regexp_matches({host}, '^[0-9.]+$') THEN {host}
+        WHEN len({labels}) >= 3 AND ({last2}) IN ({suffixes})
+             THEN ({labels})[-3] || '.' || ({last2})
+        WHEN len({labels}) >= 2 THEN {last2}
+        ELSE {host} END"""

@@ -211,3 +211,62 @@ def test_curation_hash_covers_lang_col_and_dict_order(spark, tmp_path):
         lang_rates={"en": 0.5, "de": 0.2}, lang_col="language"))
     assert p3._stage_hash("cleaned") != h_cleaned    # chain invalidated
     assert p3._stage_hash("mixed") != h_mixed
+
+
+def test_curation_per_domain_policies(spark, tmp_path):
+    """Per-domain curation (round-4 verdict item 8): with url_col set, a
+    registrable-domain column rides every stage and the mixed stage
+    applies per-domain quality thresholds / keep rates; editing ONE
+    domain's policy recomputes mixed+packed only (StageRunner chain),
+    while upstream dedup/scoring checkpoints are reused."""
+    import os
+
+    from capelinker_spark.curation import CurationConfig, CurationPipeline
+
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(60):
+        dom = ["good.org", "spammy.net", "mid.com"][i % 3]
+        rows.append(
+            (i, f"{good} variant {i} end.", "en",
+             f"https://www.{dom}/p/{i}")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+
+    wd = str(tmp_path / "wd")
+    policies = {"spammy.net": {"min_quality_prob": 1.1},   # drop all
+                "mid.com": {"rate": 0.5}}
+    cfg = CurationConfig(url_col="url", domain_policies=policies,
+                         min_quality_prob=0.0, tokens_per_seq=64)
+    res = CurationPipeline(spark, wd, cfg).run(docs)
+    mixed = res["mixed"].collect()
+    by_dom = {}
+    for r in mixed:
+        by_dom.setdefault(r["domain"], []).append(r["doc_id"])
+    assert "spammy.net" not in by_dom                 # threshold 1.1 drops all
+    assert len(by_dom["good.org"]) == 20              # default keeps all
+    assert 0 < len(by_dom.get("mid.com", [])) < 20    # rate 0.5 samples
+
+    # edit one domain's policy: mixed+packed recompute, upstream reused
+    # (no 'cleaned' dir: use_line_filter=False skips that checkpoint)
+    mt = {s: os.path.getmtime(os.path.join(wd, s, "_manifest.json"))
+          for s in ("deduped", "scored", "mixed", "packed")}
+    policies2 = {"spammy.net": {"min_quality_prob": 0.0},
+                 "mid.com": {"rate": 0.5}}
+    cfg2 = CurationConfig(url_col="url", domain_policies=policies2,
+                          min_quality_prob=0.0, tokens_per_seq=64)
+    res2 = CurationPipeline(spark, wd, cfg2).run(docs)
+    for s in ("deduped", "scored"):
+        assert os.path.getmtime(os.path.join(wd, s, "_manifest.json")) == mt[s], s
+    for s in ("mixed", "packed"):
+        assert os.path.getmtime(os.path.join(wd, s, "_manifest.json")) > mt[s], s
+    assert any(r["domain"] == "spammy.net" for r in res2["mixed"].collect())
+
+    # domain_policies without url_col is a config error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="url_col"):
+        CurationPipeline(spark, str(tmp_path / "wd2"),
+                         CurationConfig(domain_policies=policies))

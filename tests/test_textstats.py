@@ -428,3 +428,45 @@ def test_line_filter_crlf_and_vtab_cross_engine(spark):
         "one two three four five six.",
         "sept huit neuf dix onze all twelve!",
     ]
+
+
+def test_registrable_domain_mirrors_sql(spark):
+    """Registrable-domain heuristic (the per-source curation key): last
+    two host labels, three under a pinned second-level public suffix,
+    IPv4 whole, NULL for non-URLs; userinfo and port stripped. Spark and
+    the DuckDB mirror must agree byte-for-byte."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.urls import (
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    cases = {
+        "http://www.Example.COM/a": "example.com",
+        "https://news.bbc.co.uk/x": "bbc.co.uk",
+        "http://a.b.co.jp": "b.co.jp",
+        "http://User:P@Sub.Host.ORG:8080/": "host.org",
+        "http://192.168.0.1:80/x": "192.168.0.1",
+        "not a url": None,
+        "": None,
+        "http://localhost/": "localhost",
+        "ftp://x.y.z.com.au/q": "z.com.au",
+        "https://co.uk/": "co.uk",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = dict(
+        (r["url"], r["d"])
+        for r in df.select(
+            "url", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    )
+    assert got == cases
+    con = duckdb.connect()
+    for k, v in cases.items():
+        w = con.sql(
+            f"SELECT {registrable_domain_sql('u')} FROM (SELECT ? AS u)",
+            params=[k],
+        ).fetchone()[0]
+        assert w == v, (k, w, v)
