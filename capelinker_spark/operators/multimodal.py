@@ -6,11 +6,13 @@ partition-size control, UDF signatures. Decoding: PNG and WAV payloads are
 decoded FOR REAL with the stdlib codecs in ``media_codecs`` (zlib/struct
 and the ``wave`` module), and JPEG with the bundled two-tier codec
 (libjpeg C shim when compilable, pure-numpy baseline otherwise — see
-``media_jpeg``); all are featurized deterministically. Formats that still
-genuinely need a native library (video codecs) raise
-``NotImplementedError`` unless ``fake=True`` (deterministic hash-derived
-stand-in) or a caller-supplied ``decode_fn`` handles them — the contract a
-real deployment uses to inject an ffmpeg frame sampler.
+``media_jpeg``); MJPEG-in-AVI video splits into frames in-repo
+(``media_avi``, each frame through the JPEG codec, mean-pooled features);
+all are featurized deterministically. Codecs that still genuinely need a
+native library (H.264 and friends) raise ``NotImplementedError`` unless
+``fake=True`` (deterministic hash-derived stand-in) or a caller-supplied
+``decode_fn`` handles them — the contract a real deployment uses to
+inject an ffmpeg frame sampler.
 """
 
 from __future__ import annotations
@@ -66,6 +68,13 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             decoded = ("image", mc.decode_jpeg(payload))
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             decoded = ("audio", mc.decode_wav(payload))
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from capelinker_spark.operators.media_avi import decode_mjpeg_avi
+
+            frames = decode_mjpeg_avi(payload, n_frames=4)
+            if not frames:
+                raise ValueError("AVI container has no video frames")
+            decoded = ("video", frames)
     except Exception:
         if fake:
             return _fake_decode(payload, IMAGE_FEATURE_DIM)
@@ -74,13 +83,21 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         kind, data = decoded
         if kind == "image":
             return mc.image_feature_vector(data, IMAGE_FEATURE_DIM)
+        if kind == "video":
+            # per-frame image features, MEAN-pooled over the (≤4)
+            # evenly-sampled frames — deterministic, order-independent
+            vecs = [
+                mc.image_feature_vector(f, IMAGE_FEATURE_DIM) for f in data
+            ]
+            return np.mean(np.stack(vecs), axis=0)
         return mc.audio_feature_vector(*data, IMAGE_FEATURE_DIM)
     if not fake:
         raise NotImplementedError(
-            "only PNG/JPEG/WAV decode in-repo; video and other formats "
-            "need an injected decoder — pass fake=True for the "
-            "deterministic stand-in, or supply decode_fn to "
-            "extract_image_features (e.g. an ffmpeg frame sampler)"
+            "only PNG/JPEG/WAV/MJPEG-AVI decode in-repo; other video "
+            "codecs (H.264 etc.) need an injected decoder — pass "
+            "fake=True for the deterministic stand-in, or supply "
+            "decode_fn to extract_image_features (e.g. an ffmpeg frame "
+            "sampler)"
         )
     return _fake_decode(payload, IMAGE_FEATURE_DIM)
 
@@ -163,14 +180,18 @@ def binary_metadata(df: DataFrame, binary_col: str = "html") -> DataFrame:
     string UTF-8-decodes the payload, turning 0x89 / 0xFF 0xD8 into U+FFFD
     so the png/jpeg branches could never match (round-1 advice item)."""
     b = F.col(binary_col)
-    hex8 = F.hex(F.substring(b, 1, 8))  # raw-byte sniff window, no decoding
+    hex12 = F.hex(F.substring(b, 1, 12))  # raw-byte sniff window, no decoding
+    riff_type = F.substring(hex12, 17, 8)  # bytes 9-12: the RIFF form type
     fmt = (
-        F.when(hex8.startswith("3C21444F43545950"), "html")  # '<!DOCTYP'
-        .when(hex8.startswith("89504E47"), "png")  # \x89PNG
-        .when(hex8.startswith("FFD8"), "jpeg")  # JPEG SOI
-        .when(hex8.startswith("52494646"), "riff")  # 'RIFF' (wav/avi/webp)
-        .when(hex8.startswith("474946383"), "gif")  # GIF87a/89a
-        .when(F.substring(hex8, 9, 8) == "66747970", "mp4")  # ....ftyp
+        F.when(hex12.startswith("3C21444F43545950"), "html")  # '<!DOCTYP'
+        .when(hex12.startswith("89504E47"), "png")  # \x89PNG
+        .when(hex12.startswith("FFD8"), "jpeg")  # JPEG SOI
+        .when(hex12.startswith("52494646") & (riff_type == "57415645"), "wav")
+        .when(hex12.startswith("52494646") & (riff_type == "41564920"), "avi")
+        .when(hex12.startswith("52494646") & (riff_type == "57454250"), "webp")
+        .when(hex12.startswith("52494646"), "riff")  # other RIFF forms
+        .when(hex12.startswith("474946383"), "gif")  # GIF87a/89a
+        .when(F.substring(hex12, 9, 8) == "66747970", "mp4")  # ....ftyp
         .otherwise("unknown")
     )
     return df.withColumn("n_bytes", F.length(b).cast("long")).withColumn(

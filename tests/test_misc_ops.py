@@ -124,11 +124,14 @@ def test_multimodal_custom_decoder_and_magic(spark):
         ("u3", bytearray(b"<!DOCTYPE html><p>")),
         ("u4", bytearray(b"RIFFxxxxWAVE")),
         ("u5", bytearray(b"garbage")),
+        ("u6", bytearray(b"RIFFxxxxAVI void")),
+        ("u7", bytearray(b"RIFFxxxxLIST")),  # RIFF, but neither wav nor avi
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     fmts = {r["url"]: r["format"] for r in binary_metadata(df).collect()}
     assert fmts == {
-        "u1": "png", "u2": "jpeg", "u3": "html", "u4": "riff", "u5": "unknown"
+        "u1": "png", "u2": "jpeg", "u3": "html", "u4": "wav",
+        "u5": "unknown", "u6": "avi", "u7": "riff",
     }
 
     feats = extract_image_features(
