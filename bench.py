@@ -218,6 +218,9 @@ HEADLINE_QUERIES = [
     "u11_url_normalize",
     "ts8_top_ngram_fraction",
     "ts9_bigram_lm_score",
+    # round 5
+    "dd9_remove_dup_spans",
+    "cu5_domain_policy_curation",
 ]
 
 
