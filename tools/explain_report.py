@@ -159,6 +159,30 @@ def main():
         _fmt(ts9),
     ))
 
+    dd9 = QUERIES["dd9_remove_dup_spans"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Duplicated-span REMOVAL (dd9)",
+        "Look for: the positional gram table shuffles ONCE (`Window` over "
+        "the gram key computes the min≠max ≥2-distinct-docs test — no "
+        "per-gram doc lists), shared-gram start offsets aggregate per doc "
+        "(partial→final HashAggregate), and the text rebuild is a native "
+        "higher-order `filter`/`exists` in one codegen `Project` after the "
+        "join back — zero Python, no `Exchange SinglePartition`.",
+        _fmt(dd9),
+    ))
+
+    cu5 = QUERIES["cu5_domain_policy_curation"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Per-domain curation policies (cu5)",
+        "Look for: registrable-domain parse + per-domain thresholds/rates "
+        "all fold into ONE codegen `Filter`+`Project` over the scan — the "
+        "policy dict is CASE-over-literals (configuration rides the plan, "
+        "not a join), the md5 keep rule is native, and the model quality "
+        "score is the same single sigmoid expression as cu3. No shuffle, "
+        "no Python.",
+        _fmt(cu5),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
