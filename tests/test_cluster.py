@@ -180,6 +180,7 @@ def test_update_components_folds_waves(spark):
     waves one at a time equals batch CC over the union; self-loops are
     inert but still register the node; merges keep min-id determinism."""
     from capelinker_spark.operators.cluster import (
+        checkpoint_truncated,
         connected_components,
         update_components,
     )
@@ -188,7 +189,9 @@ def test_update_components_folds_waves(spark):
     waves = [[(5, 6)], [(1, 2), (3, 4)], [(2, 3)], [(9, 9)], [(4, 5)]]
     for w in waves:
         edges = spark.createDataFrame(w, "src long, dst long")
-        labels = update_components(labels, edges).localCheckpoint(eager=True)
+        # checkpoint_truncated, not bare localCheckpoint: chained folds
+        # with carried-forward stats hang the driver (see the stats test)
+        labels = checkpoint_truncated(update_components(labels, edges))
     got = sorted((r["node"], r["component"]) for r in labels.collect())
     all_edges = spark.createDataFrame(
         [e for w in waves for e in w], "src long, dst long"
@@ -199,3 +202,38 @@ def test_update_components_folds_waves(spark):
     )
     assert got == want
     assert got[0] == (1, 1) and (9, 9) in got
+
+
+def test_checkpoint_truncated_resets_cost_stats(spark):
+    """Round-5 scale find: Dataset.localCheckpoint carries the child plan's
+    computed sizeInBytes into the LogicalRDD leaf, and iterative operators
+    then MULTIPLY those at every join — chained incremental-CC folds grew
+    the stat to 1,662 digits after ONE fold and hung the driver inside
+    BigInteger.multiply by the third. checkpoint_truncated must pin the
+    leaf back to the small default estimate while reusing the checkpointed
+    data (no recompute)."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.cluster import (
+        checkpoint_truncated,
+        update_components,
+    )
+
+    def digits(df):
+        return len(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+
+    labels = spark.createDataFrame([], "node long, component long")
+    for w in range(3):
+        e = spark.createDataFrame(
+            [(w * 10 + i, w * 10 + i + 1) for i in range(5)],
+            "src long, dst long",
+        )
+        labels = checkpoint_truncated(update_components(labels, e))
+        assert digits(labels) < 25, (
+            f"stats grew to {digits(labels)} digits after fold {w} — "
+            "originStats carried through the checkpoint again"
+        )
+    # and the data survived the stats reset
+    assert labels.count() == 18
