@@ -155,27 +155,49 @@ def apply_domain_policies(
     takes the defaults.
 
     ``policies``: ``{domain: {"min_quality_prob": q, "rate": r}}`` — a
-    DRIVER-SIDE dict compiled into CASE-over-literal expressions, exactly
-    like ``mixing.sample_to_rates``: the policy map is configuration, not
-    data, so it rides the plan as literals (broadcast by construction) and
-    the whole gate is ONE narrow filter — no join, no shuffle. The
-    threshold compares against the ROUNDED ``quality_col`` (the
-    engine-portable convention) and the rate uses the md5-bound keep rule,
-    so the gate is oracle-checkable end-to-end."""
+    DRIVER-SIDE dict shipped as a broadcast literal table (config-sized,
+    never a shuffle of the data side) and LEFT-joined on the domain, so
+    the domain expression is evaluated ONCE per row. The first cut
+    compiled the dict into CASE-over-literal expressions instead
+    (``sample_to_rates`` style), but each CASE arm re-references the
+    domain column and filter pushdown inlines the full nested-regexp
+    domain parse into every reference — with 3 policies the fused stage
+    blew past janino's 64 KB method limit and the whole query dropped
+    out of whole-stage codegen. Unmatched (and NULL — non-URL) domains
+    coalesce to the defaults. The threshold compares against the ROUNDED
+    ``quality_col`` (the engine-portable convention) and the rate uses
+    the md5-bound keep rule, so the gate is oracle-checkable end-to-end
+    (the SQL mirror keeps the semantically-identical CASE form)."""
     from capelinker_spark.operators.mixing import _md5_bound, _md5_digest
 
-    thr = F.lit(float(default_min_quality))
-    bound = F.lit(_md5_bound(default_rate))
-    for dom, p in sorted(policies.items()):
-        q = float(p.get("min_quality_prob", default_min_quality))
-        r = float(p.get("rate", default_rate))
-        thr = F.when(F.col(domain_col) == dom, F.lit(q)).otherwise(thr)
-        bound = F.when(
-            F.col(domain_col) == dom, F.lit(_md5_bound(r))
-        ).otherwise(bound)
-    return df.where(
-        (F.col(quality_col) >= thr)
-        & (_md5_digest(F.col(id_col), seed) < bound)
+    rows = [
+        (
+            dom,
+            float(p.get("min_quality_prob", default_min_quality)),
+            _md5_bound(float(p.get("rate", default_rate))),
+        )
+        for dom, p in sorted(policies.items())
+    ]
+    pol = df.sparkSession.createDataFrame(
+        rows, f"{domain_col} string, _pol_thr double, _pol_bound string"
+    )
+    return (
+        df.join(F.broadcast(pol), domain_col, "left")
+        .where(
+            (
+                F.col(quality_col)
+                >= F.coalesce(
+                    F.col("_pol_thr"), F.lit(float(default_min_quality))
+                )
+            )
+            & (
+                _md5_digest(F.col(id_col), seed)
+                < F.coalesce(
+                    F.col("_pol_bound"), F.lit(_md5_bound(default_rate))
+                )
+            )
+        )
+        .drop("_pol_thr", "_pol_bound")
     )
 
 

@@ -2713,10 +2713,11 @@ def cu5_domain_policy_curation(spark, sf_dir):
     """Per-domain curation policies (round-4 verdict item 8, the FineWeb
     per-source recipe shape): registrable domain from the planted u11
     URLs keys per-domain quality thresholds and keep rates —
-    ``curation.apply_domain_policies`` compiles the policy dict into ONE
-    narrow CASE-literal filter (no join, no shuffle; the md5-bound keep
-    rule and rounded-threshold conventions make it oracle-exact). At
-    least two domains diverge in thresholds and two in rates."""
+    ``curation.apply_domain_policies`` ships the policy dict as a
+    broadcast literal table joined once on the domain (the corpus never
+    shuffles; the md5-bound keep rule and rounded-threshold conventions
+    make it oracle-exact). At least two domains diverge in thresholds
+    and two in rates."""
     from capelinker_spark.curation import (
         apply_domain_policies,
         model_quality_scores,
@@ -2725,18 +2726,23 @@ def cu5_domain_policy_curation(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     i = F.col("doc_id")
-    url = (
-        F.when(i % 5 == 0,
-               F.concat(F.lit("HTTP://Example.COM:80/path/"), i.cast("string"),
-                        F.lit("?utm_source=feed&b=2&a=1#frag")))
-        .when(i % 5 == 1,
-              F.concat(F.lit("https://News.Site:443/a/"), i.cast("string"),
-                       F.lit("?z=9&y=8")))
-        .when(i % 5 == 2,
-              F.concat(F.lit("http://plain.org/"), i.cast("string")))
-        .when(i % 5 == 3,
-              F.lit("HTTPS://cdn.Net:8443/x?utm_campaign=a&utm_medium=b"))
-        .otherwise(F.concat(F.lit("not a url "), i.cast("string")))
+    # deliberately COMPACT url expression: registrable_domain references its
+    # input ~10x through nested regexp_extracts, and CollapseProject inlines
+    # the url expression into every one — the round-4 u11-style long CASE
+    # here pushed the fused stage past janino's 64 KB method limit and
+    # dropped the whole query out of whole-stage codegen
+    url = F.when(
+        i % 5 == 4, F.concat(F.lit("not a url "), i.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.lit(["www.Example.COM", "News.Site", "plain.org", "cdn.Net"]),
+                (i % 5).cast("int") + 1,
+            ),
+            F.lit("/p/"),
+            i.cast("string"),
+        )
     )
     scored = model_quality_scores(
         d.withColumn("url", url), passthrough=("url",)
@@ -2752,8 +2758,13 @@ def _register_cu5_oracle() -> None:
     from capelinker_spark.curation import domain_policies_sql
     from capelinker_spark.operators.urls import registrable_domain_sql
 
+    cu5_url = (
+        "CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id::VARCHAR "
+        "ELSE 'https://' || (['www.Example.COM', 'News.Site', 'plain.org', "
+        "'cdn.Net'])[(doc_id % 5)::INT + 1] || '/p/' || doc_id::VARCHAR END"
+    )
     ORACLES["cu5_domain_policy_curation"] = f"""WITH q AS ({_cu3_sql()}),
-        u AS (SELECT doc_id, {_u11_urls_sql()} AS url FROM documents),
+        u AS (SELECT doc_id, {cu5_url} AS url FROM documents),
         j AS (SELECT q.doc_id,
                      {registrable_domain_sql('u.url')} AS domain,
                      q.quality_prob

@@ -174,12 +174,16 @@ def main():
     cu5 = QUERIES["cu5_domain_policy_curation"](spark, "/root/testdata/sf0.001")
     sections.append((
         "Per-domain curation policies (cu5)",
-        "Look for: registrable-domain parse + per-domain thresholds/rates "
-        "all fold into ONE codegen `Filter`+`Project` over the scan — the "
-        "policy dict is CASE-over-literals (configuration rides the plan, "
-        "not a join), the md5 keep rule is native, and the model quality "
-        "score is the same single sigmoid expression as cu3. No shuffle, "
-        "no Python.",
+        "Look for: the registrable-domain parse evaluated ONCE and "
+        "LEFT-joined against the BROADCAST policy table "
+        "(`BroadcastHashJoin ... LeftOuter` over a config-sized "
+        "LocalTableScan — the corpus never shuffles), then one codegen "
+        "filter with the md5 keep rule and the same single sigmoid as "
+        "cu3. The CASE-over-literal form was rejected: each CASE arm "
+        "re-inlines the nested-regexp domain parse under filter "
+        "pushdown and blew the fused stage past janino's 64 KB method "
+        "limit, dropping the query out of whole-stage codegen. No "
+        "Python anywhere.",
         _fmt(cu5),
     ))
 
