@@ -2648,6 +2648,25 @@ def _register_u11_oracle() -> None:
 _register_u11_oracle()
 
 
+@register(
+    "tok1_word_counts",
+    f"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(regexp_extract_all(text,
+                '{TS.BPE_ISH_PATTERN}')) AS w
+              FROM documents)
+        GROUP BY w""",
+)
+def tok1_word_counts(spark, sf_dir):
+    """Corpus word-frequency table over the BPE-ish pre-tokenization —
+    the distributed stage of BPE tokenizer training (round 5,
+    operators/tokenizer.py): one explode + one map-side-combinable
+    hash-agg; the iterative merge learning consumes this bounded
+    histogram on the driver."""
+    from capelinker_spark.operators.tokenizer import word_counts
+
+    return word_counts(_t(spark, sf_dir, "documents"))
+
+
 def _cu3_sql() -> str:
     en_hits = _lang_scores_sql()["en"]
     words = WORDS_SQL.format(c="text")
@@ -2851,7 +2870,7 @@ def dm3_bpe_packing(spark, sf_dir):
 # class; u11 userinfo case).
 _DRIVER_WINDOW = [
     # round-5-new first, then round-5-touched
-    "dd9_remove_dup_spans", "cu5_domain_policy_curation",
+    "dd9_remove_dup_spans", "cu5_domain_policy_curation", "tok1_word_counts",
     "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
     "cu4_full_curation", "cu3_model_quality_score",
     # the 26-query cohort rotated back in (last driver row: round 3)
@@ -2870,10 +2889,12 @@ _DRIVER_WINDOW = [
     "cu2_line_filter", "ev1_sessionize_stats", "ts8_top_ngram_fraction",
     "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
     "f15_minmax_normalise", "m1_logistic_score", "u4_uniformise_strings",
-    "st1_streaming_window_agg", "dd6_near_dedup_canonical",
-    # a14_labeling_sheet and ann3_embedding_dedup_canonical (1x green,
-    # untouched; ann3's canonicalization pattern stays covered via dd6)
-    # yield their slots to the new dd9 and cu5 this round
+    "dd6_near_dedup_canonical",
+    # a14_labeling_sheet, ann3_embedding_dedup_canonical and
+    # st1_streaming_window_agg (each 1x green, untouched; ann3's
+    # canonicalization pattern stays covered via dd6, st1's semantics are
+    # pinned by the stream≡batch pytest battery) yield their slots to the
+    # new dd9, cu5 and tok1 this round
 ]
 
 

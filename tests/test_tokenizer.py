@@ -1,0 +1,96 @@
+"""Corpus-trained BPE tokenizer (operators/tokenizer.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.tokenizer import (
+    END,
+    bpe_token_count,
+    make_bpe_encoder,
+    train_bpe,
+    word_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest"),
+        (2, "newest newest newest newest"),
+        (3, "widest widest widest"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_counts(spark, corpus):
+    got = {r["word"]: r["n"] for r in word_counts(corpus).collect()}
+    assert got == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_train_bpe_classic_example(spark, corpus):
+    """The Sennrich toy corpus: with 'newest' x6 dominating, the first
+    merges build 'est</w>'; merges are deterministic (count desc, then
+    smallest pair)."""
+    wc = word_counts(corpus)
+    merges = train_bpe(wc, num_merges=10)
+    assert merges[0] == ("e", "s")          # 9 occurrences (newest+widest)
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", END)
+    # determinism: retrain on a repartitioned count table → same merges
+    merges2 = train_bpe(wc.repartition(7), num_merges=10)
+    assert merges2 == merges
+
+
+def test_encoder_and_count(spark, corpus):
+    wc = word_counts(corpus)
+    merges = train_bpe(wc, num_merges=10)
+    enc = make_bpe_encoder(merges)
+    df = spark.createDataFrame(
+        [(0, "newest low"), (1, ""), (2, None), (3, "unseen zzz")],
+        "i long, text string",
+    )
+    toks = {r["i"]: r["t"] for r in df.select("i", enc(F.col("text")).alias("t")).collect()}
+    # trained words encode to few subwords; every token stream ends words
+    # with the sentinel-carrying symbol
+    assert "".join(toks[0]).count(END) == 2          # two words
+    assert toks[1] == [] and toks[2] is None
+    assert all(t for t in toks[3])                    # unseen still encodes
+
+    counter = bpe_token_count(merges)
+    counts = {r["i"]: r["c"] for r in df.select("i", counter(F.col("text")).alias("c")).collect()}
+    assert counts[0] == len(toks[0])
+    assert counts[1] == 0 and counts[2] is None
+    # encoding is lossless modulo the sentinel: concatenating subwords
+    # and stripping sentinels reproduces the pre-tokenized words
+    assert "".join(toks[0]).replace(END, " ").strip() == "newest low"
+
+
+def test_trained_counter_plugs_into_curation(spark, corpus):
+    """The token_counter seam accepts the trained tokenizer: packing
+    offsets are budgeted in learned-subword units."""
+    from capelinker_spark.curation import curate_corpus
+
+    merges = train_bpe(word_counts(corpus), num_merges=10)
+    docs = corpus.withColumn("lang", F.lit("en"))
+    out = curate_corpus(
+        docs, min_tokens=1, min_alpha_ratio=0.1, tokens_per_seq=8,
+        token_counter=bpe_token_count(merges),
+    ).collect()
+    assert len(out) == 4
+    counts = {r["doc_id"]: r["n_tokens"] for r in out}
+    # doc 0: 'low' x5; 'low</w>' merges into one symbol -> 5 tokens
+    assert counts[0] == 5
+
+
+def test_train_bpe_count_guard(spark):
+    """Oversized vocabularies truncate to the top-max_words by count
+    (deterministic order), never an unbounded collect."""
+    big = spark.range(500).select(
+        F.concat(F.lit("w"), F.col("id").cast("string")).alias("word"),
+        (F.col("id") % 7 + 1).alias("n"),
+    )
+    merges = train_bpe(big, num_merges=3, max_words=50)
+    assert len(merges) == 3
