@@ -141,6 +141,31 @@ def _cap_buckets(
     )
 
 
+def band_rows(
+    mh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Signature table → ``(id, band, key)`` LSH bucket rows; key =
+    md5 of the band's signature rows. Shared by the batch pair join and
+    the incremental/streaming dedup (identical keys ⇒ stream ≡ batch
+    candidate sets)."""
+    rows = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("key"),
+            )
+        )
+    return mh.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     mh: DataFrame,
     id_col: str = "doc_id",
@@ -156,16 +181,7 @@ def lsh_candidate_pairs(
     a cluster of N exact copies makes an N²-pair bucket the verify stage must
     then chew through. ``max_bucket_size`` additionally caps any residual
     mega-bucket (see _cap_buckets)."""
-    rows = num_hashes // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    banded = mh.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = band_rows(mh, id_col, num_hashes, bands)
     banded = _cap_buckets(banded, ["band", "key"], max_bucket_size)
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")

@@ -286,6 +286,89 @@ def stream_sessionize(
     )
 
 
+class ComponentLabelStore:
+    """Versioned persisted (node, component) table — the local stand-in
+    for an Iceberg table with MERGE semantics: parquet under
+    ``labels_dir/v=<batch_id>`` plus an atomically-replaced
+    ``_LATEST.json`` manifest. ``fold`` is IDEMPOTENT under foreachBatch
+    replays (a batch id ≤ the manifest version is already folded and
+    skips — the same write-then-swap discipline as ``StageRunner``); old
+    versions beyond ``keep_versions`` are pruned after the swap. Shared
+    by ``stream_cluster_links`` and ``stream_neardup_canonical``."""
+
+    def __init__(self, labels_dir: str, keep_versions: int = 2):
+        import os
+
+        self.labels_dir = labels_dir
+        self.keep_versions = keep_versions
+        os.makedirs(labels_dir, exist_ok=True)
+        self._manifest = os.path.join(labels_dir, "_LATEST.json")
+
+    def latest_version(self) -> int:
+        import json
+        import os
+
+        if not os.path.exists(self._manifest):
+            return -1
+        with open(self._manifest) as fh:
+            return json.load(fh)["v"]
+
+    def read(self, spark) -> DataFrame:
+        import os
+
+        v = self.latest_version()
+        if v < 0:
+            raise FileNotFoundError(
+                f"no committed label version under {self.labels_dir}"
+            )
+        return spark.read.parquet(os.path.join(self.labels_dir, f"v={v}"))
+
+    def fold(
+        self, edges: DataFrame, batch_id: int,
+        src: str = "src", dst: str = "dst",
+    ) -> bool:
+        """Fold one wave of edges (``cluster.update_components``) and
+        commit it as version ``batch_id``. Returns False when the batch
+        was already folded (replay)."""
+        import json
+        import os
+        import shutil
+
+        from capelinker_spark.operators.cluster import update_components
+
+        v = self.latest_version()
+        if batch_id <= v:
+            return False
+        spark = edges.sparkSession
+        if v < 0:
+            labels = (
+                edges.select(F.col(src).alias("node"))
+                .limit(0)
+                .withColumn("component", F.col("node"))
+            )
+        else:
+            labels = spark.read.parquet(
+                os.path.join(self.labels_dir, f"v={v}")
+            )
+        new_labels = update_components(labels, edges, src, dst)
+        out = os.path.join(self.labels_dir, f"v={batch_id}")
+        new_labels.write.mode("overwrite").parquet(out)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"v": batch_id}, fh)
+        os.replace(tmp, self._manifest)
+        vers = sorted(
+            int(d[2:])
+            for d in os.listdir(self.labels_dir)
+            if d.startswith("v=")
+        )
+        for dv in vers[: -self.keep_versions]:
+            shutil.rmtree(
+                os.path.join(self.labels_dir, f"v={dv}"), ignore_errors=True
+            )
+        return True
+
+
 def stream_cluster_links(
     links_stream: DataFrame,
     checkpoint_dir: str,
@@ -298,66 +381,21 @@ def stream_cluster_links(
     """Incremental connected components over the link stream — the
     streaming analog of ``expand_index`` (R/util.R:14-44) closing the
     composition ``incremental_link`` left open (round-4 verdict item 7):
-    each micro-batch of accepted links is folded into a PERSISTED
-    (node, component) label table via ``cluster.update_components``, which
+    each micro-batch of accepted links is folded into the persisted
+    ``ComponentLabelStore`` via ``cluster.update_components``, which
     re-propagates only the batch-affected subgraph (batch-sized CC + one
     mapping join over the table).
-
-    The label store is versioned parquet under ``labels_dir/v=<batch_id>``
-    with an atomically-replaced ``_LATEST.json`` manifest — the local
-    stand-in for an Iceberg table with MERGE semantics at cluster scale.
-    foreachBatch replays after failure are IDEMPOTENT: a batch id ≤ the
-    manifest version is already folded in and skips (the same
-    write-then-swap discipline as ``StageRunner``). Old versions beyond
-    ``keep_versions`` are pruned after the swap.
 
     Read the current clustering any time with
     ``read_component_labels(spark, labels_dir)``.
     """
-    import json
-    import os
-    import shutil
-
-    from capelinker_spark.operators.cluster import update_components
-
-    spark = links_stream.sparkSession
-    os.makedirs(labels_dir, exist_ok=True)
-    manifest = os.path.join(labels_dir, "_LATEST.json")
-
-    def _latest_version() -> int:
-        if not os.path.exists(manifest):
-            return -1
-        with open(manifest) as fh:
-            return json.load(fh)["v"]
+    store = ComponentLabelStore(labels_dir, keep_versions)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        v = _latest_version()
-        if batch_id <= v:
-            return  # replayed batch: already folded into the table
-        edges = batch_df.select(src_col, dst_col)
-        if v < 0:
-            labels = (
-                edges.select(F.col(src_col).alias("node"))
-                .limit(0)
-                .withColumn("component", F.col("node"))
-            )
-        else:
-            labels = spark.read.parquet(os.path.join(labels_dir, f"v={v}"))
-        new_labels = update_components(labels, edges, src_col, dst_col)
-        out = os.path.join(labels_dir, f"v={batch_id}")
-        new_labels.write.mode("overwrite").parquet(out)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"v": batch_id}, fh)
-        os.replace(tmp, manifest)
-        vers = sorted(
-            int(d[2:]) for d in os.listdir(labels_dir) if d.startswith("v=")
-        )
-        for dv in vers[:-keep_versions]:
-            shutil.rmtree(os.path.join(labels_dir, f"v={dv}"),
-                          ignore_errors=True)
+        store.fold(batch_df.select(src_col, dst_col), batch_id,
+                   src_col, dst_col)
 
     writer = (
         links_stream.writeStream.foreachBatch(fold_batch)
@@ -371,12 +409,158 @@ def stream_cluster_links(
 
 def read_component_labels(spark, labels_dir: str) -> DataFrame:
     """Current (node, component) table maintained by
-    ``stream_cluster_links`` — raises FileNotFoundError before the first
-    batch commits."""
-    import json
+    ``stream_cluster_links`` / ``stream_neardup_canonical`` — raises
+    FileNotFoundError before the first batch commits."""
+    return ComponentLabelStore(labels_dir).read(spark)
+
+
+def stream_neardup_canonical(
+    docs_stream: DataFrame,
+    checkpoint_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    hash_fn: str = "md5",
+    trigger_available_now: bool = True,
+):
+    """Incremental MinHash-LSH near-duplicate clustering over a document
+    stream — the streaming composition of the batch dedup family
+    (``dedup.near_duplicate_clusters``): every micro-batch of documents
+    is signed, banded with the SAME band keys as the batch operator
+    (``dedup.band_rows``), joined against the accumulated bucket table to
+    find candidates (new-vs-old and new-vs-new), Jaccard-verified against
+    the accumulated shingle table, and the surviving edges fold into the
+    persisted ``ComponentLabelStore`` via incremental CC.
+
+    Stream ≡ batch: every same-bucket pair is generated exactly once —
+    when its LATER document arrives — and verification/threshold/min-id
+    tie-breaks are identical expressions, so the final label table equals
+    batch ``near_duplicate_clusters`` over the union (restricted to docs
+    that matched anything; unmatched docs are canonical for themselves,
+    resolved lazily at read time exactly like the batch operator's
+    coalesce).
+
+    State layout under ``state_dir`` (each an Iceberg-table stand-in):
+
+    * ``bands/batch=<id>/``  — (doc_id, band, key) bucket rows;
+    * ``shingles/batch=<id>/`` — (doc_id, shingles) for the verify join;
+    * ``labels/`` — the versioned component store.
+
+    Batch replays are idempotent end-to-end: the per-batch parquet dirs
+    overwrite in place and the label fold skips already-committed batch
+    ids. Scale shape per batch: the bucket join keys on (band, key) —
+    new-batch rows against the accumulated table (at cluster scale the
+    accumulated side is bucketed/partitioned BY key so the probe is
+    partition-pruned); the verify join and CC fold are bounded by the
+    candidate set, not the corpus.
+    """
     import os
 
-    manifest = os.path.join(labels_dir, "_LATEST.json")
-    with open(manifest) as fh:
-        v = json.load(fh)["v"]
-    return spark.read.parquet(os.path.join(labels_dir, f"v={v}"))
+    from capelinker_spark.operators.dedup import (
+        band_rows,
+        minhash_table,
+        ngram_jaccard,
+        word_shingles,
+    )
+
+    spark = docs_stream.sparkSession
+    bands_dir = os.path.join(state_dir, "bands")
+    sh_dir = os.path.join(state_dir, "shingles")
+    store = ComponentLabelStore(os.path.join(state_dir, "labels"))
+
+    def _old_state(sub: str, batch_id: int, schema: str) -> DataFrame:
+        """All PRIOR batches' rows (excluding this batch id — replay
+        safety: a replayed batch must not see its own earlier write)."""
+        base = os.path.join(state_dir, sub)
+        dirs = [
+            os.path.join(base, d)
+            for d in (os.listdir(base) if os.path.isdir(base) else [])
+            if d.startswith("batch=") and int(d[6:]) < batch_id
+        ]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*dirs)
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+
+        mh = minhash_table(
+            docs, text_col, id_col, num_hashes, shingle_words, hash_fn
+        )
+        new_bands = band_rows(mh, id_col, num_hashes, bands)
+        new_sh = docs.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+        )
+        # persist FIRST (overwrite → replay-idempotent), then read back so
+        # the joins below scan parquet instead of recomputing signatures
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
+        new_sh.write.mode("overwrite").parquet(
+            os.path.join(sh_dir, f"batch={batch_id}")
+        )
+        new_bands = spark.read.parquet(
+            os.path.join(bands_dir, f"batch={batch_id}")
+        )
+        new_sh = spark.read.parquet(os.path.join(sh_dir, f"batch={batch_id}"))
+
+        old_bands = _old_state(
+            "bands", batch_id, f"{id_col} long, band int, key string"
+        )
+        # candidates: new docs vs (old ∪ new). Ids do NOT arrive in order,
+        # so the pair is normalized with least/greatest (a bare
+        # id_a < id_b would drop every cross-batch pair whose NEW doc has
+        # the smaller id); distinct collapses the within-batch mirror
+        # orientations. Each pair still generates exactly once across
+        # batches — candidates always involve ≥1 new doc.
+        all_bands = old_bands.unionByName(new_bands)
+        cand = (
+            new_bands.select(F.col(id_col).alias("_nid"), "band", "key")
+            .join(
+                all_bands.select(F.col(id_col).alias("_oid"), "band", "key"),
+                ["band", "key"],
+            )
+            .where(F.col("_nid") != F.col("_oid"))
+            .select(
+                F.least("_nid", "_oid").alias("id_a"),
+                F.greatest("_nid", "_oid").alias("id_b"),
+            )
+            .distinct()
+        )
+        old_sh = _old_state(
+            "shingles", batch_id, f"{id_col} long, shingles array<string>"
+        )
+        all_sh = old_sh.unionByName(new_sh)
+        edges = (
+            cand.join(
+                all_sh.select(
+                    F.col(id_col).alias("id_a"), F.col("shingles").alias("_sa")
+                ),
+                "id_a",
+            )
+            .join(
+                all_sh.select(
+                    F.col(id_col).alias("id_b"), F.col("shingles").alias("_sb")
+                ),
+                "id_b",
+            )
+            .where(ngram_jaccard(F.col("_sa"), F.col("_sb")) >= threshold)
+            .select("id_a", "id_b")
+        )
+        store.fold(edges, batch_id, "id_a", "id_b")
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -477,3 +477,83 @@ def test_stream_cluster_links_matches_batch(spark, tmp_path):
     vers = [d for d in os.listdir(str(tmp_path / "labels"))
             if d.startswith("v=")]
     assert len(vers) <= 2
+
+
+def test_stream_neardup_canonical_matches_batch(spark, tmp_path):
+    """Incremental MinHash-LSH near-dup clustering ≡ batch
+    near_duplicate_clusters over the union, across micro-batches with
+    cross-batch near-dup pairs in BOTH id orders (a later-arriving doc
+    with a smaller id must still pair — regression for the bare
+    id_a < id_b candidate cut), plus a stream restart folding a new wave."""
+    from capelinker_spark.operators.dedup import near_duplicate_clusters
+    from capelinker_spark.streaming import (
+        read_component_labels,
+        stream_neardup_canonical,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field tonight")
+    variant = base + " extra"
+    other = ("completely different content about ships and harbours that "
+             "shares no shingles with the fox corpus at all here")
+    batches = [
+        [(10, base), (11, other), (12, "short unrelated words only")],
+        # 5 < 10: near-dup of doc 10 arriving LATER with a SMALLER id
+        [(5, variant), (20, other + " slightly changed tail")],
+        [(30, base + " third copy marker")],
+    ]
+    src = str(tmp_path / "docs_stream")
+    for b in batches:
+        spark.createDataFrame(
+            b, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "state")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_neardup_canonical(
+            stream, str(tmp_path / "ckpt"), state, threshold=0.5
+        )
+        q.awaitTermination()
+
+    def stream_canonical(edge_lists):
+        labels = {
+            r["node"]: r["component"]
+            for r in read_component_labels(
+                spark, str(tmp_path / "state/labels")
+            ).collect()
+        }
+        all_ids = [i for b in edge_lists for i, _ in b]
+        return {i: labels.get(i, i) for i in all_ids}
+
+    def batch_canonical(edge_lists):
+        docs = spark.createDataFrame(
+            [r for b in edge_lists for r in b], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r["canonical_id"]
+            for r in near_duplicate_clusters(docs, threshold=0.5).collect()
+        }
+
+    run_stream()
+    got, want = stream_canonical(batches), batch_canonical(batches)
+    assert got == want
+    # the planted family actually clustered (5 joined 10's component)
+    assert want[5] == want[10] == want[30] == 5
+    assert want[11] == want[20] == 11
+
+    # restart with a fourth wave bridging nothing new + one more variant
+    wave4 = [(40, variant + " again"), (41, "lone new document entirely")]
+    spark.createDataFrame(
+        wave4, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_stream()
+    got2 = stream_canonical(batches + [wave4])
+    want2 = batch_canonical(batches + [wave4])
+    assert got2 == want2
+    assert want2[40] == 5 and want2[41] == 41
