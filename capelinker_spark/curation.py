@@ -146,7 +146,7 @@ def apply_domain_policies(
     quality_col: str = "quality_prob",
     default_min_quality: float = 0.0,
     default_rate: float = 1.0,
-    seed: str = "",
+    seed: str = "dom",
 ) -> DataFrame:
     """Per-domain curation policy — the FineWeb per-source recipe shape
     (round-4 verdict item 8): each registrable domain (``urls.
@@ -167,7 +167,12 @@ def apply_domain_policies(
     coalesce to the defaults. The threshold compares against the ROUNDED
     ``quality_col`` (the engine-portable convention) and the rate uses
     the md5-bound keep rule, so the gate is oracle-checkable end-to-end
-    (the SQL mirror keeps the semantically-identical CASE form)."""
+    (the SQL mirror keeps the semantically-identical CASE form). The
+    default ``seed`` is 'dom', DISTINCT from the empty-string seed of the
+    downstream ``sample_to_rates``/``temperature_mix`` gates: a shared
+    digest would make domain- and language-sampling perfectly correlated —
+    composed keep = min(rates) over the SAME row subset instead of the
+    product over independent subsets (round-5 review finding 2)."""
     from capelinker_spark.operators.mixing import _md5_bound, _md5_digest
 
     rows = [
@@ -208,7 +213,7 @@ def domain_policies_sql(
     quality_col: str = "quality_prob",
     default_min_quality: float = 0.0,
     default_rate: float = 1.0,
-    seed: str = "",
+    seed: str = "dom",
 ) -> str:
     """DuckDB WHERE-clause mirror of ``apply_domain_policies`` (same CASE
     order, same md5 bounds — byte-for-byte)."""
@@ -370,12 +375,20 @@ class CurationPipeline(StageRunner):
             kept = scored.where(
                 (F.col("n_tokens") >= cfg.min_tokens)
                 & (F.col("alpha") > cfg.min_alpha_ratio)
-                & (F.col("quality_prob") >= cfg.min_quality_prob)
             )
             if cfg.domain_policies:
+                # the domain policy OWNS the quality gate when configured:
+                # applying the global min_quality_prob first would make a
+                # per-domain threshold BELOW the global one unreachable
+                # (round-5 review finding 1) — non-overridden domains
+                # still get cfg.min_quality_prob as the default
                 kept = apply_domain_policies(
                     kept, cfg.domain_policies, id_col=cfg.id_col,
                     default_min_quality=cfg.min_quality_prob,
+                )
+            else:
+                kept = kept.where(
+                    F.col("quality_prob") >= cfg.min_quality_prob
                 )
             if cfg.lang_rates:
                 kept = sample_to_rates(

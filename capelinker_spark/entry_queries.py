@@ -2228,7 +2228,8 @@ def dd8_dup_span_stats(spark, sf_dir):
     "dd9_remove_dup_spans",
     f"""WITH all_docs AS MATERIALIZED ({_DOCS_PLUS_DUPS}),
         w AS (SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN []
+                -- IS NULL arm mirrors the Spark side: NULL text is empty
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
                      ELSE {WORDS_SQL.format(c='text')} END AS ws
               FROM all_docs),
         g AS (SELECT doc_id, u.s AS s, u.g AS g

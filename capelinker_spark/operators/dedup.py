@@ -476,8 +476,14 @@ def remove_duplicate_spans(
     from capelinker_spark.operators.textstats import WS_SPLIT
 
     text = F.col(text_col)
+    # NULL text is treated as empty EXPLICITLY: without the isNull arm the
+    # length() predicate is NULL, the otherwise-branch splits NULL and the
+    # whole row's clean_text goes NULL on Spark while the oracle's
+    # coalesce says '' — a cross-engine divergence (round-5 review
+    # finding 4)
     words = F.when(
-        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+        text.isNull() | (F.length(F.trim(text)) == 0),
+        F.array().cast("array<string>"),
     ).otherwise(F.split(F.trim(text), WS_SPLIT))
 
     base = docs.select(F.col(id_col), words.alias("_ws"))

@@ -45,7 +45,10 @@ def _walk_chunks(payload: bytes, start: int, end: int):
             raise ValueError("truncated RIFF chunk")
         yield fourcc, data_start, size
         pos = data_start + size + (size & 1)
-    if pos != end:
+    # pos == end + 1 is a final odd-sized chunk whose pad byte the writer
+    # omitted — common in the wild and tolerated by every mainstream
+    # demuxer (round-5 review finding 3)
+    if pos not in (end, end + 1):
         raise ValueError("trailing garbage inside RIFF list")
 
 
@@ -78,6 +81,11 @@ def split_mjpeg_avi(payload: bytes) -> list[bytes]:
                 if ltype in (b"movi", b"rec "):
                     collect(ds + 4, ds + size)
             elif _is_video_frame(fourcc):
+                if size == 0:
+                    # zero-length video chunks are the standard AVI
+                    # convention for dropped/duplicate frames — skip,
+                    # don't fail the file (round-5 review finding 3)
+                    continue
                 frame = payload[ds:ds + size]
                 if frame[:2] != b"\xff\xd8":
                     raise ValueError(

@@ -71,10 +71,10 @@ def train_bpe(
 
     Returns the ordered merge list ``[(left, right), ...]``; feed it to
     ``make_bpe_encoder`` / ``bpe_token_count``."""
-    total = wc.count()
-    if total > max_words:
-        wc = wc.orderBy(F.desc("n"), "word").limit(max_words)
-    rows = wc.collect()
+    # unconditional TakeOrdered: limit-of-a-smaller-set is a no-op, and
+    # gating it on an eager wc.count() would cost a full extra pass over
+    # the count table (round-5 review finding 6)
+    rows = wc.orderBy(F.desc("n"), "word").limit(max_words).collect()
     # word → symbol sequence (chars + end-of-word sentinel)
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:

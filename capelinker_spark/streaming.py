@@ -394,8 +394,12 @@ def stream_cluster_links(
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.fold(batch_df.select(src_col, dst_col), batch_id,
-                   src_col, dst_col)
+        # pin the micro-batch once: the fold runs several independent
+        # actions (eager CC checkpoints, convergence counts, the label
+        # write) and each would otherwise re-scan the streaming source
+        # (round-5 review finding 5; dedup_batch already does this)
+        edges = batch_df.select(src_col, dst_col).localCheckpoint(eager=True)
+        store.fold(edges, batch_id, src_col, dst_col)
 
     writer = (
         links_stream.writeStream.foreachBatch(fold_batch)

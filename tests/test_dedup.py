@@ -217,6 +217,7 @@ def test_remove_duplicate_spans(spark):
         (4, ""),
         (5, "short doc"),
         (6, "alpha beta gamma delta"),  # exactly the shared span, whole doc
+        (7, None),                      # NULL text ≡ empty (review find 4)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
@@ -227,6 +228,7 @@ def test_remove_duplicate_spans(spark):
     assert got[4] == ("", 0, 0)
     assert got[5] == ("short doc", 2, 0)      # < n words: untouched
     assert got[6] == ("", 4, 4)               # fully-covered doc -> empty
+    assert got[7] == ("", 0, 0)               # NULL text: '' not NULL
 
     # overlapping shared spans merge their coverage
     rows2 = [

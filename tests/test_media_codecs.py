@@ -363,3 +363,39 @@ def test_decode_image_avi_end_to_end(spark):
     by_url = {r["url"]: r["image_features"] for r in rows}
     assert by_url["v1"] == by_url["v2"]
     assert np.allclose(by_url["v1"], vec)
+
+
+def test_mjpeg_avi_dropped_frames_and_missing_final_pad():
+    """Round-5 review finding 3: zero-length '##dc' chunks (the standard
+    AVI convention for dropped frames) are skipped, not fatal; a final
+    odd-sized chunk whose pad byte the writer omitted is tolerated."""
+    import struct
+
+    from capelinker_spark.operators.media_avi import (
+        build_mjpeg_avi,
+        split_mjpeg_avi,
+    )
+
+    frames = _avi_frames(3)
+    avi = bytearray(build_mjpeg_avi(frames, width=24, height=16))
+    # splice a zero-length 00dc chunk right after the 'movi' type fourcc
+    movi = avi.find(b"LIST", 12)
+    while avi[movi + 8:movi + 12] != b"movi":
+        movi = avi.find(b"LIST", movi + 1)
+    ins = movi + 12
+    empty = b"00dc" + struct.pack("<I", 0)
+    avi[ins:ins] = empty
+    # fix the sizes (RIFF total + movi LIST payload)
+    struct.pack_into("<I", avi, 4, struct.unpack_from("<I", avi, 4)[0] + 8)
+    struct.pack_into("<I", avi, movi + 4,
+                     struct.unpack_from("<I", avi, movi + 4)[0] + 8)
+    got = split_mjpeg_avi(bytes(avi))
+    assert got == frames               # dropped-frame chunk skipped
+
+    # missing final pad byte: append an odd-sized trailing chunk sans pad
+    avi2 = bytearray(build_mjpeg_avi(frames, width=24, height=16))
+    odd = b"junk" + struct.pack("<I", 3) + b"abc"   # 3 bytes, no pad
+    struct.pack_into("<I", avi2, 4,
+                     struct.unpack_from("<I", avi2, 4)[0] + len(odd))
+    avi2 += odd
+    assert split_mjpeg_avi(bytes(avi2)) == frames

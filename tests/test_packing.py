@@ -270,3 +270,53 @@ def test_curation_per_domain_policies(spark, tmp_path):
     with _pytest.raises(ValueError, match="url_col"):
         CurationPipeline(spark, str(tmp_path / "wd2"),
                          CurationConfig(domain_policies=policies))
+
+
+def test_domain_policy_can_relax_global_quality_gate(spark, tmp_path):
+    """Round-5 review finding 1: with domain_policies configured, the
+    policy OWNS the quality gate — a per-domain threshold BELOW the
+    global min_quality_prob must actually keep low-quality docs from that
+    domain (the old order applied the global filter first, making
+    relaxation unreachable). Non-overridden domains still get the global
+    default."""
+    from capelinker_spark.curation import CurationConfig, CurationPipeline
+
+    # letters present (alpha gate passes) but digit-heavy → low quality
+    junk = "zq wx 123 456 789 000 111 222 333 444"
+    rows = [
+        (i, junk + f" {i}", "en", f"https://allow.org/{i}") for i in range(10)
+    ] + [
+        (100 + i, junk + f" x{i}", "en", f"https://strict.com/{i}")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    cfg = CurationConfig(
+        url_col="url",
+        domain_policies={"allow.org": {"min_quality_prob": 0.0}},
+        min_quality_prob=0.99, min_tokens=1, min_alpha_ratio=0.0,
+    )
+    res = CurationPipeline(spark, str(tmp_path / "wd"), cfg).run(docs)
+    doms = {r["domain"] for r in res["mixed"].collect()}
+    assert doms == {"allow.org"}    # relaxed domain kept, strict dropped
+
+
+def test_domain_gate_decorrelated_from_lang_gate(spark):
+    """Round-5 review finding 2: the domain gate's md5 digest uses seed
+    'dom', distinct from the lang-mixing gates' '' — composing a 0.5
+    domain rate with a 0.5 lang rate must keep ≈25% (independent), not
+    50% (identical digests would make the second gate a no-op)."""
+    from capelinker_spark.curation import apply_domain_policies
+    from capelinker_spark.operators.mixing import sample_to_rates
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a.com").alias("domain"),
+        F.lit("en").alias("lang"),
+        F.lit(1.0).alias("quality_prob"),
+    )
+    domained = apply_domain_policies(df, {"a.com": {"rate": 0.5}})
+    both = sample_to_rates(domained, "lang", {"en": 0.5}, "doc_id")
+    n = both.count()
+    assert 800 < n < 1200, n   # ≈1000 of 4000; perfectly correlated → ≈2000
