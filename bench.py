@@ -221,6 +221,8 @@ HEADLINE_QUERIES = [
     # round 5
     "dd9_remove_dup_spans",
     "cu5_domain_policy_curation",
+    "tok1_word_counts",
+    "dd10_paragraph_dedup",
 ]
 
 

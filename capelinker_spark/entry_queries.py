@@ -2650,6 +2650,58 @@ _register_u11_oracle()
 
 
 @register(
+    "dd10_paragraph_dedup",
+    f"""WITH all_docs AS MATERIALIZED (
+          SELECT doc_id,
+                 text || chr(10) || chr(10) || 'footer block '
+                      || (doc_id % 7)::VARCHAR AS text
+          FROM documents),
+        p0 AS (SELECT doc_id, u.i AS pos, u.p AS para
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN text IS NULL THEN []
+                         ELSE list_transform(
+                                string_split(text, chr(10) || chr(10)),
+                                (x, i) -> {{'i': i, 'p': x}}) END) AS u
+                     FROM all_docs)),
+        p AS (SELECT * FROM p0 WHERE length(trim(para)) > 0),
+        sh AS (SELECT para FROM p GROUP BY para
+               HAVING min(doc_id) != max(doc_id)),
+        agg AS (SELECT p.doc_id,
+                  CAST(count(*) AS BIGINT) AS n_paras,
+                  CAST(sum(CASE WHEN sh.para IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_removed,
+                  coalesce(array_to_string(list_transform(
+                    list_sort(list({{'i': pos, 'p': p.para}})
+                              FILTER (WHERE sh.para IS NULL)),
+                    x -> x.p), chr(10) || chr(10)), '') AS clean_text
+                FROM p LEFT JOIN sh USING (para) GROUP BY p.doc_id)
+       SELECT d.doc_id,
+              coalesce(clean_text, '') AS clean_text,
+              coalesce(n_paras, 0) AS n_paras,
+              coalesce(n_removed, 0) AS n_removed
+       FROM all_docs d LEFT JOIN agg USING (doc_id)""",
+)
+def dd10_paragraph_dedup(spark, sf_dir):
+    """Cross-document exact-paragraph dedup (dedup.remove_duplicate_
+    paragraphs): the MassiveText/C4 granularity between whole-doc dedup
+    (dd1) and n-gram span removal (dd9) — paragraphs appearing
+    byte-identically in ≥2 docs are removed from every copy. A shared
+    footer block (doc_id % 7) is planted onto every document, so each
+    doc keeps its unique body and loses the boilerplate; CLEAN TEXT is
+    oracle-checked byte-for-byte."""
+    from capelinker_spark.operators.dedup import remove_duplicate_paragraphs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\nfooter block "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return remove_duplicate_paragraphs(d)
+
+
+@register(
     "tok1_word_counts",
     f"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
         FROM (SELECT unnest(regexp_extract_all(text,
@@ -2872,6 +2924,7 @@ def dm3_bpe_packing(spark, sf_dir):
 _DRIVER_WINDOW = [
     # round-5-new first, then round-5-touched
     "dd9_remove_dup_spans", "cu5_domain_policy_curation", "tok1_word_counts",
+    "dd10_paragraph_dedup",
     "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
     "cu4_full_curation", "cu3_model_quality_score",
     # the 26-query cohort rotated back in (last driver row: round 3)
@@ -2889,13 +2942,14 @@ _DRIVER_WINDOW = [
     "dd7_decontaminate", "dd8_dup_span_stats", "ts7_pii_redact",
     "cu2_line_filter", "ev1_sessionize_stats", "ts8_top_ngram_fraction",
     "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
-    "f15_minmax_normalise", "m1_logistic_score", "u4_uniformise_strings",
+    "f15_minmax_normalise", "m1_logistic_score",
     "dd6_near_dedup_canonical",
-    # a14_labeling_sheet, ann3_embedding_dedup_canonical and
-    # st1_streaming_window_agg (each 1x green, untouched; ann3's
-    # canonicalization pattern stays covered via dd6, st1's semantics are
-    # pinned by the stream≡batch pytest battery) yield their slots to the
-    # new dd9, cu5 and tok1 this round
+    # a14_labeling_sheet, ann3_embedding_dedup_canonical,
+    # st1_streaming_window_agg and u4_uniformise_strings (each 1x green,
+    # untouched; ann3's canonicalization pattern stays covered via dd6,
+    # st1 and u4 are heavily pytest-pinned — stream≡batch battery, R-
+    # semantics parity oracle) yield their slots to the new dd9, cu5,
+    # tok1 and dd10 this round
 ]
 
 

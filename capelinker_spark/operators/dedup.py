@@ -533,3 +533,71 @@ def remove_duplicate_spans(
         F.size("_ws").cast("long").alias("n_words"),
         (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def remove_duplicate_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT-paragraph dedup — the MassiveText/C4
+    granularity between whole-document dedup (`exact_duplicates`) and
+    n-gram span removal (`remove_duplicate_spans`): a paragraph
+    (``\\n\\n``-separated block) that appears byte-identically in ≥2
+    distinct documents is removed from EVERY copy (boilerplate headers,
+    nav blocks, license footers have no canonical owner).
+
+    Returns ``(id, clean_text, n_paras, n_removed)``. ``clean_text`` is
+    the kept paragraphs rejoined with ``\\n\\n`` in original order;
+    whitespace-only paragraphs are dropped in the rebuild (so runs of
+    blank lines normalize away); NULL text ≡ empty. ``n_paras`` counts
+    only non-whitespace paragraphs — ``n_removed`` is how many of those
+    were shared.
+
+    Plan shape: one shuffle of the exploded paragraph table (window over
+    the paragraph value; the ≥2-distinct-docs test is min≠max — two id
+    counters per paragraph even for the hottest boilerplate block, never
+    a doc list), then one per-doc aggregation rebuilding the text from
+    position-sorted kept paragraphs (bounded by each doc's own size).
+    Zero Python."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    paras = F.when(
+        text.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(text, "\n\n"))
+
+    p = docs.select(F.col(id_col), F.posexplode(paras).alias("_pos", "_p"))
+    p = p.where(F.length(F.trim("_p")) > 0)
+    w = Window.partitionBy("_p")
+    flagged = p.withColumn(
+        "_shared", F.min(id_col).over(w) != F.max(id_col).over(w)
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("_shared").cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("_shared"),
+                            F.struct(F.col("_pos"), F.col("_p")),
+                        )
+                    )
+                ),
+                lambda x: x["_p"],
+            ),
+            "\n\n",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        )
+    )

@@ -246,3 +246,36 @@ def test_remove_duplicate_spans(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_remove_duplicate_paragraphs(spark):
+    """dd10: byte-identical paragraphs in ≥2 docs are removed from every
+    copy; doc structure (order, \\n\\n joins) survives; whitespace-only
+    paragraphs normalize away; NULL/empty text yields ''."""
+    from capelinker_spark.operators.dedup import remove_duplicate_paragraphs
+
+    rows = [
+        (1, "unique one\n\nSHARED FOOTER BLOCK\n\nunique tail"),
+        (2, "other start\n\nSHARED FOOTER BLOCK"),
+        (3, "all original\ncontent here"),   # single \n is NOT a para break
+        (4, ""),
+        (5, None),
+        (6, "a\n\n\n\nb"),                   # blank-run normalizes away
+        (7, "SHARED FOOTER BLOCK"),          # doc that IS the boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_paras"], r["n_removed"])
+           for r in remove_duplicate_paragraphs(df).collect()}
+    assert got[1] == ("unique one\n\nunique tail", 3, 1)
+    assert got[2] == ("other start", 2, 1)
+    assert got[3] == ("all original\ncontent here", 1, 0)
+    assert got[4] == ("", 0, 0)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("a\n\nb", 2, 0)
+    assert got[7] == ("", 1, 1)
+
+    # plan shape: no Python, no single-partition exchange
+    plan = remove_duplicate_paragraphs(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
