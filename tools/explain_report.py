@@ -187,6 +187,29 @@ def main():
         _fmt(cu5),
     ))
 
+    dd10 = QUERIES["dd10_paragraph_dedup"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Exact-paragraph dedup (dd10)",
+        "Look for: one `Window` shuffle keyed on the paragraph VALUE "
+        "(min/max id counters — never a per-paragraph doc list), a "
+        "partial→final HashAggregate rebuilding each doc from its "
+        "position-sorted kept paragraphs, and a left join back onto the "
+        "narrow doc table. No Python, no `Exchange SinglePartition`.",
+        _fmt(dd10),
+    ))
+
+    tok1 = QUERIES["tok1_word_counts"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "BPE tokenizer training, distributed stage (tok1)",
+        "Look for: scan → regexp_extract_all + explode (generate) → "
+        "partial→final `HashAggregate` — a single map-side-combinable "
+        "count over the corpus; the iterative merge learning consumes "
+        "this bounded histogram on the driver (train_bpe), so the "
+        "distributed footprint of tokenizer training is exactly this "
+        "one shuffle.",
+        _fmt(tok1),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
