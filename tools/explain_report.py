@@ -155,7 +155,11 @@ def main():
         "pairs (bigram counts, context counts — both map-side combinable) "
         "joined back onto the exploded bigrams; the per-doc sum accumulates "
         "DECIMAL(18,6) terms (order-independent exact), and nothing leaves "
-        "the JVM — no Python anywhere in a corpus-wide LM fit + score.",
+        "the JVM — no Python anywhere in a corpus-wide LM fit + score. "
+        "The one `SinglePartition` exchange is the lazy vocab-size "
+        "scalar: a global count_distinct FINISHER over one "
+        "partial-count row per partition — a 1-row reduction, not a "
+        "data funnel.",
         _fmt(ts9),
     ))
 
