@@ -223,6 +223,8 @@ HEADLINE_QUERIES = [
     "cu5_domain_policy_curation",
     "tok1_word_counts",
     "dd10_paragraph_dedup",
+    "dd11_remove_contaminated_spans",
+    "cu6_token_budget_mix",
 ]
 
 

@@ -2304,6 +2304,74 @@ def dm4_temperature_mix(spark, sf_dir):
     return temperature_mix(d, "lang", "doc_id", temperature=0.5)
 
 
+_CU6_WEIGHTS = {"en": 0.2, "de": 0.5, "es": 0.3}
+_CU6_BUDGET = 3000
+
+
+def _cu6_sql() -> str:
+    """Token-budget mixture oracle: SQL recomputes per-class token totals
+    and the rate = numerator/T division + hex-bound conversion; the
+    numerators (budget·w/Σw) are driver-planted float literals exactly as
+    ``token_budget_rates`` computes them (redistribute=False tier), so
+    the data-dependent arithmetic — the token sums, the division, the
+    floor-to-hex bound, the rate≥1→'g' cap — is all cross-engine."""
+    wsum = sum(_CU6_WEIGHTS.values())
+    num_cases = " ".join(
+        f"WHEN '{c}' THEN {float(_CU6_BUDGET) * (w / wsum)!r}"
+        for c, w in sorted(_CU6_WEIGHTS.items())
+    )
+    words = WORDS_SQL.format(c="text")
+    return f"""WITH t AS (
+          SELECT doc_id, lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len({words}) END AS n_tokens
+          FROM documents),
+        tc AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS tt
+               FROM t WHERE lang IS NOT NULL GROUP BY lang),
+        r AS (SELECT lang,
+                (CASE lang {num_cases} ELSE NULL END) / tt AS rate
+              FROM tc),
+        b AS (SELECT lang,
+                CASE WHEN rate IS NULL OR rate >= 1.0 THEN 'g'
+                     ELSE printf('%05x',
+                            CAST(floor(rate * 1048576) AS BIGINT)) END
+                  AS bound
+              FROM r)
+       SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens
+       FROM t LEFT JOIN b USING (lang)
+       WHERE substr(md5(t.doc_id::VARCHAR), 1, 5) < coalesce(bound, 'g')"""
+
+
+@register("cu6_token_budget_mix", None)
+def cu6_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture weighting (mixing.token_budget_mix): the unit
+    pretraining actually budgets in — each language contributes
+    budget·weight TOKENS via rate = budget·w/Σw / T_lang capped at 1
+    (redistribute=False: the SQL-mirrorable tier; the waterfilling
+    production tier re-spreads capped classes' unfilled share and is
+    pytest-covered). One bounded #classes collect for the token sums,
+    then the same narrow deterministic md5 filter as dm1/dm4."""
+    from capelinker_spark.operators.mixing import token_budget_mix
+    from capelinker_spark.operators.textstats import token_count_ws
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn("n_tokens", token_count_ws(F.col("text")))
+    )
+    out = token_budget_mix(
+        d.select("doc_id", "lang", "n_tokens"),
+        "lang", "doc_id", "n_tokens",
+        weights=_CU6_WEIGHTS, budget=_CU6_BUDGET, redistribute=False,
+    )
+    return out.select(
+        "doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+
+
+ORACLES["cu6_token_budget_mix"] = _cu6_sql()
+
+
 @register(
     "dd7_decontaminate",
     f"""WITH contam AS MATERIALIZED (
@@ -2650,6 +2718,52 @@ _register_u11_oracle()
 
 
 @register(
+    "dd11_remove_contaminated_spans",
+    f"""WITH contam AS MATERIALIZED (
+         SELECT DISTINCT g FROM (
+           SELECT unnest({word_shingles_sql('text', 8)}) AS g
+           FROM documents WHERE doc_id % 100 = 7)),
+        w AS (SELECT doc_id,
+                CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+                     ELSE {WORDS_SQL.format(c='text')} END AS ws
+              FROM documents),
+        g AS (SELECT doc_id, u.s AS s, u.g AS g
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN len(ws) >= 8
+                        THEN list_transform(range(0, len(ws) - 7),
+                               i -> {{'s': i, 'g': array_to_string(
+                                       list_slice(ws, i + 1, i + 8), ' ')}})
+                        ELSE [] END) AS u
+                    FROM w)),
+        st AS (SELECT doc_id, list_sort(list(s)) AS starts
+               FROM g JOIN contam USING (g) GROUP BY doc_id)
+       SELECT w.doc_id,
+              coalesce(array_to_string(list_filter(ws, (x, i) ->
+                len(list_filter(coalesce(starts, []),
+                    s2 -> s2 >= i - 8 AND s2 <= i - 1)) = 0), ' '), '')
+                AS clean_text,
+              len(ws) AS n_words,
+              len(ws) - len(list_filter(ws, (x, i) ->
+                len(list_filter(coalesce(starts, []),
+                    s2 -> s2 >= i - 8 AND s2 <= i - 1)) = 0)) AS n_removed
+       FROM w LEFT JOIN st USING (doc_id)""",
+)
+def dd11_remove_contaminated_spans(spark, sf_dir):
+    """Span-level decontamination (dedup.remove_contaminated_spans): the
+    surgical tier above dd7 — words covered by an n-gram from the
+    contamination set (the doc_id%100==7 eval stand-in, same as dd7) are
+    REMOVED; the rest of each document survives. The contamination gram
+    set broadcasts and the corpus's positional grams probe it with a
+    broadcast semi-join — no corpus-side gram shuffle (dd7's plan
+    property, kept); CLEAN TEXT is oracle-checked byte-for-byte."""
+    from capelinker_spark.operators.dedup import remove_contaminated_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    contam = d.where(F.col("doc_id") % 100 == 7)
+    return remove_contaminated_spans(d, contam, n=8)
+
+
+@register(
     "dd10_paragraph_dedup",
     f"""WITH all_docs AS MATERIALIZED (
           SELECT doc_id,
@@ -2924,7 +3038,8 @@ def dm3_bpe_packing(spark, sf_dir):
 _DRIVER_WINDOW = [
     # round-5-new first, then round-5-touched
     "dd9_remove_dup_spans", "cu5_domain_policy_curation", "tok1_word_counts",
-    "dd10_paragraph_dedup",
+    "dd10_paragraph_dedup", "dd11_remove_contaminated_spans",
+    "cu6_token_budget_mix",
     "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
     "cu4_full_curation", "cu3_model_quality_score",
     # the 26-query cohort rotated back in (last driver row: round 3)
@@ -2939,17 +3054,19 @@ _DRIVER_WINDOW = [
     "u5_stringdist_closest", "u6_paste_similar",
     # 1x-green round-4 rows building their streak (incl. the two ex-red)
     "dm2_sequence_packing", "cu1_curation_pipeline", "dm4_temperature_mix",
-    "dd7_decontaminate", "dd8_dup_span_stats", "ts7_pii_redact",
-    "cu2_line_filter", "ev1_sessionize_stats", "ts8_top_ngram_fraction",
+    "dd8_dup_span_stats", "ts7_pii_redact",
+    "cu2_line_filter", "ts8_top_ngram_fraction",
     "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
     "f15_minmax_normalise", "m1_logistic_score",
     "dd6_near_dedup_canonical",
-    # a14_labeling_sheet, ann3_embedding_dedup_canonical,
-    # st1_streaming_window_agg and u4_uniformise_strings (each 1x green,
-    # untouched; ann3's canonicalization pattern stays covered via dd6,
-    # st1 and u4 are heavily pytest-pinned — stream≡batch battery, R-
-    # semantics parity oracle) yield their slots to the new dd9, cu5,
-    # tok1 and dd10 this round
+    # Yielding slots to the six round-5-new queries (dd9, cu5, tok1,
+    # dd10, dd11, cu6), each 1x green and implementation-untouched:
+    # a14_labeling_sheet, ann3_embedding_dedup_canonical (canonicalization
+    # pattern covered via dd6), st1_streaming_window_agg and
+    # ev1_sessionize_stats (stream≡batch pytest battery),
+    # u4_uniformise_strings (R-semantics parity pytest oracle), and
+    # dd7_decontaminate (its flag machinery is a strict subset of the
+    # in-window dd11)
 ]
 
 

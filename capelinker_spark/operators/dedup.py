@@ -473,22 +473,43 @@ def remove_duplicate_spans(
     table; the rebuild is a native higher-order filter — zero Python. The
     per-word coverage test scans the doc's shared-start array (O(W·S)
     worst case within one row, JVM-side)."""
+    base = _word_base(docs, text_col, id_col)
+    grams = _positional_grams(base, n, id_col)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_g")
+    shared_starts = (
+        grams.withColumn(
+            "_shared", F.min(id_col).over(w) != F.max(id_col).over(w)
+        )
+        .where("_shared")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_start")).alias("_starts"))
+    )
+    return _rebuild_minus_starts(base, shared_starts, n, id_col)
+
+
+def _word_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, _ws) word arrays; NULL text ≡ empty EXPLICITLY (without the
+    isNull arm the length() predicate is NULL, the otherwise-branch splits
+    NULL and clean_text goes NULL on Spark while the oracle coalesces to
+    '' — round-5 review finding 4)."""
     from capelinker_spark.operators.textstats import WS_SPLIT
 
     text = F.col(text_col)
-    # NULL text is treated as empty EXPLICITLY: without the isNull arm the
-    # length() predicate is NULL, the otherwise-branch splits NULL and the
-    # whole row's clean_text goes NULL on Spark while the oracle's
-    # coalesce says '' — a cross-engine divergence (round-5 review
-    # finding 4)
     words = F.when(
         text.isNull() | (F.length(F.trim(text)) == 0),
         F.array().cast("array<string>"),
     ).otherwise(F.split(F.trim(text), WS_SPLIT))
+    return docs.select(F.col(id_col), words.alias("_ws"))
 
-    base = docs.select(F.col(id_col), words.alias("_ws"))
+
+def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
+    """(id, _start, _g): every word n-gram with its 0-based start offset;
+    docs shorter than n words yield none."""
     k = F.size("_ws")
-    grams = base.select(
+    return base.select(
         F.col(id_col),
         F.explode(
             F.when(
@@ -504,19 +525,16 @@ def remove_duplicate_spans(
         ).alias("_u"),
     ).select(id_col, "_u._start", "_u._g")
 
-    from pyspark.sql import Window
 
-    w = Window.partitionBy("_g")
-    shared_starts = (
-        grams.withColumn(
-            "_shared", F.min(id_col).over(w) != F.max(id_col).over(w)
-        )
-        .where("_shared")
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("_start")).alias("_starts"))
-    )
-
-    rebuilt = base.join(shared_starts, id_col, "left").withColumn(
+def _rebuild_minus_starts(
+    base: DataFrame, starts_per_doc: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Drop every word covered by an n-gram starting at one of the doc's
+    ``_starts`` offsets; rejoin with single spaces. The per-word coverage
+    test scans the doc's start array (O(W·S) worst case within one row,
+    JVM-side, native higher-order filter — zero Python). LONG counts: the
+    DuckDB oracles' len() is BIGINT and the driver hash is dtype-strict."""
+    rebuilt = base.join(starts_per_doc, id_col, "left").withColumn(
         "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
     )
     kept = F.filter(
@@ -525,13 +543,54 @@ def remove_duplicate_spans(
             "_starts", lambda s: (s >= i - (n - 1)) & (s <= i)
         ),
     )
-    # LONG counts: the DuckDB oracle's len() is BIGINT and the driver's
-    # value hash is dtype-strict
     return rebuilt.select(
         F.col(id_col),
         F.array_join(kept, " ").alias("clean_text"),
         F.size("_ws").cast("long").alias("n_words"),
         (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame,
+    contamination: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    contam_text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination — the ACTION tier of
+    ``flag_contaminated``: instead of DROPPING every document sharing an
+    n-gram with the evaluation set (dd7's flag), remove ONLY the words
+    covered by a contaminated n-gram and keep the rest of the document
+    (the surgical variant used when eval snippets are quoted inside
+    otherwise-good pages).
+
+    Returns ``(id, clean_text, n_words, n_removed)`` with the same
+    rebuild semantics as ``remove_duplicate_spans`` (whitespace-
+    normalized, NULL ≡ empty, sub-``n``-word docs untouched).
+
+    Plan shape: CHEAPER than dd9 — the contamination n-gram set is
+    eval-benchmark-sized, so it BROADCASTS, and the corpus's positional
+    gram table probes it with a broadcast semi-join: the corpus never
+    shuffles on the gram key at all (dd7's plan property, kept); the only
+    corpus-keyed exchange is the per-doc start aggregation."""
+    grams = _positional_grams(_word_base(docs, text_col, id_col), n, id_col)
+    contam = (
+        contamination.select(
+            F.explode(
+                word_shingles(F.col(contam_text_col), n)
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    starts = (
+        grams.join(F.broadcast(contam), "_g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_start")).alias("_starts"))
+    )
+    return _rebuild_minus_starts(
+        _word_base(docs, text_col, id_col), starts, n, id_col
     )
 
 

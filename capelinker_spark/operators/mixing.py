@@ -180,3 +180,94 @@ def temperature_mix(
         df, class_col, rates, key_col, default_rate=1.0, seed=seed,
         method=method,
     )
+
+
+def token_budget_rates(
+    token_counts: dict[str, int],
+    weights: dict[str, float],
+    budget: int,
+    redistribute: bool = True,
+) -> dict[str, float]:
+    """Per-class keep rates hitting a TOKEN budget at a target mixture —
+    pretraining data is budgeted in tokens, not documents: class c should
+    contribute ``budget·weights[c]`` tokens out of its ``token_counts[c]``
+    available, so ``rate_c = budget·w_c / T_c`` capped at 1 (pure
+    subsampling cannot oversample).
+
+    ``redistribute=True`` (production default) waterfills: when a class
+    caps at 1 (can't fill its share), its unfilled token share re-spreads
+    over the uncapped classes proportionally to their weights — iterates
+    at most ``#classes`` rounds, driver-side, deterministic.
+    ``redistribute=False`` is the plain capped formula — one expression
+    per class, exactly SQL-mirrorable (the cu6 oracle tier; capped
+    classes still mirror via the rate ≥ 1 → 'g' bound convention).
+
+    Classes present in ``weights`` but absent (or zero) in
+    ``token_counts`` get rate 1.0 (keep whatever shows up); classes
+    absent from ``weights`` are the caller's ``default_rate`` concern."""
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    rates: dict[str, float] = {}
+    live = {
+        c: w for c, w in weights.items() if token_counts.get(c, 0) > 0
+    }
+    for c in weights:
+        if token_counts.get(c, 0) <= 0:
+            rates[c] = 1.0
+    remaining_budget = float(budget)
+    while live:
+        wsum = sum(live.values())
+        capped = {}
+        for c, w in live.items():
+            r = remaining_budget * (w / wsum) / token_counts[c]
+            if r >= 1.0:
+                capped[c] = 1.0
+        if not capped or not redistribute:
+            for c, w in live.items():
+                r = remaining_budget * (w / wsum) / token_counts[c]
+                rates[c] = min(r, 1.0)
+            break
+        # capped classes contribute everything they have; their unfilled
+        # share re-spreads over the remaining classes next round
+        for c in capped:
+            rates[c] = 1.0
+            remaining_budget -= token_counts[c]
+            del live[c]
+        remaining_budget = max(remaining_budget, 0.0)
+        if remaining_budget == 0.0:
+            for c in live:
+                rates[c] = 0.0
+            break
+    return rates
+
+
+def token_budget_mix(
+    df: DataFrame,
+    class_col: str,
+    key_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    budget: int,
+    redistribute: bool = True,
+    seed: str = "",
+    method: str = "md5",
+) -> DataFrame:
+    """Rebalance a corpus to a target mixture under a total TOKEN budget:
+    one bounded ``groupBy(class).sum(token_col)`` collect (#classes
+    rows), rates from ``token_budget_rates``, then the deterministic
+    ``sample_to_rates`` filter — same narrow plan shape as
+    ``temperature_mix``. Keeping ≈rate_c of each class's DOCUMENTS keeps
+    ≈rate_c of its tokens (the md5 keep rule is independent of document
+    length). NULL-class rows take default_rate 1.0."""
+    counts = {
+        r[class_col]: int(r["t"])
+        for r in df.groupBy(class_col)
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+        if r[class_col] is not None and r["t"] is not None
+    }
+    rates = token_budget_rates(counts, weights, budget, redistribute)
+    return sample_to_rates(
+        df, class_col, rates, key_col, default_rate=1.0, seed=seed,
+        method=method,
+    )

@@ -279,3 +279,42 @@ def test_remove_duplicate_paragraphs(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_remove_contaminated_spans(spark):
+    """dd11: words covered by an n-gram from the contamination set are
+    removed; everything else survives — the surgical tier above
+    flag_contaminated's whole-doc drop."""
+    from capelinker_spark.operators.dedup import (
+        flag_contaminated,
+        remove_contaminated_spans,
+    )
+
+    bench = "what is the capital of france"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {bench} outro words here"),
+            (2, "completely unrelated document with other content"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    contam = spark.createDataFrame([(bench,)], "text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in remove_contaminated_spans(docs, contam, n=6).collect()}
+    assert got[1] == ("intro words outro words here", 6)
+    assert got[2][1] == 0
+    assert got[3] == ("", 0)
+
+    # consistency with the flag tier: a doc losing words is a doc dd7
+    # would have flagged
+    flags = {r["doc_id"]: r["contaminated"]
+             for r in flag_contaminated(docs.where(F.col("text").isNotNull()),
+                                        contam, n=6).collect()}
+    assert flags[1] is True and flags[2] is False
+
+    # the contamination set broadcasts: corpus grams never shuffle on the
+    # gram key
+    plan = remove_contaminated_spans(docs, contam, n=6)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

@@ -184,3 +184,61 @@ def test_temperature_mix_null_class_rows_kept(spark):
     # every NULL-lang row survives; 'en' is the only counted class so its
     # rate is 1.0 too -> the whole frame survives
     assert got == {i for i in range(200)}
+
+
+def test_token_budget_rates_math():
+    """Token-budget mixture: rate = budget·w/Σw / T capped at 1;
+    waterfilling re-spreads a capped class's unfilled share over the
+    uncapped classes; zero-count classes keep 1.0; degenerate budgets
+    raise."""
+    import pytest
+
+    from capelinker_spark.operators.mixing import token_budget_rates
+
+    assert token_budget_rates(
+        {"en": 1000, "de": 1000}, {"en": 0.75, "de": 0.25}, 800
+    ) == {"en": 0.6, "de": 0.2}
+    # de can only supply 100 of its 600-token share; waterfill hands the
+    # surplus to en: (1000-100)*1.0/10000 = 0.09
+    assert token_budget_rates(
+        {"en": 10_000, "de": 100}, {"en": 0.4, "de": 0.6}, 1000
+    ) == {"de": 1.0, "en": 0.09}
+    # the SQL-mirrorable tier: plain capped formula, no redistribution
+    assert token_budget_rates(
+        {"en": 10_000, "de": 100}, {"en": 0.4, "de": 0.6}, 1000,
+        redistribute=False,
+    ) == {"en": 0.04, "de": 1.0}
+    assert token_budget_rates(
+        {"en": 10, "de": 10}, {"en": 0.5, "de": 0.5}, 1000
+    ) == {"en": 1.0, "de": 1.0}
+    assert token_budget_rates({"en": 100}, {"en": 1.0, "xx": 0.5}, 50) == {
+        "xx": 1.0, "en": 0.5,
+    }
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_rates({"en": 1}, {"en": 1.0}, 0)
+
+
+def test_token_budget_mix_hits_budget(spark):
+    """e2e: the kept corpus's per-class token mass lands near
+    budget·weight (md5-uniform sampling over many docs)."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.mixing import token_budget_mix
+
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "de").otherwise("en").alias("lang"),
+        (F.pmod(F.xxhash64("id"), F.lit(20)) + 10).alias("n_tokens"),
+    )
+    totals = {r["lang"]: r["t"] for r in
+              df.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    budget = 30_000
+    out = token_budget_mix(
+        df, "lang", "doc_id", "n_tokens",
+        weights={"en": 0.5, "de": 0.5}, budget=budget,
+    )
+    got = {r["lang"]: r["t"] for r in
+           out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    for lang in ("en", "de"):
+        want = min(budget * 0.5, totals[lang])
+        assert abs(got[lang] - want) / want < 0.1, (lang, got[lang], want)
