@@ -191,6 +191,20 @@ def main():
         _fmt(cu5),
     ))
 
+    dd11 = QUERIES["dd11_remove_contaminated_spans"](
+        spark, "/root/testdata/sf0.001"
+    )
+    sections.append((
+        "Span-level decontamination (dd11)",
+        "Look for: the corpus's positional grams probe the BROADCAST "
+        "contamination gram set via `BroadcastHashJoin ... LeftSemi` — "
+        "the corpus never shuffles on the gram key (dd7's plan property, "
+        "kept in the action tier); the only corpus-keyed exchange is the "
+        "per-doc start aggregation, and the rebuild is the same native "
+        "higher-order filter as dd9. Zero Python.",
+        _fmt(dd11),
+    ))
+
     dd10 = QUERIES["dd10_paragraph_dedup"](spark, "/root/testdata/sf0.001")
     sections.append((
         "Exact-paragraph dedup (dd10)",
