@@ -319,3 +319,155 @@ def embedding_dedup_canonical(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
         )
     )
+
+
+def l2_normalize(vec: Column) -> Column:
+    """Native L2 normalization — PQ's asymmetric distance approximates
+    the DOT product, so for cosine ranking encode (and query with)
+    normalized vectors."""
+    return F.transform(vec, lambda x: x.cast("double") / norm(vec))
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    sample_size: int = 10_000,
+    iterations: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks ``(m, k, dim//m)``: the vector is
+    split into ``m`` subvectors and each subspace gets its own ``k``-
+    centroid k-means (driver-side, seeded, over a bounded sample — the
+    same discipline as ``train_ivf_centroids``). With float32 corpora a
+    (m=8, k=16) code is 8 small ints per vector vs ``dim`` floats — the
+    compression that lets a 100-TB embedding table's scan tier fit in
+    memory for re-ranking."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sample = np.array(
+        [
+            r["v"]
+            for r in corpus.select(F.col(vec_col).alias("v"))
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    d = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, d))
+    for j in range(m):
+        sub = sample[:, j * d:(j + 1) * d]
+        idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
+        cents = sub[idx].copy()
+        for _ in range(iterations):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books[j, : len(cents)] = cents
+        if len(cents) < k:
+            books[j, len(cents):] = cents[-1]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to ``array<int>`` PQ codes, NATIVE: per subvector,
+    nearest centroid by the same dot−½‖c‖² argmax trick as
+    ``assign_ivf_cell`` — no Python in the encode scan."""
+    m, k, d = codebooks.shape
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * d + 1, d)
+        # ONE transform over the literal centroid matrix: generated code
+        # is constant in k (a per-centroid expression list re-inlines the
+        # subvector k times and trips the 64 KB codegen limit at real
+        # codebook sizes); the centroid norms fold in as literals
+        cents = F.array(*[_lit_vec(c) for c in codebooks[j]])
+        norms = _lit_vec([float((c**2).sum() / 2.0) for c in codebooks[j]])
+        scores = F.zip_with(
+            cents, norms, lambda c, hn: dot(sub, c) - hn
+        )
+        codes.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias(out))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus_codes: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds
+    its m×k lookup table of exact subvector dots ONCE (a per-row native
+    expression), then every corpus code scores as m table lookups + adds
+    — the compressed-scan tier (`brute_force_topk` reads dim floats per
+    pair; this reads m small ints). Returns approximate-dot ranking
+    ``(query_id, neighbor_id, approx_dot, rank)``; re-rank the survivors
+    with exact vectors when precision matters (the standard
+    IVF/PQ + rerank composition).
+
+    Scale shape: broadcast the (small) query-side LUT rows against the
+    code table — the corpus never shuffles; the only exchange is the
+    per-query top-k window on the candidate set."""
+    m, kk, d = codebooks.shape
+
+    def _sub_lut(j: int) -> Column:
+        # closure factory, NOT a default-arg lambda: a two-arg lambda is
+        # read by PySpark as the (element, index) transform variant and
+        # the second arg silently becomes the index column
+        return F.transform(
+            F.array(*[_lit_vec(codebooks[j][c]) for c in range(kk)]),
+            lambda c: dot(F.slice(F.col("_qv"), j * d + 1, d), c),
+        )
+
+    lut = F.array(*[_sub_lut(j) for j in range(m)])
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_lut", lut).drop("_qv")
+    scored = (
+        corpus_codes.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(code_col).alias("_c")
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "approx_dot",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_c"),
+                    F.sequence(F.lit(1), F.lit(m)),
+                    lambda c, j: F.element_at(
+                        F.element_at("_lut", j), c + 1
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
