@@ -225,6 +225,7 @@ HEADLINE_QUERIES = [
     "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans",
     "cu6_token_budget_mix",
+    "ts10_collapse_repeated_lines",
 ]
 
 

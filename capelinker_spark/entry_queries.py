@@ -1186,6 +1186,42 @@ _TS6_LINED = (
 
 
 @register(
+    "ts10_collapse_repeated_lines",
+    f"""WITH lined AS (SELECT doc_id, {_TS6_LINED} AS t FROM documents)
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split_regex(t, '\\r*\\n'),
+                   (x, i) -> i = 1 OR x != string_split_regex(t, '\\r*\\n')[i - 1]),
+                 chr(10)) AS collapsed
+        FROM lined""",
+)
+def ts10_collapse_repeated_lines(spark, sf_dir):
+    """Consecutive-duplicate-line collapse (textstats.collapse_repeated_
+    lines): the cleaner acting on ts6's dup-line signal — back-to-back
+    repeated lines (scraped nav/menu boilerplate) collapse to one, non-
+    adjacent repeats survive. Planted input: the ts6 lined text (two
+    guaranteed consecutive dups + an id-dependent third). CRLF-safe
+    split, LF-normalized rejoin, COLLAPSED TEXT byte-exact."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(c, 1, 40),
+            F.substring(c, 1, 40),
+            F.when(F.col("doc_id") % 2 == 0, F.substring(c, 1, 40)).otherwise(
+                F.substring(c, 41, 40)
+            ),
+            c,
+        ).alias("t"),
+    )
+    return lined.select(
+        "doc_id", TS.collapse_repeated_lines(F.col("t")).alias("collapsed")
+    )
+
+
+@register(
     "ts6_line_repetition",
     f"""WITH lined AS (SELECT doc_id, {_TS6_LINED} AS t FROM documents),
         s AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined)
@@ -3039,7 +3075,7 @@ _DRIVER_WINDOW = [
     # round-5-new first, then round-5-touched
     "dd9_remove_dup_spans", "cu5_domain_policy_curation", "tok1_word_counts",
     "dd10_paragraph_dedup", "dd11_remove_contaminated_spans",
-    "cu6_token_budget_mix",
+    "cu6_token_budget_mix", "ts10_collapse_repeated_lines",
     "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
     "cu4_full_curation", "cu3_model_quality_score",
     # the 26-query cohort rotated back in (last driver row: round 3)
@@ -3058,15 +3094,15 @@ _DRIVER_WINDOW = [
     "cu2_line_filter", "ts8_top_ngram_fraction",
     "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
     "f15_minmax_normalise", "m1_logistic_score",
-    "dd6_near_dedup_canonical",
-    # Yielding slots to the six round-5-new queries (dd9, cu5, tok1,
-    # dd10, dd11, cu6), each 1x green and implementation-untouched:
-    # a14_labeling_sheet, ann3_embedding_dedup_canonical (canonicalization
-    # pattern covered via dd6), st1_streaming_window_agg and
-    # ev1_sessionize_stats (stream≡batch pytest battery),
-    # u4_uniformise_strings (R-semantics parity pytest oracle), and
-    # dd7_decontaminate (its flag machinery is a strict subset of the
-    # in-window dd11)
+    # Yielding slots to the seven round-5-new queries (dd9, cu5, tok1,
+    # dd10, dd11, cu6, ts10), each 1x green and implementation-untouched:
+    # a14_labeling_sheet, ann3_embedding_dedup_canonical and
+    # dd6_near_dedup_canonical (the LSH→CC canonicalization family is
+    # covered in-window by dd9/dd10/dd11 and by the judge's full sweep),
+    # st1_streaming_window_agg and ev1_sessionize_stats (stream≡batch
+    # pytest battery), u4_uniformise_strings (R-semantics parity pytest
+    # oracle), and dd7_decontaminate (its flag machinery is a strict
+    # subset of the in-window dd11)
 ]
 
 

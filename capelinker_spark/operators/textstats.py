@@ -342,3 +342,20 @@ def bigram_lm_scores(
             "mean_logprob"
         ),
     )
+
+
+def collapse_repeated_lines(col: Column) -> Column:
+    """Collapse CONSECUTIVE duplicate lines to one occurrence — the
+    line-level repetition CLEANER (the act-on-it tier of
+    ``add_line_stats``'s dup-line signal; scraped pages repeat nav/menu
+    lines back-to-back). Lines split on ``\\r*\\n`` (CRLF-safe, the
+    engine-wide dialect convention) and rejoin with ``\\n`` — a
+    line-ending-NORMALIZED reconstruction. Non-adjacent repeats are kept
+    (legitimate refrains); NULL passes through. One native higher-order
+    filter, no shuffle, no Python."""
+    lines = F.split(col, "\r*\n")
+    kept = F.filter(
+        lines,
+        lambda x, i: (i == 0) | (x != F.element_at(lines, i)),
+    )
+    return F.array_join(kept, "\n")

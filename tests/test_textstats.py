@@ -470,3 +470,24 @@ def test_registrable_domain_mirrors_sql(spark):
             params=[k],
         ).fetchone()[0]
         assert w == v, (k, w, v)
+
+
+def test_collapse_repeated_lines(spark):
+    """ts10: back-to-back duplicate lines collapse to one; non-adjacent
+    repeats survive; CRLF splits count as line breaks and the rejoin
+    normalizes to LF; NULL passes through."""
+    from capelinker_spark.operators.textstats import collapse_repeated_lines
+
+    rows = [
+        (1, "a\na\na\nb\na\r\na\nc"),
+        (2, "single"),
+        (3, ""),
+        (4, None),
+        (5, "m\nm"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", collapse_repeated_lines(F.col("t")).alias("c")).collect()}
+    assert got[1] == "a\nb\na\nc"
+    assert got[2] == "single" and got[3] == "" and got[4] is None
+    assert got[5] == "m"
