@@ -247,12 +247,38 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
 
     out: dict[str, float] = {}
     steal: dict[str, int] = {}
+    retried: list[str] = []
 
     def timed(name, thunk):
-        s0, t0 = read_steal(), time.time()
-        thunk()
-        out[name] = round(time.time() - t0, 3)
-        steal[name] = read_steal() - s0
+        # per-query contention gate (round-5 verdict item 1, "cheaply"):
+        # one retry when the timed window's steal delta trips the gate;
+        # kept sample prefers steal-quiet, then faster.
+        best = None
+        for attempt in range(2):
+            s0, t0 = read_steal(), time.time()
+            thunk()
+            dt = time.time() - t0
+            sd = read_steal() - s0
+            cand = {
+                "seconds": dt,
+                "steal": sd,
+                "contended": steal_contended(sd, dt),
+            }
+            if (
+                best is None
+                or (best["contended"] and not cand["contended"])
+                or (
+                    cand["contended"] == best["contended"]
+                    and dt < best["seconds"]
+                )
+            ):
+                best = cand
+            if not cand["contended"]:
+                break
+            if attempt == 0:
+                retried.append(name)
+        out[name] = round(best["seconds"], 3)
+        steal[name] = best["steal"]
 
     for name in HEADLINE_QUERIES:
         timed(name, lambda n=name: QUERIES[n](spark, sf_dir).count())
@@ -265,7 +291,7 @@ def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
             num_hashes=16, bands=4, hash_fn="xxhash64",
         ).count(),
     )
-    return out, steal
+    return out, steal, retried
 
 
 def main():
@@ -284,21 +310,50 @@ def main():
         write_corpus(N_ENTITIES, data_dir)
         spark = make_session(CPUS)
         t_total0 = time.time()
-        link = run_linkage(spark, data_dir)
         # co-tenant steal on this VM can inflate a single run 2-4x (BENCH.md
-        # noise disclosure); a quiet-machine pipeline run is ~60s at sf0.1.
-        # If the first run smells contended, measure once more and keep the
-        # better sample — capability, not the noise floor. BOTH samples and
-        # the policy are reported (round-2 advice: the silent minimum hid
-        # the spread, and the retry runs against a warm JVM/page cache).
+        # noise disclosure); a quiet-machine pipeline run is ~37-40s at
+        # sf0.1. The linkage sample now carries the SAME contention
+        # discipline as the scaling kernel (round-5 verdict item 1): measure
+        # /proc/stat steal across the timed window, retry while contended
+        # (best-of-<=SCALING_MAX_ATTEMPTS, stop at the first steal-quiet
+        # sample), and ALSO retry on the old wall heuristic as a backstop.
+        # All samples + per-sample steal are reported; kept sample = fastest
+        # steal-quiet one if any landed, else fastest overall.
         retry_above = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_ABOVE", "900"))
-        link_samples = [round(link["seconds"], 3)]
-        if link["seconds"] > retry_above * SF:
-            link2 = run_linkage(spark, data_dir)
-            link_samples.append(round(link2["seconds"], 3))
-            if link2["seconds"] < link["seconds"]:
-                link = link2
-        qtimes, qsteal = run_queries(spark, SF_DIR)
+        # wall backstop floor: fixed JVM/pipeline overheads (~8s) dominate
+        # tiny sf, where 900*sf would flag every run contended and burn all
+        # attempts; steal is the primary gate, the wall is a sanity net
+        wall_limit = max(retry_above * SF, 30.0)
+        def prefer(cand: dict, cur: dict | None) -> bool:
+            """Kept-sample rule (shared with scaling): quiet beats
+            contended; within the same quietness, faster wins."""
+            if cur is None:
+                return True
+            if cand["contended"] != cur["contended"]:
+                return not cand["contended"]
+            return cand["seconds"] < cur["seconds"]
+
+        link_samples = []
+        link = None
+        for _ in range(SCALING_MAX_ATTEMPTS):
+            s0 = read_steal()
+            cand = run_linkage(spark, data_dir)
+            cand["steal"] = read_steal() - s0
+            cand["contended"] = steal_contended(
+                cand["steal"], cand["seconds"]
+            ) or cand["seconds"] > wall_limit
+            link_samples.append(
+                {
+                    "seconds": round(cand["seconds"], 3),
+                    "steal": cand["steal"],
+                    "contended": cand["contended"],
+                }
+            )
+            if prefer(cand, link):
+                link = cand
+            if not cand["contended"]:
+                break
+        qtimes, qsteal, qretried = run_queries(spark, SF_DIR)
         stop_spark(spark)
 
         # --- headline (final stdout line; MUST stay compact) -------------
@@ -322,16 +377,26 @@ def main():
         detail = {
             "queries": dict(result["queries"]),
             "linkage_samples": link_samples,
+            "linkage_kept_contended": link["contended"],
             # per-query co-tenant steal (jiffies, host-wide, delta across
             # each timed run): 100 jiffies = 1 steal-core-second
             "steal_jiffies": qsteal,
+            # queries whose first sample tripped the steal gate and were
+            # re-run once (kept sample prefers quiet, then faster)
+            "query_retries": qretried,
             "sample_policy": (
-                f"linkage: best-of-2 iff first > {retry_above}*sf sec "
-                "(warm-JVM retry, all samples reported); scaling: per level "
-                f"keep sampling until a steal-quiet sample lands or "
-                f"{SCALING_MAX_ATTEMPTS} attempts, best-of kept, all samples "
-                "+ per-sample steal reported; contended := steal_delta > "
-                "max(25, 8*sec); steal = /proc/stat host steal delta"
+                "linkage: steal-gated like the scaling kernel — retry while "
+                f"the timed window is contended (or wall > "
+                f"max({retry_above}*sf, 30) sec), up to "
+                f"{SCALING_MAX_ATTEMPTS} attempts, kept = "
+                "fastest steal-quiet sample else fastest, all samples + "
+                "per-sample steal reported; per-query rows: one retry when "
+                "contended, same kept rule; scaling: per level keep "
+                "sampling until a steal-quiet sample lands or "
+                f"{SCALING_MAX_ATTEMPTS} attempts, quiet-first best-of "
+                "kept, symmetric extra quiet-window grants on BOTH levels; "
+                "contended := steal_delta > max(25, 8*sec); steal = "
+                "/proc/stat host steal delta"
             ),
         }
 
@@ -368,6 +433,26 @@ def main():
                 r["contended"] = steal_contended(r["steal"], r["seconds"])
                 return r
 
+            def prefer_sample(cand: dict, cur: dict | None) -> bool:
+                """Kept-sample rule (same as the linkage timer): steal-quiet
+                beats contended; within the same quietness, higher
+                throughput wins. Quietness-first matters for symmetry — a
+                contended lo sample INFLATES the ratio, so the kept lo must
+                move to a quiet sample whenever one lands, even if the quiet
+                sample is slower (round-5 advice: one-sided retry bias)."""
+                if cur is None:
+                    return True
+                if cand["contended"] != cur["contended"]:
+                    return not cand["contended"]
+                return cand["pairs_per_sec"] > cur["pairs_per_sec"]
+
+            def keep(key: str, r: dict) -> None:
+                scaling[f"throughput_{key}"] = round(r["pairs_per_sec"], 1)
+                detail[f"scaling_seconds_{key}"] = round(r["seconds"], 3)
+                detail[f"scaling_kept_contended_{key}"] = r["contended"]
+
+            kept: dict[str, dict] = {}
+
             def measure(cores: int, key: str, min_reps: int, attempts: int):
                 """best-of sampling with contention discipline: keep sampling
                 past min_reps until a steal-quiet sample lands (bounded by
@@ -384,15 +469,14 @@ def main():
                             "contended": r["contended"],
                         }
                     )
-                    if best is None or r["pairs_per_sec"] > best["pairs_per_sec"]:
+                    if prefer_sample(r, best):
                         best = r
                     if i + 1 >= min_reps and not r["contended"]:
                         break
                 scaling[f"cores_{key}"] = cores
-                scaling[f"throughput_{key}"] = round(best["pairs_per_sec"], 1)
-                detail[f"scaling_seconds_{key}"] = round(best["seconds"], 3)
                 detail[f"scaling_samples_{key}"] = samples
-                detail[f"scaling_kept_contended_{key}"] = best["contended"]
+                kept[key] = best
+                keep(key, best)
                 return best
 
             measure(2, "lo", SCALING_REPEATS, SCALING_MAX_ATTEMPTS)
@@ -406,22 +490,33 @@ def main():
                     4,
                 )
 
-            # if the ratio still reads contended (<0.8 target with steal on
-            # the hi level's best sample), grant the hi level one more quiet
-            # window — the failure mode of r04's 0.6816 driver sample
-            if efficiency() < 0.8:
-                extra = sample_level(8)
-                detail["scaling_samples_hi"].append(
+            def grant_extra(key: str, cores: int) -> None:
+                """One more quiet-window attempt for a level; the kept
+                sample is re-picked with the same quiet-first rule."""
+                extra = sample_level(cores)
+                detail[f"scaling_samples_{key}"].append(
                     {
                         "pairs_per_sec": round(extra["pairs_per_sec"], 1),
                         "steal": extra["steal"],
                         "contended": extra["contended"],
                     }
                 )
-                if extra["pairs_per_sec"] > scaling["throughput_hi"]:
-                    scaling["throughput_hi"] = round(extra["pairs_per_sec"], 1)
-                    detail["scaling_seconds_hi"] = round(extra["seconds"], 3)
-                    detail["scaling_kept_contended_hi"] = extra["contended"]
+                if prefer_sample(extra, kept[key]):
+                    kept[key] = extra
+                    keep(key, extra)
+
+            # symmetric extra grants (round-5 advice: the old hi-only,
+            # keep-only-if-faster retry could only move efficiency UP):
+            # any level whose kept sample is still contended gets one more
+            # quiet window; if the ratio then misses 0.8, BOTH levels get
+            # one more — so a contended lo (which inflates the ratio) is
+            # retried exactly like a contended hi (which deflates it).
+            for key, cores in (("lo", 2), ("hi", 8)):
+                if detail[f"scaling_kept_contended_{key}"]:
+                    grant_extra(key, cores)
+            if efficiency() < 0.8:
+                grant_extra("lo", 2)
+                grant_extra("hi", 8)
             scaling["efficiency"] = efficiency()
             # machine-readable quietness: True iff the kept lo AND hi samples
             # were both steal-quiet (the driver can trust the ratio directly)

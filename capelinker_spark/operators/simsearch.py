@@ -324,8 +324,17 @@ def embedding_dedup_canonical(
 def l2_normalize(vec: Column) -> Column:
     """Native L2 normalization — PQ's asymmetric distance approximates
     the DOT product, so for cosine ranking encode (and query with)
-    normalized vectors."""
-    return F.transform(vec, lambda x: x.cast("double") / norm(vec))
+    normalized vectors.
+
+    The norm is evaluated ONCE per row (as an argument to
+    ``array_repeat``, outside the per-element lambda) — a
+    ``norm(vec)`` inside the ``transform`` lambda would re-run the
+    full-array aggregate per element, O(dim^2) per row."""
+    return F.zip_with(
+        vec,
+        F.array_repeat(norm(vec), F.size(vec)),
+        lambda x, n: x.cast("double") / n,
+    )
 
 
 def train_pq_codebooks(
@@ -356,6 +365,10 @@ def train_pq_codebooks(
         ],
         dtype="float64",
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "no vectors to train PQ codebooks (empty corpus/sample)"
+        )
     d = dim // m
     rng = np.random.default_rng(seed)
     books = np.empty((m, k, d))

@@ -493,6 +493,10 @@ def stream_neardup_canonical(
         if batch_df.isEmpty():
             return
         docs = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        # the empty-prior-state schema must carry the CORPUS id type —
+        # a hardcoded `long` only worked for long ids because batch-0's
+        # unionByName silently widened it; string ids would diverge.
+        id_type = docs.schema[id_col].dataType.simpleString()
 
         mh = minhash_table(
             docs, text_col, id_col, num_hashes, shingle_words, hash_fn
@@ -516,7 +520,7 @@ def stream_neardup_canonical(
         new_sh = spark.read.parquet(os.path.join(sh_dir, f"batch={batch_id}"))
 
         old_bands = _old_state(
-            "bands", batch_id, f"{id_col} long, band int, key string"
+            "bands", batch_id, f"{id_col} {id_type}, band int, key string"
         )
         # candidates: new docs vs (old ∪ new). Ids do NOT arrive in order,
         # so the pair is normalized with least/greatest (a bare
@@ -539,7 +543,7 @@ def stream_neardup_canonical(
             .distinct()
         )
         old_sh = _old_state(
-            "shingles", batch_id, f"{id_col} long, shingles array<string>"
+            "shingles", batch_id, f"{id_col} {id_type}, shingles array<string>"
         )
         all_sh = old_sh.unionByName(new_sh)
         edges = (
