@@ -57,6 +57,41 @@ def word_counts(
 END = "</w>"  # end-of-word sentinel symbol
 
 
+def _merge_word(
+    sym: tuple[str, ...], pair: tuple[str, str]
+) -> tuple[str, ...]:
+    """Greedy left-to-right replacement of ``pair`` in one symbol
+    sequence — the single definition both trainers share, so the fast
+    trainer is byte-identical to the naive one by construction."""
+    a, b = pair
+    merged = a + b
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _collect_vocab(
+    wc: DataFrame, max_words: int
+) -> dict[tuple[str, ...], int]:
+    """Top-``max_words`` word histogram → symbol-sequence counts."""
+    # unconditional TakeOrdered: limit-of-a-smaller-set is a no-op, and
+    # gating it on an eager wc.count() would cost a full extra pass over
+    # the count table (round-5 review finding 6)
+    rows = wc.orderBy(F.desc("n"), "word").limit(max_words).collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        sym = tuple(r["word"]) + (END,)
+        vocab[sym] = vocab.get(sym, 0) + int(r["n"])
+    return vocab
+
+
 def train_bpe(
     wc: DataFrame,
     num_merges: int = 200,
@@ -69,18 +104,95 @@ def train_bpe(
     collecting unbounded). Ties on pair count break on the smallest
     pair — fully deterministic.
 
+    Incremental trainer (round-5 verdict item 3): instead of recounting
+    every pair over the whole vocabulary per merge (O(num_merges ×
+    vocab × word_len) — hours at a production 32k-merge vocabulary),
+    pair counts are maintained across merges. Each merge only touches
+    the words that actually contain the merged pair (an inverted
+    pair→word index), applying the old-pairs/new-pairs count delta per
+    rewritten word. The argmax is a lazy max-heap keyed ``(-count,
+    pair)`` — the exact naive tie-break order — with stale entries
+    re-pushed at their current count on pop, so the heap top is always
+    the true deterministic argmax. Byte-identical merge lists to the
+    naive reference (``_train_bpe_naive``, regression-tested on a
+    shared prefix); ~O(total affected symbols) instead of a full
+    rescan, which takes 8k merges over a 100k-word vocab from hours to
+    seconds.
+
     Returns the ordered merge list ``[(left, right), ...]``; feed it to
     ``make_bpe_encoder`` / ``bpe_token_count``."""
-    # unconditional TakeOrdered: limit-of-a-smaller-set is a no-op, and
-    # gating it on an eager wc.count() would cost a full extra pass over
-    # the count table (round-5 review finding 6)
-    rows = wc.orderBy(F.desc("n"), "word").limit(max_words).collect()
-    # word → symbol sequence (chars + end-of-word sentinel)
-    vocab: dict[tuple[str, ...], int] = {}
-    for r in rows:
-        sym = tuple(r["word"]) + (END,)
-        vocab[sym] = vocab.get(sym, 0) + int(r["n"])
+    import heapq
+    from collections import Counter
 
+    vocab = _collect_vocab(wc, max_words)
+    # unique word states; equal-after-merge states may coexist as
+    # separate entries — pair counting is additive, so the counts (and
+    # therefore the merges) are identical to the naive dict-collapsing
+    # form
+    words: list[list] = [[sym, n] for sym, n in vocab.items()]
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (sym, n) in enumerate(words):
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(wi)
+
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, best = heap[0]
+        cur = pair_counts.get(best, 0)
+        if cur != -negc:
+            # stale entry: drop it and re-arm the pair at its current
+            # count (keeps the invariant that every live pair has an
+            # entry at >= its true count)
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, best))
+            continue
+        if cur < 2:
+            break
+        heapq.heappop(heap)
+        merges.append(best)
+        del pair_counts[best]  # every occurrence merges below → 0
+
+        for wi in sorted(pair_words.pop(best, ())):
+            sym, n = words[wi]
+            new = _merge_word(sym, best)
+            if new == sym:  # stale index entry (pair vanished earlier)
+                continue
+            old_p = Counter(zip(sym, sym[1:]))
+            new_p = Counter(zip(new, new[1:]))
+            for q, k in (old_p - new_p).items():
+                if q == best:
+                    continue  # deleted wholesale above
+                left = pair_counts.get(q, 0) - k * n
+                if left > 0:
+                    pair_counts[q] = left
+                else:
+                    pair_counts.pop(q, None)
+            for q, k in (new_p - old_p).items():
+                c = pair_counts.get(q, 0) + k * n
+                pair_counts[q] = c
+                pair_words.setdefault(q, set()).add(wi)
+                heapq.heappush(heap, (-c, q))
+            words[wi][0] = new
+    return merges
+
+
+def _train_bpe_naive(
+    wc: DataFrame,
+    num_merges: int = 200,
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Reference trainer: full pair recount per merge (the round-4
+    form). O(num_merges × vocab × word_len) — kept as the regression
+    oracle for ``train_bpe``'s incremental bookkeeping, not for
+    production use."""
+    vocab = _collect_vocab(wc, max_words)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs: dict[tuple[str, str], int] = {}
@@ -95,23 +207,10 @@ def train_bpe(
         if pairs[best] < 2:
             break
         merges.append(best)
-        merged = best[0] + best[1]
         new_vocab: dict[tuple[str, ...], int] = {}
         for sym, n in vocab.items():
-            out = []
-            i = 0
-            while i < len(sym):
-                if (
-                    i < len(sym) - 1
-                    and sym[i] == best[0]
-                    and sym[i + 1] == best[1]
-                ):
-                    out.append(merged)
-                    i += 2
-                else:
-                    out.append(sym[i])
-                    i += 1
-            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+            out = _merge_word(sym, best)
+            new_vocab[out] = new_vocab.get(out, 0) + n
         vocab = new_vocab
     return merges
 
