@@ -187,6 +187,26 @@ def assign_ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _probe_cells(qv: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """The query's ``nprobe`` nearest cell ids (array<int>), native:
+    score every centroid with the dot−½‖c‖² trick, sort desc, slice."""
+    cell_scores = F.array(
+        *[
+            F.struct(
+                (
+                    dot(qv, _lit_vec(cc)) - F.lit(float((cc**2).sum() / 2.0))
+                ).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cc in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
+        lambda s: s["cell"],
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -205,23 +225,10 @@ def ivf_topk(
         F.col(vec_col).alias("_cv"),
         assign_ivf_cell(F.col(vec_col), centroids).alias("_cell"),
     )
-    cell_scores = F.array(
-        *[
-            F.struct(
-                (dot(F.col("_qv"), _lit_vec(cc)) - F.lit(float((cc**2).sum() / 2.0))).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cc in enumerate(centroids)
-        ]
-    )
-    q = (
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv"))
-        .withColumn(
-            "_cells",
-            F.slice(F.reverse(F.array_sort(cell_scores)), 1, nprobe),
-        )
-        .withColumn("_cell", F.explode(F.transform(F.col("_cells"), lambda s: s["cell"])))
-        .drop("_cells")
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn(
+        "_cell", F.explode(_probe_cells(F.col("_qv"), centroids, nprobe))
     )
     scored = (
         q.join(c, "_cell")
@@ -399,6 +406,14 @@ def pq_encode(
     """Encode vectors to ``array<int>`` PQ codes, NATIVE: per subvector,
     nearest centroid by the same dot−½‖c‖² argmax trick as
     ``assign_ivf_cell`` — no Python in the encode scan."""
+    return df.select(
+        F.col(id_col), _pq_code_column(vec_col, codebooks).alias(out)
+    )
+
+
+def _pq_code_column(vec_col: str, codebooks: np.ndarray) -> Column:
+    """The PQ code as a Column (shared by ``pq_encode`` and
+    ``ivfpq_index``)."""
     m, k, d = codebooks.shape
     codes = []
     for j in range(m):
@@ -415,7 +430,7 @@ def pq_encode(
         codes.append(
             (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
         )
-    return df.select(F.col(id_col), F.array(*codes).alias(out))
+    return F.array(*codes)
 
 
 def pq_topk(
@@ -440,6 +455,30 @@ def pq_topk(
     Scale shape: broadcast the (small) query-side LUT rows against the
     code table — the corpus never shuffles; the only exchange is the
     per-query top-k window on the candidate set."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_lut", _query_lut(codebooks)).drop("_qv")
+    scored = (
+        corpus_codes.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(code_col).alias("_c")
+        )
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_dot", _adc_score(codebooks.shape[0]))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
+def _query_lut(codebooks: np.ndarray) -> Column:
+    """The per-query m×k ADC lookup table (array<array<double>>) of exact
+    subvector dots against every centroid, computed from ``_qv``."""
     m, kk, d = codebooks.shape
 
     def _sub_lut(j: int) -> Column:
@@ -451,30 +490,89 @@ def pq_topk(
             lambda c: dot(F.slice(F.col("_qv"), j * d + 1, d), c),
         )
 
-    lut = F.array(*[_sub_lut(j) for j in range(m)])
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_lut", lut).drop("_qv")
-    scored = (
-        corpus_codes.select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(code_col).alias("_c")
+    return F.array(*[_sub_lut(j) for j in range(m)])
+
+
+def _adc_score(m: int) -> Column:
+    """Asymmetric-distance score: sum over the ``m`` subspaces of the
+    ``_lut`` entry picked by each code in ``_c`` — m lookups + adds per
+    (query, code) pair, no float-vector reads."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("_c"),
+            F.sequence(F.lit(1), F.lit(m)),
+            lambda c, j: F.element_at(F.element_at("_lut", j), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVFADC index table ``(id, ivf_cell, pq_code)``: every corpus
+    vector is assigned its nearest coarse cell AND its PQ code in one
+    native scan (no shuffle — both are per-row expressions). Persist
+    this partitioned by ``ivf_cell`` at scale so probes prune files.
+
+    Codes quantize the RAW vector (not the residual): the codebooks come
+    from :func:`train_pq_codebooks` unchanged, queries reuse one LUT for
+    all probed cells, and the exact-rerank tier absorbs the precision
+    difference. Residual encoding would need per-cell query LUTs
+    (nprobe× the LUT work) for a finer code — a documented trade, not an
+    omission."""
+    return corpus.select(
+        F.col(id_col),
+        assign_ivf_cell(F.col(vec_col), centroids).alias("ivf_cell"),
+        _pq_code_column(vec_col, codebooks).alias("pq_code"),
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC: each query probes its ``nprobe`` nearest coarse cells and
+    ADC-scans ONLY the codes in those cells — the composition the plain
+    ``pq_topk`` full scan lacks. One equi-join on ``ivf_cell`` (the
+    partition-pruned ANN pattern, same join shape as ``ivf_topk``)
+    carries the per-query LUT to the probed cells; at 100 TB the code
+    table is bucketed/partitioned by cell so the probe is a partition-
+    pruned scan of ~nprobe/n_cells of the corpus, not a full pass.
+
+    Returns ``(query_id, neighbor_id, approx_dot, rank)`` — re-rank the
+    survivors against exact vectors when precision matters."""
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
         )
-        .crossJoin(F.broadcast(q))
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_lut", _query_lut(codebooks))
         .withColumn(
-            "approx_dot",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_c"),
-                    F.sequence(F.lit(1), F.lit(m)),
-                    lambda c, j: F.element_at(
-                        F.element_at("_lut", j), c + 1
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+            "ivf_cell", F.explode(_probe_cells(F.col("_qv"), centroids, nprobe))
         )
+        .drop("_qv")
+    )
+    scored = (
+        index.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            "ivf_cell",
+            F.col("pq_code").alias("_c"),
+        )
+        .join(F.broadcast(q), "ivf_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_dot", _adc_score(codebooks.shape[0]))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id")
