@@ -258,6 +258,16 @@ class CurationConfig:
     # packed but leaves cleaned/deduped/scored resumable (STAGE_DEPS).
     url_col: str | None = None
     domain_policies: dict | None = None
+    # span/paragraph rewrite tiers (round-5 verdict item 5): optional
+    # checkpointed stages AFTER the exact dedup — whole-document
+    # identity collapses first (keep-one-copy), THEN cross-document
+    # boilerplate is stripped with remove-every-copy semantics. The
+    # other order would see an exact-duplicate pair as "every paragraph
+    # shared by >=2 docs" and strip BOTH copies to empty. Each toggle
+    # owns its stage's hash: flipping dedup_paragraphs re-runs
+    # para_deduped + downstream, never cleaned/deduped.
+    dedup_paragraphs: bool = False
+    span_dedup_n: int | None = None
 
 
 class CurationPipeline(StageRunner):
@@ -289,7 +299,13 @@ class CurationPipeline(StageRunner):
             None,
         ),
         "deduped": ((), "cleaned"),
-        "scored": (("token_unit",), "deduped"),
+        # rewrite tiers chain AFTER the exact dedup (see the config-field
+        # comment for why); each hashes only its own toggle, so
+        # enabling/param-editing one invalidates it + downstream while
+        # cleaned/deduped stay resumable
+        "para_deduped": (("dedup_paragraphs",), "deduped"),
+        "span_deduped": (("span_dedup_n",), "para_deduped"),
+        "scored": (("token_unit",), "span_deduped"),
         # domain_policies sits HERE: editing one domain's thresholds
         # re-runs mixed+packed only, never the dedup/scoring upstream
         "mixed": (
@@ -356,9 +372,55 @@ class CurationPipeline(StageRunner):
             resume,
         )
 
+        # optional rewrite tiers: paragraph-level then span-level
+        # cross-document dedup, each re-emitting the corpus shape
+        # (id, text, lang[, domain]) so downstream stages are agnostic
+        # to whether a rewrite ran. Rewritten-to-empty docs drop (same
+        # contract as the cleaned stage's length>0 filter).
+        pt = (cfg.lang_col, *(("domain",) if dom_cols else ()))
+
+        def _reshape(rw: DataFrame) -> DataFrame:
+            return rw.select(
+                cfg.id_col, F.col("clean_text").alias(cfg.text_col), *pt
+            ).where(F.length(cfg.text_col) > 0)
+
+        current = deduped
+        para_deduped = span_deduped = None
+        if cfg.dedup_paragraphs:
+            from capelinker_spark.operators.dedup import (
+                remove_duplicate_paragraphs,
+            )
+
+            upstream = current
+            para_deduped = current = self._stage(
+                "para_deduped",
+                lambda: _reshape(
+                    remove_duplicate_paragraphs(
+                        upstream, cfg.text_col, cfg.id_col, passthrough=pt
+                    )
+                ),
+                resume,
+            )
+        if cfg.span_dedup_n:
+            from capelinker_spark.operators.dedup import (
+                remove_duplicate_spans,
+            )
+
+            upstream2 = current
+            span_deduped = current = self._stage(
+                "span_deduped",
+                lambda: _reshape(
+                    remove_duplicate_spans(
+                        upstream2, cfg.span_dedup_n, cfg.text_col,
+                        cfg.id_col, passthrough=pt,
+                    )
+                ),
+                resume,
+            )
+
         def _scored():
             c = F.col(cfg.text_col)
-            base = deduped.withColumn("n_tokens", counter(c)).withColumn(
+            base = current.withColumn("n_tokens", counter(c)).withColumn(
                 "alpha", alpha_ratio(c)
             )
             return model_quality_scores(
@@ -411,7 +473,12 @@ class CurationPipeline(StageRunner):
             ),
             resume,
         )
-        return {
+        out = {
             "cleaned": cleaned, "deduped": deduped, "scored": scored,
             "mixed": mixed, "packed": packed,
         }
+        if para_deduped is not None:
+            out["para_deduped"] = para_deduped
+        if span_deduped is not None:
+            out["span_deduped"] = span_deduped
+        return out

@@ -2699,6 +2699,132 @@ def cu4_full_curation(spark, sf_dir):
 ORACLES["cu4_full_curation"] = _cu4_sql()
 
 
+def _cu7_sql() -> str:
+    """Oracle for the rewrite-tier curation composition (the
+    CurationPipeline `dedup_paragraphs=True` path): planted footer
+    paragraphs + exact clones -> exact dedup FIRST (keep-one; the other
+    order would see a clone pair as all-paragraphs-shared and strip both
+    copies to empty) -> cross-document paragraph dedup -> model-quality
+    gate -> BPE-budget packing. Fragments are the proven cu4 (canon/
+    scored/packed) and dd10 (paragraph) SQL, recomposed."""
+    en_hits = _lang_scores_sql("text")["en"]
+    words = WORDS_SQL.format(c="text")
+    return f"""WITH base AS MATERIALIZED (
+         SELECT doc_id,
+                text || chr(10) || chr(10) || 'footer block '
+                     || (doc_id % 7)::VARCHAR AS text
+         FROM documents),
+       all_docs AS (
+         SELECT * FROM base
+         UNION ALL
+         SELECT doc_id + 10000000000, text FROM base WHERE doc_id < 40),
+       canon AS (SELECT md5(text) AS ch, min(doc_id) AS cid
+                 FROM all_docs GROUP BY 1),
+       ded AS (SELECT a.doc_id, a.text
+               FROM all_docs a JOIN canon ON md5(a.text) = canon.ch
+                                         AND a.doc_id = canon.cid),
+       p0 AS (SELECT doc_id, u.i AS pos, u.p AS para
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN text IS NULL THEN []
+                        ELSE list_transform(
+                               string_split(text, chr(10) || chr(10)),
+                               (x, i) -> {{'i': i, 'p': x}}) END) AS u
+                    FROM ded)),
+       p AS (SELECT * FROM p0 WHERE length(trim(para)) > 0),
+       sh AS (SELECT para FROM p GROUP BY para
+              HAVING min(doc_id) != max(doc_id)),
+       agg AS (SELECT p.doc_id,
+                 coalesce(array_to_string(list_transform(
+                   list_sort(list({{'i': pos, 'p': p.para}})
+                             FILTER (WHERE sh.para IS NULL)),
+                   x -> x.p), chr(10) || chr(10)), '') AS clean_text
+               FROM p LEFT JOIN sh USING (para) GROUP BY p.doc_id),
+       nz AS (SELECT d.doc_id, coalesce(agg.clean_text, '') AS text
+              FROM ded d LEFT JOIN agg USING (doc_id)
+              WHERE length(coalesce(agg.clean_text, '')) > 0),
+       q AS (
+         SELECT doc_id, text,
+                length(text) AS nc,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len({words}) END AS nt,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS na,
+                len(regexp_extract_all(text, '[0-9]')) AS nd,
+                {en_hits} AS ns
+         FROM nz),
+       scored AS (
+         SELECT doc_id, text,
+                round(1.0 / (1.0 + exp(-(-0.5
+                  + 3.0 * (((CASE WHEN nc > 0 THEN na / nc ELSE 0.0 END) - 0.6) / 0.2)
+                  + -1.5 * (((CASE WHEN nc > 0 THEN nd / nc ELSE 0.0 END) - 0.05) / 0.08)
+                  + 2.0 * (((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) - 0.1) / 0.08)
+                  + 0.3 * (((CASE WHEN nt > 0 THEN nc::DOUBLE / nt ELSE 0.0 END) - 5.0) / 2.0)
+                ))), 6) AS quality_prob
+         FROM q),
+       kept AS (
+         SELECT doc_id,
+                len(regexp_extract_all(text, '{TS.BPE_ISH_PATTERN}'))
+                  AS n_tokens,
+                quality_prob
+         FROM scored WHERE quality_prob >= 0.2),
+       packed AS (
+         SELECT doc_id, n_tokens, quality_prob,
+                sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+         FROM kept)
+       SELECT doc_id, n_tokens, quality_prob,
+              CAST(cum - n_tokens AS BIGINT) AS seq_offset,
+              CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
+       FROM packed"""
+
+
+@register("cu7_rewrite_curation", None)
+def cu7_rewrite_curation(spark, sf_dir):
+    """The rewrite-tier curation composition (round-5 verdict item 5) as
+    one lazily-composed plan — the same operator chain CurationPipeline
+    runs with ``dedup_paragraphs=True`` (minus checkpoints): planted
+    footer paragraphs (doc_id % 7 boilerplate) + 40 exact clones ->
+    exact dedup (keep-one FIRST — the reversed order would strip clone
+    pairs to empty, see curation.CurationConfig) -> cross-document
+    paragraph dedup (remove-every-copy boilerplate stripping) ->
+    model-quality gate (>=0.2) -> BPE-budget 256-token packing. One SQL
+    oracle checks the whole flow bit-for-bit."""
+    from capelinker_spark.curation import model_quality_scores
+    from capelinker_spark.operators.dedup import (
+        dedup_exact,
+        remove_duplicate_paragraphs,
+    )
+    from capelinker_spark.operators.packing import assign_packed_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\nfooter block "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    clones = d.where(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
+    )
+    ded = dedup_exact(d.unionByName(clones), "text", "doc_id")
+    para = remove_duplicate_paragraphs(ded)
+    nz = para.select(
+        "doc_id", F.col("clean_text").alias("text")
+    ).where(F.length("text") > 0)
+    scored = model_quality_scores(nz, text_col="text", passthrough=("text",))
+    kept = scored.where(F.col("quality_prob") >= 0.2).select(
+        "doc_id",
+        TS.token_count_bpe(F.col("text")).alias("n_tokens"),
+        "quality_prob",
+    )
+    packed = assign_packed_sequences(kept, "n_tokens", "doc_id", 256)
+    return packed.select(
+        "doc_id", "n_tokens", "quality_prob", "seq_offset", "seq_id"
+    )
+
+
+ORACLES["cu7_rewrite_curation"] = _cu7_sql()
+
+
 def _u11_urls_sql() -> str:
     """Deterministic dirty-URL construction from doc_id, mirrored in the
     Spark query: 4 URL shapes per id class covering case, default ports,

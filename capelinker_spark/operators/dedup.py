@@ -450,6 +450,7 @@ def remove_duplicate_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """The ACTION tier of ``duplicate_span_stats`` (round-4 verdict item 6):
     remove cross-document duplicated spans from the text, Lee-et-al
@@ -473,7 +474,7 @@ def remove_duplicate_spans(
     table; the rebuild is a native higher-order filter — zero Python. The
     per-word coverage test scans the doc's shared-start array (O(W·S)
     worst case within one row, JVM-side)."""
-    base = _word_base(docs, text_col, id_col)
+    base = _word_base(docs, text_col, id_col, passthrough)
     grams = _positional_grams(base, n, id_col)
 
     from pyspark.sql import Window
@@ -487,10 +488,12 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("_start")).alias("_starts"))
     )
-    return _rebuild_minus_starts(base, shared_starts, n, id_col)
+    return _rebuild_minus_starts(base, shared_starts, n, id_col, passthrough)
 
 
-def _word_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _word_base(
+    docs: DataFrame, text_col: str, id_col: str, passthrough: tuple = ()
+) -> DataFrame:
     """(id, _ws) word arrays; NULL text ≡ empty EXPLICITLY (without the
     isNull arm the length() predicate is NULL, the otherwise-branch splits
     NULL and clean_text goes NULL on Spark while the oracle coalesces to
@@ -502,7 +505,7 @@ def _word_base(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         text.isNull() | (F.length(F.trim(text)) == 0),
         F.array().cast("array<string>"),
     ).otherwise(F.split(F.trim(text), WS_SPLIT))
-    return docs.select(F.col(id_col), words.alias("_ws"))
+    return docs.select(F.col(id_col), *passthrough, words.alias("_ws"))
 
 
 def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
@@ -527,7 +530,8 @@ def _positional_grams(base: DataFrame, n: int, id_col: str) -> DataFrame:
 
 
 def _rebuild_minus_starts(
-    base: DataFrame, starts_per_doc: DataFrame, n: int, id_col: str
+    base: DataFrame, starts_per_doc: DataFrame, n: int, id_col: str,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Drop every word covered by an n-gram starting at one of the doc's
     ``_starts`` offsets; rejoin with single spaces. The per-word coverage
@@ -545,6 +549,7 @@ def _rebuild_minus_starts(
     )
     return rebuilt.select(
         F.col(id_col),
+        *passthrough,
         F.array_join(kept, " ").alias("clean_text"),
         F.size("_ws").cast("long").alias("n_words"),
         (F.size("_ws") - F.size(kept)).cast("long").alias("n_removed"),
@@ -558,6 +563,7 @@ def remove_contaminated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     contam_text_col: str = "text",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Span-level benchmark decontamination — the ACTION tier of
     ``flag_contaminated``: instead of DROPPING every document sharing an
@@ -575,7 +581,8 @@ def remove_contaminated_spans(
     gram table probes it with a broadcast semi-join: the corpus never
     shuffles on the gram key at all (dd7's plan property, kept); the only
     corpus-keyed exchange is the per-doc start aggregation."""
-    grams = _positional_grams(_word_base(docs, text_col, id_col), n, id_col)
+    base = _word_base(docs, text_col, id_col, passthrough)
+    grams = _positional_grams(base, n, id_col)
     contam = (
         contamination.select(
             F.explode(
@@ -589,15 +596,14 @@ def remove_contaminated_spans(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("_start")).alias("_starts"))
     )
-    return _rebuild_minus_starts(
-        _word_base(docs, text_col, id_col), starts, n, id_col
-    )
+    return _rebuild_minus_starts(base, starts, n, id_col, passthrough)
 
 
 def remove_duplicate_paragraphs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Cross-document EXACT-paragraph dedup — the MassiveText/C4
     granularity between whole-document dedup (`exact_duplicates`) and
@@ -651,10 +657,11 @@ def remove_duplicate_paragraphs(
         ).alias("clean_text"),
     )
     return (
-        docs.select(id_col)
+        docs.select(id_col, *passthrough)
         .join(per_doc, id_col, "left")
         .select(
             F.col(id_col),
+            *passthrough,
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             F.coalesce("n_paras", F.lit(0).cast("long")).alias("n_paras"),
             F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),

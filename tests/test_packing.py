@@ -320,3 +320,75 @@ def test_domain_gate_decorrelated_from_lang_gate(spark):
     both = sample_to_rates(domained, "lang", {"en": 0.5}, "doc_id")
     n = both.count()
     assert 800 < n < 1200, n   # ≈1000 of 4000; perfectly correlated → ≈2000
+
+
+def test_curation_rewrite_stages_and_invalidation(spark, tmp_path):
+    """Span/paragraph dedup as checkpointed CurationPipeline stages
+    (round-5 verdict item 5): with dedup_paragraphs + span_dedup_n set,
+    the rewrite tiers run AFTER the exact dedup (doc identity collapses
+    keep-one first; remove-every-copy boilerplate stripping follows),
+    each with its own stage dir; editing span_dedup_n recomputes
+    span_deduped + downstream while deduped/para_deduped resume; the
+    boilerplate paragraph is gone from every survivor's text."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.curation import CurationConfig, CurationPipeline
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    for i in range(40):
+        # every doc carries the same boilerplate paragraph; unique tail
+        rows.append(
+            (i, f"{good} variant {i} with plenty of unique words here.\n\n"
+                f"{boiler}.\n\n{good} closing thoughts number {i} end!",
+             "en" if i % 3 else "de")
+        )
+    # exact clones: with dedup FIRST, one copy survives and keeps its
+    # unique body (the reversed order would strip both copies to empty)
+    rows += [(1000 + i, rows[i][1], rows[i][2]) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    wd = str(tmp_path / "cur_rw")
+    cfg = CurationConfig(dedup_paragraphs=True, span_dedup_n=8,
+                         tokens_per_seq=64, min_quality_prob=0.0)
+    res = CurationPipeline(spark, wd, cfg).run(docs)
+    assert "para_deduped" in res and "span_deduped" in res
+    for s in ("para_deduped", "span_deduped"):
+        assert os.path.exists(os.path.join(wd, s, "_manifest.json")), s
+
+    # the shared paragraph is stripped from every surviving doc; the
+    # unique closing line survives paragraph dedup
+    texts = {r["doc_id"]: r["text"] for r in res["para_deduped"].collect()}
+    assert texts and all(boiler not in t for t in texts.values())
+    assert all("closing thoughts" in t for t in texts.values())
+    # clone pairs collapsed keep-one BEFORE stripping: min-id copy kept,
+    # its unique body intact
+    assert set(texts) == set(range(40))
+    # lang rides the rewrite stages (passthrough, no rejoin)
+    assert set(res["span_deduped"].columns) == {"doc_id", "text", "lang"}
+
+    # editing the span n: deduped/para resume, span+downstream rerun
+    mt = {s: os.path.getmtime(os.path.join(wd, s, "_manifest.json"))
+          for s in ("deduped", "para_deduped", "span_deduped", "packed")}
+    cfg2 = CurationConfig(dedup_paragraphs=True, span_dedup_n=4,
+                          tokens_per_seq=64, min_quality_prob=0.0)
+    CurationPipeline(spark, wd, cfg2).run(docs)
+    for s in ("deduped", "para_deduped"):
+        assert os.path.getmtime(
+            os.path.join(wd, s, "_manifest.json")) == mt[s], s
+    for s in ("span_deduped", "packed"):
+        assert os.path.getmtime(
+            os.path.join(wd, s, "_manifest.json")) > mt[s], s
+
+    # toggling paragraph dedup off invalidates downstream (chain hash
+    # covers the toggle even though the stage itself no longer runs)
+    cfg3 = CurationConfig(dedup_paragraphs=False, span_dedup_n=4,
+                          tokens_per_seq=64, min_quality_prob=0.0)
+    res3 = CurationPipeline(spark, wd, cfg3).run(docs)
+    assert "para_deduped" not in res3
+    texts3 = {r["doc_id"]: r["text"] for r in res3["span_deduped"].collect()}
+    # without the paragraph tier, span dedup does the boilerplate removal
+    assert all(boiler not in t for t in texts3.values())
