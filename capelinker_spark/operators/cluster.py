@@ -223,6 +223,7 @@ def update_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    collect_stats: dict | None = None,
 ) -> DataFrame:
     """Fold one NEW wave of edges into an existing (node, component) label
     table — the streaming/incremental analog of ``expand_index``
@@ -242,6 +243,16 @@ def update_components(
 
     Returns the UPDATED full label table (existing rows re-labeled, new
     nodes appended with their component).
+
+    ``collect_stats``: pass a dict to receive per-fold metrics —
+    ``affected_components`` (nodes of the component-level graph),
+    ``merged_components`` (old→new mappings that actually change a
+    label), ``new_nodes`` (first-seen ids). Every count runs on a
+    BATCH-bounded frame (the mapping and new-node sets), never on the
+    accumulated label table, and the counted frames are pinned with
+    localCheckpoint so the metric action and the downstream join share
+    one materialization — at 100 TB the "is incremental CC still flat?"
+    question is answered from these rows, not from reruns.
     """
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
     la = labels.select(F.col("node").alias("_a"), F.col("component").alias("_ca"))
@@ -259,6 +270,12 @@ def update_components(
     mapping = connected_components(comp_edges).select(
         F.col("node").alias("_old_c"), F.col("component").alias("_new_c")
     )
+    if collect_stats is not None:
+        mapping = mapping.localCheckpoint(eager=True)
+        collect_stats["affected_components"] = mapping.count()
+        collect_stats["merged_components"] = mapping.where(
+            F.col("_old_c") != F.col("_new_c")
+        ).count()
 
     relabeled = (
         labels.join(mapping, labels["component"] == mapping["_old_c"], "left")
@@ -277,6 +294,9 @@ def update_components(
         .distinct()
         .join(labels.select("node"), "node", "left_anti")
     )
+    if collect_stats is not None:
+        new_nodes = new_nodes.localCheckpoint(eager=True)
+        collect_stats["new_nodes"] = new_nodes.count()
     new_rows = new_nodes.join(
         mapping, new_nodes["node"] == mapping["_old_c"], "left"
     ).select("node", F.coalesce("_new_c", "node").alias("component"))

@@ -294,7 +294,16 @@ class ComponentLabelStore:
     replays (a batch id ≤ the manifest version is already folded and
     skips — the same write-then-swap discipline as ``StageRunner``); old
     versions beyond ``keep_versions`` are pruned after the swap. Shared
-    by ``stream_cluster_links`` and ``stream_neardup_canonical``."""
+    by ``stream_cluster_links`` and ``stream_neardup_canonical``.
+
+    Every committed fold appends a lineage row to
+    ``labels_dir/_lineage.jsonl`` (wave size, affected/merged component
+    counts, new nodes, label-table rows, elapsed — the LineageLog
+    convention the batch pipelines already follow), so "is incremental
+    CC still flat at this graph size?" is answerable from ops metrics
+    without reruns (round-5 verdict item 7). All metric counts run on
+    batch-bounded frames; the label row count reuses the just-written
+    parquet footer metadata."""
 
     def __init__(self, labels_dir: str, keep_versions: int = 2):
         import os
@@ -333,12 +342,15 @@ class ComponentLabelStore:
         import json
         import os
         import shutil
+        import time
 
         from capelinker_spark.operators.cluster import update_components
+        from capelinker_spark.qa.lineage import LineageLog
 
         v = self.latest_version()
         if batch_id <= v:
             return False
+        t0 = time.time()
         spark = edges.sparkSession
         if v < 0:
             labels = (
@@ -350,9 +362,13 @@ class ComponentLabelStore:
             labels = spark.read.parquet(
                 os.path.join(self.labels_dir, f"v={v}")
             )
-        new_labels = update_components(labels, edges, src, dst)
+        stats: dict = {"batch_id": batch_id, "wave_edges": edges.count()}
+        new_labels = update_components(
+            labels, edges, src, dst, collect_stats=stats
+        )
         out = os.path.join(self.labels_dir, f"v={batch_id}")
         new_labels.write.mode("overwrite").parquet(out)
+        n_labels = spark.read.parquet(out).count()
         tmp = self._manifest + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"v": batch_id}, fh)
@@ -366,6 +382,9 @@ class ComponentLabelStore:
             shutil.rmtree(
                 os.path.join(self.labels_dir, f"v={dv}"), ignore_errors=True
             )
+        LineageLog(self.labels_dir).record(
+            "cc_fold", time.time() - t0, row_count=n_labels, extra=stats
+        )
         return True
 
 
@@ -566,6 +585,73 @@ def stream_neardup_canonical(
 
     writer = (
         docs_stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_decontaminate(
+    docs_stream: DataFrame,
+    contamination: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    contam_text_col: str = "text",
+    trigger_available_now: bool = True,
+):
+    """Streaming span-level benchmark decontamination — the streaming
+    analog of batch ``dedup.remove_contaminated_spans`` (dd11), closing
+    the one curation stage that had no streaming tier (round-5 verdict
+    item 6): every micro-batch of documents is rewritten against the
+    STATIC contamination set (eval benchmarks change per release, not
+    per batch), removing only the words covered by a contaminated
+    n-gram.
+
+    Stream ≡ batch holds exactly: the rewrite is a pure function of
+    (document, contamination set) — no cross-document state — so the
+    union of per-batch outputs is byte-identical to the batch operator
+    over the union of inputs, regardless of batch boundaries, arrival
+    order, or replays.
+
+    Plan shape per batch (inherited from the batch operator): the
+    contamination n-gram set is benchmark-sized and BROADCASTS; the
+    batch's positional grams probe it with a broadcast semi-join — the
+    corpus side never shuffles on the gram key; the only corpus-keyed
+    exchange is the per-doc start aggregation, bounded by the
+    micro-batch.
+
+    Output layout: ``out_dir/batch=<id>/`` parquet dirs of
+    ``(id, clean_text, n_words, n_removed)`` — overwrite-in-place per
+    batch id, so replays after a checkpoint rollback are idempotent
+    (the stream_neardup_canonical state convention). Read the curated
+    corpus back with ``spark.read.parquet(out_dir)``.
+    """
+    import os
+
+    from capelinker_spark.operators.dedup import remove_contaminated_spans
+
+    def decon_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cleaned = remove_contaminated_spans(
+            batch_df.select(id_col, text_col),
+            contamination,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            contam_text_col=contam_text_col,
+        )
+        cleaned.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(decon_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

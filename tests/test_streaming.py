@@ -478,6 +478,28 @@ def test_stream_cluster_links_matches_batch(spark, tmp_path):
             if d.startswith("v=")]
     assert len(vers) <= 2
 
+    # lineage (round-5 verdict item 7): one cc_fold row per committed
+    # fold with batch-bounded metrics and elapsed time
+    import json
+
+    with open(str(tmp_path / "labels" / "_lineage.jsonl")) as fh:
+        folds = [json.loads(l) for l in fh if l.strip()]
+    assert len(folds) == len(batches) + 1            # 4 committed waves
+    for e in folds:
+        assert e["stage"] == "cc_fold"
+        for k in ("batch_id", "wave_edges", "affected_components",
+                  "merged_components", "new_nodes", "row_count",
+                  "elapsed_sec"):
+            assert k in e, k
+    by_batch = {e["batch_id"]: e for e in folds}
+    assert by_batch[0]["wave_edges"] == 3 and by_batch[0]["new_nodes"] == 6
+    # wave 1 ((2,3)) merges {1,2} with {3,4}: no new nodes, 2 affected
+    # components collapse into 1
+    assert by_batch[1]["new_nodes"] == 0
+    assert by_batch[1]["merged_components"] >= 1
+    # final label table covers all 10 nodes
+    assert folds[-1]["row_count"] == 10
+
 
 def test_stream_neardup_canonical_matches_batch(spark, tmp_path):
     """Incremental MinHash-LSH near-dup clustering ≡ batch
@@ -557,3 +579,65 @@ def test_stream_neardup_canonical_matches_batch(spark, tmp_path):
     want2 = batch_canonical(batches + [wave4])
     assert got2 == want2
     assert want2[40] == 5 and want2[41] == 41
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path):
+    """Streaming span-level decontamination ≡ batch
+    remove_contaminated_spans over the union, across 3 micro-batches
+    (maxFilesPerTrigger=1): clean_text byte-equal per doc, contaminated
+    spans removed, unrelated text untouched; a restart replays
+    idempotently (overwrite-per-batch sink)."""
+    from capelinker_spark.operators.dedup import remove_contaminated_spans
+    from capelinker_spark.streaming import stream_decontaminate
+
+    eval_snippet = ("what is the capital of france the capital of france "
+                    "is paris of course")
+    clean = ("a long rambling essay about gardening tools and the many "
+             "ways to sharpen a spade in autumn weather")
+    batches = [
+        [(1, f"intro words here {eval_snippet} closing remarks after"),
+         (2, clean)],
+        [(3, clean + " second doc variant tail"),
+         (4, f"{eval_snippet} leading quote then original analysis follows "
+             "for several more words")],
+        [(5, "short doc"), (6, f"padding start {clean} {eval_snippet}")],
+    ]
+    src = str(tmp_path / "decon_src")
+    for b in batches:
+        spark.createDataFrame(
+            b, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+    contam = spark.createDataFrame([(eval_snippet,)], "text string")
+
+    out = str(tmp_path / "decon_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_decontaminate(
+            stream, contam, str(tmp_path / "decon_ckpt"), out, n=8
+        )
+        q.awaitTermination()
+
+    run()
+    got = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+           for r in spark.read.parquet(out).collect()}
+
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+            for r in remove_contaminated_spans(all_docs, contam, n=8).collect()}
+    assert got == want                       # byte-equal, all 6 docs
+    assert eval_snippet not in got[1][0] and got[1][2] > 0
+    assert got[2] == (clean, len(clean.split()), 0)   # untouched
+
+    # restart over the same source: availableNow has consumed everything,
+    # so a rerun is a no-op and the sink is unchanged (idempotence)
+    run()
+    again = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+             for r in spark.read.parquet(out).collect()}
+    assert again == want
