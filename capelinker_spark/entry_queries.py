@@ -3167,6 +3167,70 @@ def dm3_bpe_packing(spark, sf_dir):
     )
 
 
+@register(
+    "ir1_bm25_topk",
+    """WITH toks AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+       post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term),
+       dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+       stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+                        sum(tf)::DOUBLE / count(DISTINCT doc_id)::DOUBLE
+                          AS avgdl
+                 FROM post),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+       idf AS (SELECT term,
+                      CAST(floor(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0)
+                           * 1000000.0 + 0.5) AS BIGINT) AS q,
+                      stats.avgdl AS avgdl
+               FROM dfreq, stats),
+       qt AS (SELECT * FROM (VALUES
+                ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
+                ('q2', 'window'), ('q2', 'agg'),
+                ('q3', 'customer'), ('q3', 'stream'), ('q3', 'vector'))
+              AS t(query_id, term)),
+       m AS (SELECT qt.query_id, post.doc_id, post.tf, dl.dl,
+                    idf.q, idf.avgdl
+             FROM post JOIN qt USING (term) JOIN idf USING (term)
+             JOIN dl USING (doc_id)),
+       sc AS (SELECT query_id, doc_id,
+                CAST(sum(CAST(round(q::DOUBLE
+                  * (tf::DOUBLE * 2.2
+                     / (tf::DOUBLE
+                        + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))),
+                  6) AS DECIMAL(38,6))) AS DOUBLE) / 1000000.0 AS score
+              FROM m GROUP BY query_id, doc_id),
+       r AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC)
+                      AS rank
+             FROM sc)
+       SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 10""",
+)
+def ir1_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (operators/ir.py) — the lexical complement
+    of the ANN family: three literal queries ranked over the documents
+    corpus, inverted-index shape (one postings shuffle, broadcast query
+    terms, per-query top-k window). Oracle-exact tier: Robertson idf
+    quantized to longs with a CPython log (the j4 convention — JVM
+    Math.log is 1 ulp off DuckDB's libm ln), per-term contributions
+    rounded and accumulated as DECIMAL(38,6) so the score sum is
+    order-independent under any partitioning."""
+    from capelinker_spark.operators.ir import bm25_topk
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"), ("q1", "fast"),
+         ("q2", "window"), ("q2", "agg"),
+         ("q3", "customer"), ("q3", "stream"), ("q3", "vector")],
+        "query_id string, term string",
+    )
+    return bm25_topk(d, qt, k=10, idf_quant=1_000_000)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,169 @@
+"""Keyword retrieval over the document corpus: BM25 ranking expressed as
+pure DataFrame algebra — the lexical complement of the embedding ANN
+family (``operators/simsearch.py``) for training-data curation jobs that
+select or audit documents by query (e.g. pulling eval-adjacent pages, or
+building retrieval-labeled finetuning sets).
+
+Scale shape (the inverted-index pattern without materializing an index):
+
+* the postings table ``(doc, term, tf)`` is ONE shuffle of the exploded
+  token stream (map-side-combinable hash-agg);
+* document frequencies aggregate from the postings (second combinable
+  agg, term-keyed);
+* the query-term table is query-sized and BROADCASTS — the corpus never
+  shuffles on the term key for scoring;
+* per-(query, doc) score accumulation is bounded by matched postings,
+  and the final top-k is a per-query window.
+
+At 100 TB the postings + df tables are the thing you persist (partition
+by term bucket); this module recomputes them inline because the engine's
+checkpoint story lives in ``StageRunner``, not in each operator.
+
+Exactness tiers (the j4 idf convention, ``candidates.py:44-62``): the
+production path computes idf with JVM ``F.log`` (fast, 1-ulp-off libm on
+~3% of inputs); the oracle tier quantizes idf to LONGs with a CPython
+log (bit-identical to DuckDB's libm ``ln``) and accumulates per-term
+contributions as DECIMAL(38,6) so the sum is order-independent under any
+partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens — deliberately the simplest
+    dialect-safe class (identical semantics in Spark and DuckDB
+    ``regexp_extract_all``)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The ``(id, term, tf)`` postings table plus per-doc length ``dl``:
+    one explode + one hash-agg (term frequencies), with the doc length
+    carried through the same agg (sum of tf) instead of a second scan."""
+    t = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = t.groupBy(id_col, "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def _idf_quantized(df_table: DataFrame, scale: int) -> DataFrame:
+    """Robertson idf ``ln((N - df + 0.5)/(df + 0.5) + 1)`` quantized to
+    ``floor(idf*scale + 0.5)`` LONGs, the log in CPython (Arrow UDF over
+    the small distinct-term table — JVM ``Math.log`` is 1 ulp off libm on
+    ~3% of inputs, which a floor boundary can amplify; DuckDB's ``ln`` IS
+    libm). ``_n`` (corpus size) must already ride the table."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _q(df_: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                int(math.floor(
+                    math.log((nn - d + 0.5) / (d + 0.5) + 1.0) * scale + 0.5
+                ))
+                for d, nn in zip(df_, n)
+            ]
+        )
+
+    return df_table.withColumn("_idfq", _q(F.col("_df"), F.col("_n")))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id: str = "query_id",
+    term_col: str = "term",
+    idf_quant: int | None = None,
+) -> DataFrame:
+    """BM25 top-k: rank documents per query by
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` over
+    the query's terms. ``query_terms`` is a ``(query_id, term)`` table
+    (terms should be pre-tokenized with :func:`tokens` semantics —
+    lowercase alphanumeric).
+
+    Returns ``(query_id, doc id, score, rank)``, ties broken by doc id.
+
+    ``idf_quant=None`` is the production path (JVM log, plain double
+    sum). An integer ``idf_quant`` (e.g. 1_000_000) selects the
+    oracle-exact tier: CPython-log idf quantized to longs, each term
+    contribution rounded to 6 decimals and accumulated as DECIMAL(38,6)
+    — bit-identical to the DuckDB mirror under any partitioning.
+
+    ``N`` (corpus size) and ``avgdl`` are 1-row aggregates joined in
+    LAZILY (crossJoin of a 1-row frame — no eager driver action, the
+    ts9/j4 lazy-scalar convention)."""
+    post = postings(docs, text_col, id_col)
+    stats = post.groupBy().agg(
+        F.count_distinct(id_col).cast("long").alias("_n"),
+        (F.sum("tf").cast("double")
+         / F.count_distinct(id_col).cast("double")).alias("_avgdl"),
+    )
+    # df from UNIQUE (doc, term) postings rows; _n rides via the 1-row
+    # stats frame so the quantizer sees it without a driver collect
+    dfreq = (
+        post.groupBy("term").agg(F.count("*").cast("long").alias("_df"))
+        .crossJoin(F.broadcast(stats))
+    )
+    if idf_quant:
+        idf = _idf_quantized(dfreq, idf_quant).select(
+            "term", F.col("_idfq").cast("double").alias("_idf"), "_avgdl"
+        )
+        scale = float(idf_quant)
+    else:
+        idf = dfreq.select(
+            "term",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("_idf"),
+            "_avgdl",
+        )
+        scale = 1.0
+    q = query_terms.select(
+        F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    matched = post.join(F.broadcast(q), "term").join(idf, "term")
+    tf_part = (
+        F.col("tf").cast("double") * (1.0 + k1)
+        / (
+            F.col("tf").cast("double")
+            + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("_avgdl"))
+        )
+    )
+    contrib = F.col("_idf") * tf_part
+    if idf_quant:
+        # round each contribution, sum exactly in DECIMAL, de-scale once:
+        # order-independent, and the oracle does the identical arithmetic
+        per_term = F.round(contrib, 6).cast("decimal(38,6)")
+        score = (F.sum(per_term).cast("double") / F.lit(scale)).alias("score")
+    else:
+        score = F.sum(contrib).alias("score")
+    scored = matched.groupBy("query_id", id_col).agg(score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
