@@ -3231,6 +3231,73 @@ def ir1_bm25_topk(spark, sf_dir):
     return bm25_topk(d, qt, k=10, idf_quant=1_000_000)
 
 
+@register(
+    "dd12_line_dedup_keep_first",
+    """WITH all_docs AS MATERIALIZED (
+         SELECT doc_id,
+                text || chr(10) || 'footer line ' || (doc_id % 7)::VARCHAR
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'footer line '
+                             || (doc_id % 7)::VARCHAR
+                        ELSE '' END AS text
+         FROM documents),
+       p0 AS (SELECT doc_id, u.i AS pos, u.l AS line
+              FROM (SELECT doc_id,
+                      unnest(CASE WHEN text IS NULL THEN []
+                        ELSE list_transform(
+                               string_split(text, chr(10)),
+                               (x, i) -> {'i': i, 'l': x}) END) AS u
+                    FROM all_docs)),
+       p AS (SELECT * FROM p0 WHERE length(trim(line)) > 0),
+       m1 AS (SELECT line, min(doc_id) AS m1 FROM p GROUP BY line),
+       mp AS (SELECT p.line, min(p.pos) AS mpos
+              FROM p JOIN m1 USING (line)
+              WHERE p.doc_id = m1.m1 GROUP BY p.line),
+       k AS (SELECT p.doc_id, p.pos, p.line,
+                    (p.doc_id = m1.m1 AND p.pos = mp.mpos) AS keep
+             FROM p JOIN m1 USING (line) JOIN mp USING (line)),
+       agg AS (SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lines,
+                 CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_removed,
+                 coalesce(array_to_string(list_transform(
+                   list_sort(list({'i': pos, 'l': line})
+                             FILTER (WHERE keep)),
+                   x -> x.l), chr(10)), '') AS clean_text
+               FROM k GROUP BY doc_id)
+       SELECT d.doc_id,
+              coalesce(clean_text, '') AS clean_text,
+              coalesce(n_lines, 0) AS n_lines,
+              coalesce(n_removed, 0) AS n_removed
+       FROM all_docs d LEFT JOIN agg USING (doc_id)""",
+)
+def dd12_line_dedup_keep_first(spark, sf_dir):
+    """Corpus-global line dedup, KEEP-FIRST semantics (dedup.dedup_lines_
+    global) — the C4 recipe: any line occurring more than once in the
+    corpus keeps exactly its minimal-(doc, position) occurrence. A
+    footer line (doc_id % 7 classes, doubled for doc_id % 3 == 0 to
+    exercise within-doc repeats) is planted onto every document; the
+    min-id doc of each class keeps one copy, every other occurrence is
+    removed. One shuffle of the exploded line table (two stacked window
+    aggregates on the same partitioning), per-doc bounded rebuild, zero
+    Python; CLEAN TEXT is oracle-checked byte-for-byte."""
+    from capelinker_spark.operators.dedup import dedup_lines_global
+
+    ftr = F.concat(
+        F.lit("footer line "), (F.col("doc_id") % 7).cast("string")
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n"), ftr,
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), ftr)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_lines_global(d)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -667,3 +667,85 @@ def remove_duplicate_paragraphs(
             F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
         )
     )
+
+
+def dedup_lines_global(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Corpus-global line dedup with KEEP-FIRST semantics — the C4
+    recipe (Raffel et al.: any line occurring more than once in the
+    corpus is removed "except for one"): every occurrence of a line is
+    dropped EXCEPT the one at the minimal ``(doc id, position)``, so
+    boilerplate keeps exactly one canonical copy. The remove-EVERY-copy
+    counterpart at paragraph granularity is
+    ``remove_duplicate_paragraphs``; repeated lines WITHIN one document
+    also collapse to their first occurrence here (the within-doc-only
+    variant is ``textstats.collapse_repeated_lines``).
+
+    Returns ``(id, clean_text, n_lines, n_removed)`` for every input
+    doc: ``clean_text`` rejoins the kept lines with ``\\n`` in original
+    order; whitespace-only lines are dropped in the rebuild (runs of
+    blank lines normalize away); NULL text ≡ empty. ``n_lines`` counts
+    non-whitespace lines.
+
+    Plan shape: the exploded line table shuffles ONCE (two stacked
+    window aggregates over the SAME line-value partitioning — min doc
+    id, then min position within that doc — so the second adds no
+    exchange; no per-line doc lists, the hottest boilerplate line
+    carries two accumulators), then one per-doc rebuild bounded by each
+    doc's own size. Zero Python."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    lines = F.when(
+        text.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(text, "\n"))
+
+    p = docs.select(
+        F.col(id_col), F.posexplode(lines).alias("_pos", "_l")
+    ).where(F.length(F.trim("_l")) > 0)
+    w = Window.partitionBy("_l")
+    p1 = p.withColumn("_m1", F.min(id_col).over(w))
+    # nested-window rule: _m1 must materialize before it can feed the
+    # second aggregate; same partition key -> Catalyst stacks the two
+    # WindowExecs on one Exchange
+    p2 = p1.withColumn(
+        "_mpos",
+        F.min(F.when(F.col(id_col) == F.col("_m1"), F.col("_pos"))).over(w),
+    )
+    flagged = p2.withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_m1")) & (F.col("_pos") == F.col("_mpos")),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("_pos"), F.col("_l")),
+                        )
+                    )
+                ),
+                lambda x: x["_l"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select(id_col, *passthrough)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            *passthrough,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+        )
+    )

@@ -318,3 +318,38 @@ def test_remove_contaminated_spans(spark):
     plan = remove_contaminated_spans(docs, contam, n=6)._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_dedup_lines_global_keep_first(spark):
+    """C4-style corpus-global line dedup: every duplicate line keeps
+    exactly its minimal-(doc, position) occurrence — including repeats
+    WITHIN one doc; whitespace-only lines normalize away; NULL ≡ empty;
+    the two window aggregates stack on ONE exchange (no second line-key
+    shuffle), zero Python."""
+    import re
+
+    from capelinker_spark.operators.dedup import dedup_lines_global
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha unique one\nshared footer line\nbeta unique"),
+            (2, "shared footer line\ngamma unique two\nshared footer line"),
+            (3, None),
+            (4, "   \nshared footer line\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+           for r in dedup_lines_global(docs).collect()}
+    assert got == {
+        1: ("alpha unique one\nshared footer line\nbeta unique", 3, 0),
+        2: ("gamma unique two", 3, 2),        # both copies lose (doc 1 owns)
+        3: ("", 0, 0),
+        4: ("delta", 2, 1),
+    }
+
+    plan = dedup_lines_global(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # exactly one exchange keyed on the line value feeds both windows
+    line_exchanges = re.findall(r"Exchange hashpartitioning\(_l#", plan)
+    assert len(line_exchanges) == 1, plan.count("Exchange")
