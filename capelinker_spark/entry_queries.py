@@ -3298,6 +3298,137 @@ def dd12_line_dedup_keep_first(spark, sf_dir):
     return dedup_lines_global(d)
 
 
+@register(
+    "er1_blocking_metrics",
+    """WITH cand AS (SELECT c_custkey AS id_from, s_suppkey AS id_to
+                     FROM customer JOIN supplier
+                       ON c_nationkey = s_nationkey),
+       gold AS (SELECT c_custkey AS id_from,
+                       (c_custkey % 100) + 1 AS id_to
+                FROM customer),
+       nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+       ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+       nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+              FROM cand JOIN gold USING (id_from, id_to)),
+       nl AS (SELECT CAST(count(*) AS BIGINT) AS _nl FROM customer),
+       nr AS (SELECT CAST(count(*) AS BIGINT) AS _nr FROM supplier)
+       SELECT n_candidates, n_gold, n_found,
+              round(1.0 - n_candidates / CAST(_nl * _nr AS DOUBLE), 6)
+                AS reduction_ratio,
+              round(n_found / CAST(n_gold AS DOUBLE), 6)
+                AS pairs_completeness,
+              round(n_found / CAST(n_candidates AS DOUBLE), 6)
+                AS pairs_quality
+       FROM nc, ng, nf, nl, nr""",
+)
+def er1_blocking_metrics(spark, sf_dir):
+    """ER blocking-quality metrics (er_eval.blocking_metrics): nationkey
+    equi-blocking of customer×supplier candidates scored against a
+    synthetic gold mapping (customer k truly matches supplier
+    k % 100 + 1). Reduction ratio / pairs completeness / pairs quality
+    — Christen's blocking evaluation triple — computed from four 1-row
+    lazy-scalar aggregates plus ONE semi-join; no pair set beyond the
+    candidates is materialized. Every ratio is one IEEE division of
+    BIGINTs."""
+    from capelinker_spark.operators.er_eval import blocking_metrics
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cand = c.join(s, c["c_nationkey"] == s["s_nationkey"]).select(
+        F.col("c_custkey").alias("id_from"),
+        F.col("s_suppkey").alias("id_to"),
+    )
+    gold = c.select(
+        F.col("c_custkey").alias("id_from"),
+        ((F.col("c_custkey") % 100) + 1).alias("id_to"),
+    )
+    return blocking_metrics(cand, gold, c, s)
+
+
+@register(
+    "er2_pairwise_cluster_metrics",
+    """WITH a AS (SELECT c_custkey % 200 AS p, c_custkey % 150 AS g
+                  FROM customer),
+       pp AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_pred
+              FROM (SELECT count(*) AS n FROM a GROUP BY p)),
+       pg AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_gold
+              FROM (SELECT count(*) AS n FROM a GROUP BY g)),
+       pt AS (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS pairs_true
+              FROM (SELECT count(*) AS n FROM a GROUP BY p, g))
+       SELECT pairs_pred, pairs_gold, pairs_true,
+              round(pairs_true / CAST(pairs_pred AS DOUBLE), 6)
+                AS "precision",
+              round(pairs_true / CAST(pairs_gold AS DOUBLE), 6) AS recall,
+              round(2.0 * pairs_true
+                    / CAST(pairs_pred + pairs_gold AS DOUBLE), 6) AS f1
+       FROM pp, pg, pt""",
+)
+def er2_pairwise_cluster_metrics(spark, sf_dir):
+    """Pairwise clustering precision/recall/F1 from group sizes alone
+    (er_eval.pairwise_cluster_metrics): two overlapping modular
+    partitions of customer stand in for predicted vs gold entity labels.
+    Three hash-aggregates and n·(n−1)/2 combinatorics — NO pair
+    enumeration, so the same plan evaluates a 10⁹-row clustering without
+    a 10¹⁸-pair join. Each metric is one IEEE division of BIGINTs."""
+    from capelinker_spark.operators.er_eval import pairwise_cluster_metrics
+
+    assign = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 200).alias("canonical_id"),
+        (F.col("c_custkey") % 150).alias("entity_id"),
+    )
+    return pairwise_cluster_metrics(assign)
+
+
+@register(
+    "er3_golden_record",
+    """WITH r AS (SELECT c_custkey % 300 AS canonical_id,
+                         c_mktsegment AS seg, c_name AS nm,
+                         c_acctbal AS bal
+                  FROM customer),
+       base AS (SELECT canonical_id,
+                       CAST(count(*) AS BIGINT) AS n_members,
+                       min(bal) AS c_acctbal
+                FROM r GROUP BY canonical_id),
+       nm_w AS (SELECT canonical_id, nm,
+                       row_number() OVER (PARTITION BY canonical_id
+                         ORDER BY length(nm) DESC, nm DESC) AS rn
+                FROM r WHERE nm IS NOT NULL),
+       seg_c AS (SELECT canonical_id, seg, count(*) AS c
+                 FROM r WHERE seg IS NOT NULL
+                 GROUP BY canonical_id, seg),
+       seg_w AS (SELECT canonical_id, seg,
+                        row_number() OVER (PARTITION BY canonical_id
+                          ORDER BY c DESC, seg ASC) AS rn
+                 FROM seg_c)
+       SELECT b.canonical_id, b.n_members,
+              n.nm AS c_name, b.c_acctbal, s.seg AS c_mktsegment
+       FROM base b
+       LEFT JOIN (SELECT canonical_id, nm FROM nm_w WHERE rn = 1) n
+         USING (canonical_id)
+       LEFT JOIN (SELECT canonical_id, seg FROM seg_w WHERE rn = 1) s
+         USING (canonical_id)""",
+)
+def er3_golden_record(spark, sf_dir):
+    """Survivorship / golden record (er_eval.golden_record): customers
+    clustered by c_custkey % 300 collapse to one canonical record —
+    mode of c_mktsegment (ties → lexicographically smallest), longest
+    c_name (ties → largest among longest), min c_acctbal. Simple rules
+    fuse into ONE hash-aggregate; the mode field takes a bounded tall
+    counting table + argmax window; no per-cluster value lists."""
+    from capelinker_spark.operators.er_eval import golden_record
+
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 300).alias("canonical_id"),
+        "c_mktsegment",
+        "c_name",
+        "c_acctbal",
+    )
+    return golden_record(
+        cust,
+        {"c_mktsegment": "mode", "c_name": "longest", "c_acctbal": "min"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

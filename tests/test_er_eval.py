@@ -1,0 +1,113 @@
+"""ER evaluation & consolidation operators (er_eval.py): hand-computed
+metric values, determinism under ties, and plan-shape assertions (no pair
+enumeration, zero Python)."""
+
+import pytest
+
+from capelinker_spark.operators.er_eval import (
+    blocking_metrics,
+    golden_record,
+    pairwise_cluster_metrics,
+)
+
+
+def test_blocking_metrics_hand_computed(spark):
+    """4×5 universe, 6 candidates, 4 gold, 3 found: RR = 1 − 6/20 = 0.7,
+    PC = 3/4, PQ = 3/6."""
+    left = spark.range(4).toDF("lid")
+    right = spark.range(5).toDF("rid")
+    cand = spark.createDataFrame(
+        [(0, 0), (0, 1), (1, 1), (2, 2), (3, 3), (3, 4)],
+        "id_from long, id_to long",
+    )
+    gold = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 2), (1, 4)], "id_from long, id_to long"
+    )
+    row = blocking_metrics(cand, gold, left, right).collect()[0]
+    assert (row["n_candidates"], row["n_gold"], row["n_found"]) == (6, 4, 3)
+    assert row["reduction_ratio"] == pytest.approx(0.7)
+    assert row["pairs_completeness"] == pytest.approx(0.75)
+    assert row["pairs_quality"] == pytest.approx(0.5)
+
+
+def test_pairwise_cluster_metrics_hand_computed(spark):
+    """pred {a:1,2,3}{b:4,5}{c:6}, gold {x:1,2}{y:3,4,5}{z:6}:
+    pairs_pred = 3+1 = 4, pairs_gold = 1+3 = 4,
+    TP = C(|a∩x|,2)+C(|b∩y|,2) = 1+1 = 2 → P = R = 0.5, F1 = 0.5.
+    Singletons contribute nothing."""
+    assign = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "a", "y"),
+            (4, "b", "y"),
+            (5, "b", "y"),
+            (6, "c", "z"),
+        ],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = pairwise_cluster_metrics(assign).collect()[0]
+    assert (row["pairs_pred"], row["pairs_gold"], row["pairs_true"]) == (4, 4, 2)
+    assert row["precision"] == pytest.approx(0.5)
+    assert row["recall"] == pytest.approx(0.5)
+    assert row["f1"] == pytest.approx(0.5)
+
+    plan = pairwise_cluster_metrics(assign)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # combinatoric counting only: no join of the assignment table with
+    # itself (the three 1-row scalars meet in broadcast loop joins)
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_golden_record_rules_and_ties(spark):
+    records = spark.createDataFrame(
+        [
+            # cluster 1: mode of seg is "B" (2 vs 1); name tie on length 5
+            # → lexicographically largest of {"alpha","aleph"} = "alpha";
+            # balance min = 10
+            (1, "B", "alpha", 30),
+            (1, "B", "aleph", 10),
+            (1, "A", "al", 20),
+            # cluster 2: seg mode tie A=1, B=1 → lexicographically
+            # smallest "A"; name has NULLs only → NULL; balance min = 7
+            (2, "A", None, 7),
+            (2, "B", None, 9),
+        ],
+        "canonical_id long, seg string, name string, balance long",
+    )
+    got = {
+        r["canonical_id"]: r.asDict()
+        for r in golden_record(
+            records,
+            {"seg": "mode", "name": "longest", "balance": "min"},
+        ).collect()
+    }
+    assert got[1]["n_members"] == 3
+    assert got[1]["seg"] == "B"
+    assert got[1]["name"] == "alpha"
+    assert got[1]["balance"] == 10
+    assert got[2]["seg"] == "A"
+    assert got[2]["name"] is None
+    assert got[2]["balance"] == 7
+
+    # mode on a NUMERIC field restores the declared dtype
+    num = golden_record(records, {"balance": "mode"})
+    assert dict(num.dtypes)["balance"] == "bigint"
+
+    with pytest.raises(ValueError, match="unknown survivorship rule"):
+        golden_record(records, {"seg": "plurality"})
+
+
+def test_golden_record_simple_rules_single_aggregate(spark):
+    """With no mode fields the whole golden record is ONE hash-aggregate
+    (no join, no window), zero Python."""
+    records = spark.createDataFrame(
+        [(1, "x", 5), (1, "longer", 3)], "canonical_id long, name string, v long"
+    )
+    df = golden_record(records, {"name": "longest", "v": "max"})
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert "EvalPython" not in plan
+    row = df.collect()[0]
+    assert row["name"] == "longer" and row["v"] == 5
