@@ -3429,6 +3429,130 @@ def er3_golden_record(spark, sf_dir):
     )
 
 
+# Fellegi-Sunter fixtures shared by er4 (pattern histogram) and er5
+# (literal-weight scoring): candidate pairs are the er1 nationkey block,
+# with three agreement indicators. The model's log2 weights are computed
+# ONCE in CPython libm and embedded as float literals in BOTH engines
+# (the repo's engine-exact log rule — JVM Math.log differs by 1 ulp).
+_FS_M = (0.8, 0.5, 0.9)
+_FS_U = (0.2, 0.25, 0.45)
+_FS_FIELDS = ("match", "bal", "seg")
+
+
+def _fs_weights():
+    import math
+
+    return [
+        (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+        for m, u in zip(_FS_M, _FS_U)
+    ]
+
+
+_FS_GAMMA_SQL = """
+    SELECT CASE WHEN (c_custkey % 100) + 1 = s_suppkey THEN 1 ELSE 0 END
+             AS gamma_match,
+           CASE WHEN abs(c_acctbal - s_acctbal) < 500.0 THEN 1 ELSE 0 END
+             AS gamma_bal,
+           CASE WHEN c_custkey % 7 = s_suppkey % 7 THEN 1 ELSE 0 END
+             AS gamma_seg,
+           c_custkey AS id_from, s_suppkey AS id_to
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey"""
+
+
+def _fs_gammas(spark, sf_dir):
+    from capelinker_spark.ml.fellegi_sunter import comparison_patterns  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return c.join(s, c["c_nationkey"] == s["s_nationkey"]).select(
+        F.when((F.col("c_custkey") % 100) + 1 == F.col("s_suppkey"), 1)
+        .otherwise(0)
+        .alias("gamma_match"),
+        F.when(
+            F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 500.0, 1
+        )
+        .otherwise(0)
+        .alias("gamma_bal"),
+        F.when(F.col("c_custkey") % 7 == F.col("s_suppkey") % 7, 1)
+        .otherwise(0)
+        .alias("gamma_seg"),
+        F.col("c_custkey").alias("id_from"),
+        F.col("s_suppkey").alias("id_to"),
+    )
+
+
+@register(
+    "er4_comparison_patterns",
+    f"""WITH g AS ({_FS_GAMMA_SQL})
+       SELECT gamma_match, gamma_bal, gamma_seg,
+              CAST(count(*) AS BIGINT) AS n
+       FROM g GROUP BY gamma_match, gamma_bal, gamma_seg""",
+)
+def er4_comparison_patterns(spark, sf_dir):
+    """Fellegi-Sunter comparison-pattern histogram
+    (ml.fellegi_sunter.comparison_patterns) — THE distributed stage of
+    unsupervised FS/EM linkage: billions of candidate pairs collapse to
+    ≤ 2^K pattern rows in ONE hash-aggregate with map-side partials
+    (K = 3 agreement indicators here → ≤ 8 rows whatever the corpus
+    size). EM then runs driver-side over this bounded table (pytest:
+    tests/test_fellegi_sunter.py recovers known m/u/λ) — the same
+    distributed-histogram + bounded-driver-trainer split as the BPE
+    tokenizer (tok1)."""
+    from capelinker_spark.ml.fellegi_sunter import comparison_patterns
+
+    pairs = _fs_gammas(spark, sf_dir)
+    return comparison_patterns(
+        pairs,
+        {
+            "match": F.col("gamma_match") == 1,
+            "bal": F.col("gamma_bal") == 1,
+            "seg": F.col("gamma_seg") == 1,
+        },
+    )
+
+
+def _fs_score_sql() -> str:
+    ws = _fs_weights()
+    terms = " + ".join(
+        f"(CASE WHEN gamma_{f} = 1 THEN {wa!r} ELSE {wd!r} END)"
+        for f, (wa, wd) in zip(_FS_FIELDS, ws)
+    )
+    return f"""WITH g AS ({_FS_GAMMA_SQL})
+       SELECT id_from, id_to, gamma_match, gamma_bal, gamma_seg,
+              round({terms}, 6) AS fs_score
+       FROM g
+       WHERE round({terms}, 6) > -1.5"""
+
+
+@register("er5_fs_score", _fs_score_sql())
+def er5_fs_score(spark, sf_dir):
+    """Fellegi-Sunter match-weight scoring
+    (FellegiSunterModel.score_expr): the log₂ likelihood-ratio score is
+    a sum of FLOAT LITERALS selected by the γ indicators — computed once
+    in CPython libm, embedded identically in both engines, so the
+    scoring path is zero-Python, engine-exact, and filterable on the
+    rounded value (the repo's threshold convention). Pairs above weight
+    -1.5 are the FS 'possible link + designated link' candidates."""
+    import numpy as np
+
+    from capelinker_spark.ml.fellegi_sunter import FellegiSunterModel
+
+    model = FellegiSunterModel(
+        fields=list(_FS_FIELDS),
+        m=np.array(_FS_M),
+        u=np.array(_FS_U),
+        lam=0.1,
+        iterations=0,
+        converged=True,
+    )
+    pairs = _fs_gammas(spark, sf_dir)
+    scored = pairs.withColumn("fs_score", F.round(model.score_expr(), 6))
+    return scored.where(F.col("fs_score") > -1.5).select(
+        "id_from", "id_to", "gamma_match", "gamma_bal", "gamma_seg",
+        "fs_score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -1,0 +1,114 @@
+"""Fellegi-Sunter EM: pattern-histogram correctness, parameter recovery
+on an analytically-generated corpus, native scoring expression parity with
+a hand computation, and degenerate-input guards."""
+
+import itertools
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.ml.fellegi_sunter import (
+    FellegiSunterModel,
+    comparison_patterns,
+    estimate_fellegi_sunter,
+)
+
+
+def _analytic_histogram(spark, m, u, lam, N):
+    """Pattern counts proportional to the exact FS mixture likelihood —
+    a deterministic 'corpus drawn from the model' without RNG."""
+    K = len(m)
+    rows = []
+    for g in itertools.product([0, 1], repeat=K):
+        pm = math.prod(m[k] if g[k] else 1 - m[k] for k in range(K))
+        pu = math.prod(u[k] if g[k] else 1 - u[k] for k in range(K))
+        n = round(N * (lam * pm + (1 - lam) * pu))
+        if n:
+            rows.append((*g, n))
+    fields = [f"gamma_f{k}" for k in range(K)]
+    return spark.createDataFrame(
+        rows, ", ".join(f"{f} int" for f in fields) + ", n long"
+    )
+
+
+def test_comparison_patterns_histogram(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("ann", "ann", 30, 30),
+            ("ann", "ann", 30, 31),
+            ("ann", "bob", 30, 30),
+            ("ann", "bob", None, 30),  # NULL agreement -> 0
+            ("cat", "cat", 9, 9),
+        ],
+        "name_l string, name_r string, age_l int, age_r int",
+    )
+    hist = comparison_patterns(
+        pairs,
+        {
+            "name": F.col("name_l") == F.col("name_r"),
+            "age": F.col("age_l") == F.col("age_r"),
+        },
+    )
+    got = {(r["gamma_name"], r["gamma_age"]): r["n"] for r in hist.collect()}
+    assert got == {(1, 1): 2, (1, 0): 1, (0, 1): 1, (0, 0): 1}
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "HashAggregate" in plan
+
+
+def test_em_recovers_known_parameters(spark):
+    m_true = [0.95, 0.90, 0.80]
+    u_true = [0.20, 0.10, 0.05]
+    lam_true = 0.30
+    hist = _analytic_histogram(spark, m_true, u_true, lam_true, N=1_000_000)
+    model = estimate_fellegi_sunter(
+        hist, ["f0", "f1", "f2"], max_iter=500, tol=1e-12
+    )
+    assert model.converged
+    assert model.lam == pytest.approx(lam_true, abs=0.02)
+    np.testing.assert_allclose(model.m, m_true, atol=0.02)
+    np.testing.assert_allclose(model.u, u_true, atol=0.02)
+    # label identifiability: the "match" class is the agreeing one
+    assert (model.m > model.u).all()
+
+
+def test_score_expr_hand_computed(spark):
+    model = FellegiSunterModel(
+        fields=["a", "b"],
+        m=np.array([0.8, 0.5]),
+        u=np.array([0.2, 0.25]),
+        lam=0.5,
+        iterations=1,
+        converged=True,
+    )
+    # weights: a -> (log2 4, log2 .25) = (2, -2); b -> (1, log2(2/3))
+    df = spark.createDataFrame(
+        [(1, 1), (1, 0), (0, 0)], "gamma_a int, gamma_b int"
+    ).withColumn("score", model.score_expr())
+    got = {(r["gamma_a"], r["gamma_b"]): r["score"] for r in df.collect()}
+    assert got[(1, 1)] == pytest.approx(3.0)
+    assert got[(1, 0)] == pytest.approx(2.0 + math.log2(2 / 3))
+    assert got[(0, 0)] == pytest.approx(-2.0 + math.log2(2 / 3))
+
+    # P(match | gamma): Bayes check at gamma=(1,1), lam=0.5 -> odds = 2^3
+    p = (
+        spark.createDataFrame([(1, 1)], "gamma_a int, gamma_b int")
+        .withColumn("p", model.match_probability_expr())
+        .collect()[0]["p"]
+    )
+    assert p == pytest.approx(8 / 9)
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_estimate_guards(spark):
+    empty = spark.createDataFrame([], "gamma_x int, n long")
+    with pytest.raises(ValueError, match="empty pattern histogram"):
+        estimate_fellegi_sunter(empty, ["x"])
+    trinary = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 5)], "gamma_x int, n long"
+    )
+    with pytest.raises(ValueError, match="max 2"):
+        estimate_fellegi_sunter(trinary, ["x"])
