@@ -3553,6 +3553,57 @@ def er5_fs_score(spark, sf_dir):
     )
 
 
+@register(
+    "er6_metablocking",
+    """WITH bt0 AS (SELECT c_custkey AS id,
+                unnest(['seg:' || c_mktsegment,
+                        'nat:' || c_nationkey::VARCHAR,
+                        'bal:' || CAST(floor(c_acctbal / 1000)
+                                       AS BIGINT)::VARCHAR]) AS key
+              FROM customer),
+       sizes AS (SELECT key, count(*) AS bsz FROM bt0 GROUP BY key
+                 HAVING count(*) BETWEEN 2 AND 400),
+       bt1 AS (SELECT id, bt0.key, bsz FROM bt0 JOIN sizes USING (key)),
+       bt AS (SELECT id, key FROM
+                (SELECT id, key, row_number() OVER (PARTITION BY id
+                   ORDER BY bsz ASC, key ASC) AS rn FROM bt1)
+              WHERE rn <= 2),
+       pairs AS (SELECT l.id AS id_from, r.id AS id_to,
+                        CAST(count(*) AS DOUBLE) AS weight
+                 FROM bt l JOIN bt r
+                   ON l.key = r.key AND l.id < r.id
+                 GROUP BY l.id, r.id),
+       mw AS (SELECT avg(weight) AS mw FROM pairs)
+       SELECT id_from, id_to, weight
+       FROM pairs, mw WHERE weight >= mw""",
+)
+def er6_metablocking(spark, sf_dir):
+    """Meta-blocking over a redundant 3-key blocking collection
+    (blocking.metablock_candidates): segment, nation and acctbal-band
+    keys per customer → block purging (>400 = mega-block skew kill,
+    singletons out) → per-record top-2 smallest blocks → CBS edge
+    weighting → weight-edge pruning at the global mean (a lazy 1-row
+    scalar; CBS weights are integral doubles so the mean is an exact,
+    order-independent sum/count). Candidates emerge pruned WITHOUT
+    comparing any records — ids and keys only travel."""
+    from capelinker_spark.operators.blocking import metablock_candidates
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.array(
+            F.concat(F.lit("seg:"), F.col("c_mktsegment")),
+            F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")),
+            F.concat(
+                F.lit("bal:"),
+                F.floor(F.col("c_acctbal") / 1000).cast("string"),
+            ),
+        ).alias("keys"),
+    )
+    return metablock_candidates(
+        c, F.col("keys"), max_block_size=400, top_r_blocks=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

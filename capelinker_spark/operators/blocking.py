@@ -206,3 +206,101 @@ def sorted_neighborhood_pairs(
         .select("id_from", "id_to")
         .distinct()
     )
+
+
+def metablock_candidates(
+    records: DataFrame,
+    keys: Column,
+    id_col: str = "id",
+    max_block_size: int = None,
+    top_r_blocks: int = None,
+    weight: str = "cbs",
+    prune: str = "wep",
+) -> DataFrame:
+    """Meta-blocking (Papadakis et al., TKDE 2013): turn a redundant
+    multi-key blocking collection into a pruned candidate-pair graph.
+    The webtext-ER scale path — dirty corpora produce mega-blocks
+    (stopword tokens) and redundant pairs (entities co-occurring in many
+    blocks); meta-blocking removes both WITHOUT comparing any records.
+
+    Stages (each a narrow DataFrame op over the (id, key) table):
+
+    1. **Block building**: ``keys`` is an array column of blocking keys
+       per record (token / q-gram / derived keys) — exploded long.
+    2. **Block purging**: drop blocks larger than ``max_block_size``
+       (mega-block skew kill: a 10⁶-record block would emit 10¹² pairs)
+       and singleton blocks (generate no pairs).
+    3. **Block filtering**: each record keeps only its ``top_r_blocks``
+       SMALLEST blocks (most selective; ties break on key for
+       determinism) — the standard redundancy cut.
+    4. **Edge weighting**: candidate pairs from the per-key self-join,
+       weighted by CBS (count of common blocks) or JS (Jaccard of the
+       two records' retained block sets).
+    5. **Weight-edge pruning** (``prune='wep'``): keep pairs with weight
+       ≥ the global mean weight (a lazy 1-row scalar — nothing
+       collects); ``prune='none'`` keeps all weighted pairs.
+
+    Returns ``(id_from, id_to, weight)`` with ``id_from < id_to``.
+
+    Plan shape: shuffles are (a) the key-table window for filtering
+    (partition by id), (b) the self-join on key — whose per-key fan-out
+    is CAPPED by purging at max_block_size², and (c) the pair
+    aggregation. No record payloads travel — ids and keys only."""
+    from pyspark.sql import Window
+
+    bt = records.select(F.col(id_col).alias("_id"), F.explode(keys).alias("_key"))
+    sizes = bt.groupBy("_key").agg(F.count("*").alias("_bsz"))
+    if max_block_size is not None:
+        sizes = sizes.where(F.col("_bsz") <= max_block_size)
+    sizes = sizes.where(F.col("_bsz") >= 2)
+    bt = bt.join(sizes, "_key")
+    if top_r_blocks is not None:
+        w = Window.partitionBy("_id").orderBy(F.asc("_bsz"), F.asc("_key"))
+        bt = (
+            bt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= top_r_blocks)
+            .drop("_rn")
+        )
+    bt = bt.select("_id", "_key")
+
+    l = bt.select(F.col("_id").alias("id_from"), "_key")
+    r = bt.select(F.col("_id").alias("id_to"), "_key")
+    pairs = (
+        l.join(r, "_key")
+        .where(F.col("id_from") < F.col("id_to"))
+        .groupBy("id_from", "id_to")
+        .agg(F.count("*").cast("long").alias("_cbs"))
+    )
+    if weight == "cbs":
+        pairs = pairs.withColumn("weight", F.col("_cbs").cast("double"))
+    elif weight == "js":
+        nb = bt.groupBy("_id").agg(F.count("*").cast("long").alias("_nb"))
+        pairs = (
+            pairs.join(nb.withColumnRenamed("_id", "id_from"), "id_from")
+            .withColumnRenamed("_nb", "_nbf")
+            .join(nb.withColumnRenamed("_id", "id_to"), "id_to")
+            .withColumnRenamed("_nb", "_nbt")
+            .withColumn(
+                "weight",
+                F.round(
+                    F.col("_cbs")
+                    / (F.col("_nbf") + F.col("_nbt") - F.col("_cbs")).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            )
+            .drop("_nbf", "_nbt")
+        )
+    else:
+        raise ValueError(f"unknown weight scheme {weight!r}")
+    pairs = pairs.drop("_cbs")
+
+    if prune == "wep":
+        mean_w = F.broadcast(pairs.agg(F.avg("weight").alias("_mw")))
+        pairs = pairs.crossJoin(mean_w).where(
+            F.col("weight") >= F.col("_mw")
+        ).drop("_mw")
+    elif prune != "none":
+        raise ValueError(f"unknown prune scheme {prune!r}")
+    return pairs.select("id_from", "id_to", "weight")
