@@ -160,3 +160,64 @@ def format_confusion(m: dict) -> str:
         f"actual+     {m['fn']:>10}     {m['tp']:>10}\n"
         f"precision={m['precision']:.4f} recall={m['recall']:.4f} f1={m['f1']:.4f}"
     )
+
+
+def greedy_match(
+    pairs: DataFrame,
+    id_from: str = "id_from",
+    id_to: str = "id_to",
+    score_col: str = "predicted",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Globally-greedy one-to-one matching by locally-dominant edge
+    selection — the conflict-resolution step after scoring, when
+    ``select_links('one:one')``'s rank rule (R/pred.R:50-54, tied tops
+    select NOTHING) is too conservative and the user wants the classic
+    "repeatedly take the best remaining pair" assignment.
+
+    Algorithm (Preis 1999 / Manne–Bisseling): each round keeps every
+    edge that is the top-priority edge for BOTH its endpoints
+    (priority = score DESC, then id_from ASC, id_to ASC — a TOTAL order,
+    so the result is deterministic and equals the sequential greedy
+    matching), then drops all edges incident to newly matched nodes.
+    Rounds needed ~ O(log E) in practice; each round is two windows
+    (one per endpoint role) + two anti-joins — fully distributed, no
+    driver-side pair data beyond an emptiness probe per round.
+
+    The iteration checkpoints through ``cluster.checkpoint_truncated``
+    (lineage AND cost-stat truncation — the r5 exponential-sizeInBytes
+    land mine applies to any iterative fold loop, this one included).
+
+    Returns the matched ``(id_from, id_to, score_col)`` edges."""
+    from capelinker_spark.operators.cluster import checkpoint_truncated
+
+    rem = pairs.select(id_from, id_to, score_col)
+    out = None
+    for _ in range(max_iter):
+        if rem.isEmpty():
+            break
+        prio = [F.desc(score_col), F.asc(id_from), F.asc(id_to)]
+        wf = Window.partitionBy(id_from).orderBy(*prio)
+        wt = Window.partitionBy(id_to).orderBy(*prio)
+        flagged = rem.withColumn("_rf", F.row_number().over(wf)).withColumn(
+            "_rt", F.row_number().over(wt)
+        )
+        dom = flagged.where(
+            (F.col("_rf") == 1) & (F.col("_rt") == 1)
+        ).select(id_from, id_to, score_col)
+        dom = checkpoint_truncated(dom)
+        out = dom if out is None else out.unionByName(dom)
+        # bipartite removal: the two id columns are DIFFERENT record
+        # namespaces (left file / right file), so a matched left id only
+        # blocks further edges on the left side, and vice versa
+        rem = (
+            flagged.where((F.col("_rf") > 1) | (F.col("_rt") > 1))
+            .select(id_from, id_to, score_col)
+            .join(dom.select(id_from), id_from, "left_anti")
+            .join(dom.select(id_to), id_to, "left_anti")
+            .select(id_from, id_to, score_col)
+        )
+        rem = checkpoint_truncated(rem)
+    if out is None:
+        return pairs.select(id_from, id_to, score_col).limit(0)
+    return out

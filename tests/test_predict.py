@@ -85,3 +85,54 @@ def test_predict_links_with_expr_scorer(spark):
     )
     out = predict_links(df, "pf", "pt", scorer=F.col("s"), minimum_confidence=0.5)
     assert {(r["pf"], r["pt"]) for r in out.collect()} == {(1, 11)}
+
+
+def test_greedy_match_equals_sequential_greedy(spark):
+    """Locally-dominant rounds reproduce the SEQUENTIAL greedy matching
+    exactly (total priority order: score desc, id_from asc, id_to asc),
+    on a deterministic 120-edge bipartite graph with score ties and
+    overlapping id values across the two sides."""
+    from capelinker_spark.operators.predict import greedy_match
+
+    edges = [
+        (f, t, float((f * 7 + t * 13) % 10))
+        for f in range(15)
+        for t in range(12)
+        if (f * 31 + t * 17) % 3 == 0
+    ]
+
+    used_f, used_t, want = set(), set(), set()
+    for f, t, s in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        if f not in used_f and t not in used_t:
+            used_f.add(f)
+            used_t.add(t)
+            want.add((f, t, s))
+
+    df = spark.createDataFrame(
+        edges, "id_from long, id_to long, predicted double"
+    )
+    got = {
+        (r["id_from"], r["id_to"], r["predicted"])
+        for r in greedy_match(df).collect()
+    }
+    assert got == want
+    # maximal: every unmatched edge conflicts with a matched one
+    for f, t, _ in edges:
+        assert f in used_f or t in used_t
+
+
+def test_greedy_match_empty_and_conflict(spark):
+    from capelinker_spark.operators.predict import greedy_match
+
+    empty = spark.createDataFrame(
+        [], "id_from long, id_to long, predicted double"
+    )
+    assert greedy_match(empty).count() == 0
+
+    # classic chain conflict: (1,1,.9) beats (1,2,.8); then (2,2,.7)
+    chain = spark.createDataFrame(
+        [(1, 1, 0.9), (1, 2, 0.8), (2, 2, 0.7)],
+        "id_from long, id_to long, predicted double",
+    )
+    got = {(r["id_from"], r["id_to"]) for r in greedy_match(chain).collect()}
+    assert got == {(1, 1), (2, 2)}
