@@ -3604,6 +3604,64 @@ def er6_metablocking(spark, sf_dir):
     )
 
 
+@register(
+    "m7_greedy_match",
+    """WITH RECURSIVE e AS (
+         SELECT o_custkey AS id_from, o_orderkey % 97 AS id_to,
+                max(o_totalprice) AS predicted
+         FROM orders WHERE o_custkey < 750
+         GROUP BY 1, 2),
+       m AS (
+         SELECT id_from, id_to, predicted, 0 AS matched, 0 AS it FROM e
+         UNION ALL
+         SELECT id_from, id_to, predicted, new_matched AS matched,
+                it + 1 AS it
+         FROM (
+           SELECT id_from, id_to, predicted, it, matched,
+                  CASE WHEN matched = 1 THEN 1
+                       WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END AS new_matched,
+                  MAX(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY id_from) AS fdom,
+                  MAX(CASE WHEN rf = 1 AND rt = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY id_to) AS tdom,
+                  MAX(CASE WHEN matched = 0 THEN 1 ELSE 0 END)
+                    OVER () AS any_rem
+           FROM (
+             SELECT id_from, id_to, predicted, it, matched,
+                    CASE WHEN matched = 0 THEN ROW_NUMBER() OVER (
+                      PARTITION BY matched, id_from
+                      ORDER BY predicted DESC, id_from, id_to) END AS rf,
+                    CASE WHEN matched = 0 THEN ROW_NUMBER() OVER (
+                      PARTITION BY matched, id_to
+                      ORDER BY predicted DESC, id_from, id_to) END AS rt
+             FROM m)
+         )
+         WHERE any_rem = 1
+           AND (new_matched = 1 OR (fdom = 0 AND tdom = 0)))
+       SELECT id_from, id_to, predicted FROM m
+       WHERE matched = 1 AND it = (SELECT max(it) FROM m)""",
+)
+def m7_greedy_match(spark, sf_dir):
+    """M7: globally-greedy one-to-one assignment (predict.greedy_match) —
+    the "repeatedly take the best remaining pair" conflict resolution,
+    computed distributed via Preis locally-dominant edge rounds. The
+    DuckDB oracle simulates the SAME rounds with a recursive CTE (window
+    functions over the working table; matched edges carried forward,
+    edges incident to a matched endpoint dropped via per-endpoint MAX
+    windows), so both engines realize the sequential greedy matching
+    under the total priority order (score DESC, id_from, id_to).
+    Scores are untouched parquet doubles — no float arithmetic, so
+    EXACT is structural."""
+    from capelinker_spark.operators.predict import greedy_match
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 750)
+    e = o.groupBy(
+        F.col("o_custkey").alias("id_from"),
+        (F.col("o_orderkey") % 97).alias("id_to"),
+    ).agg(F.max("o_totalprice").alias("predicted"))
+    return greedy_match(e)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -3626,46 +3684,41 @@ def er6_metablocking(spark, sf_dir):
 # streak rows stay in. Every rotated-out row remains in the judge's full
 # `tools/check_oracle.py` sweep each round.
 #
-# Round-5 rotation: OUT = the 4x-green stable core (s1, p4, q1, j1, j2,
-# j5, j6, f7, m2, c1, c2, dd1-dd4, ts1, ann2), the 3x-consecutive-green
-# f8, f9, and the 2x-green dm1, ts5, ts6, j3, j3b, p7, p9. IN = the 26
-# round-4-rotated cohort re-earning a driver row (a2-a12, ann1, dd5, f2,
-# f5, f6, j7-j9, p2, p3, ts2-ts4, u1, u2, u5, u6 — round-4 verdict item
-# 4), every 1x-green round-4 row building its streak, and everything
-# round-5-touched (j4 lazy idf; dm3/cu4 BPE whitespace class; cu3 punct
-# class; u11 userinfo case).
+# Round-6 rotation (verdict-r5 item 2): IN = the 10 round-6-new queries
+# (m7, cu7, ir1, dd12, er1-er6), the 7 existing queries whose engine code
+# changed this round (dd9/dd10/dd11 — rewrite functions gained pipeline
+# wiring; cu1/cu4 — CurationPipeline class extended; tok1 — incremental
+# BPE trainer; ann1 — simsearch l2_normalize/IVFPQ rework), and the full
+# 33-query r04-cohort whose last driver row is round 4 (the 4x-green core
+# s1/p4/q1/j1/j2/j5/j6/f7/m2/c1/c2/dd1-dd4/ts1/ann2 plus a14, ann3, dd6,
+# dd7, dm1, ev1, st1, ts5, ts6, u4, j3, j3b, p7, p9, f8, f9). OUT = the
+# re-earned round-5 window (r5-new dd9-family stays only where touched;
+# cu5, cu6, ts10, j4, u11, dm3, cu3 and the 26-cohort + streak rows all
+# have fresh r5 driver rows and rotate to the judge's full sweep).
 _DRIVER_WINDOW = [
-    # round-5-new first, then round-5-touched
-    "dd9_remove_dup_spans", "cu5_domain_policy_curation", "tok1_word_counts",
-    "dd10_paragraph_dedup", "dd11_remove_contaminated_spans",
-    "cu6_token_budget_mix", "ts10_collapse_repeated_lines",
-    "j4_idf_bigram_cosine_join", "u11_url_normalize", "dm3_bpe_packing",
-    "cu4_full_curation", "cu3_model_quality_score",
-    # the 26-query cohort rotated back in (last driver row: round 3)
-    "a2_grouped_bool_agg", "a3_null_share_profile", "a4_minmax_range",
-    "a5_dedup_keep_min", "a6_distinct_count", "a8_sort_topk",
-    "a10_union_fill", "a11_unpivot_melt", "a12_onehot",
-    "ann1_brute_force_topk", "dd5_ngram_jaccard", "f2_soundex_distance",
-    "f5_gaussian_kernel", "f6_window_matches", "j7_semi_anti",
-    "j8_composite_key_join", "j9_json_regex_extract", "p2_filter_predicates",
-    "p3_conditional_update", "ts2_token_counts", "ts3_quality_ratios",
-    "ts4_fingerprint", "u1_initials_longest_word", "u2_split_prefixes",
-    "u5_stringdist_closest", "u6_paste_similar",
-    # 1x-green round-4 rows building their streak (incl. the two ex-red)
-    "dm2_sequence_packing", "cu1_curation_pipeline", "dm4_temperature_mix",
-    "dd8_dup_span_stats", "ts7_pii_redact",
-    "cu2_line_filter", "ts8_top_ngram_fraction",
-    "ts9_bigram_lm_score", "f10_spousenamedist", "f11_wifeinboth",
-    "f15_minmax_normalise", "m1_logistic_score",
-    # Yielding slots to the seven round-5-new queries (dd9, cu5, tok1,
-    # dd10, dd11, cu6, ts10), each 1x green and implementation-untouched:
-    # a14_labeling_sheet, ann3_embedding_dedup_canonical and
-    # dd6_near_dedup_canonical (the LSH→CC canonicalization family is
-    # covered in-window by dd9/dd10/dd11 and by the judge's full sweep),
-    # st1_streaming_window_agg and ev1_sessionize_stats (stream≡batch
-    # pytest battery), u4_uniformise_strings (R-semantics parity pytest
-    # oracle), and dd7_decontaminate (its flag machinery is a strict
-    # subset of the in-window dd11)
+    # round-6-new first
+    "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
+    "dd12_line_dedup_keep_first", "er1_blocking_metrics",
+    "er2_pairwise_cluster_metrics", "er3_golden_record",
+    "er4_comparison_patterns", "er5_fs_score", "er6_metablocking",
+    # round-6-touched implementations
+    "dd9_remove_dup_spans", "dd10_paragraph_dedup",
+    "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
+    "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
+    # the 33-query cohort whose last driver row is round 4
+    "dd7_decontaminate", "ev1_sessionize_stats", "dm1_stratified_sample",
+    "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
+    "st1_streaming_window_agg", "dd6_near_dedup_canonical",
+    "ann3_embedding_dedup_canonical", "a14_labeling_sheet",
+    "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
+    "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
+    "f9_cos_uniqueness", "s1_scan_projection", "p4_clean_name_chain",
+    "q1_flagship_agg", "j1_jw_similarity_join", "j2_numeric_band_join",
+    "j5_soundex_blocking_join", "j6_left_outer_assembly",
+    "f7_namefreq_grouped_count", "m2_dual_rank_select",
+    "c1_connected_components", "c2_expand_index", "dd1_exact_dedup",
+    "dd2_minhash_signature", "dd3_minhash_lsh_neardup", "dd4_simhash",
+    "ts1_lang_id", "ann2_embedding_neardup",
 ]
 
 
