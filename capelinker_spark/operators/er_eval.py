@@ -254,3 +254,79 @@ def golden_record(
         )
     )
     return base.join(winners, cluster_col, "left")
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    pred_col: str = "canonical_id",
+    gold_col: str = "entity_id",
+    scale: int = 12,
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of a predicted
+    clustering against gold entity labels — the record-averaged
+    complement of ``pairwise_cluster_metrics`` (pairwise metrics weight
+    big clusters quadratically; B-cubed weights every RECORD equally,
+    so it is the standard second opinion in ER evaluation).
+
+    Per record r: precision(r) = |C(r) ∩ L(r)| / |C(r)|,
+    recall(r) = |C(r) ∩ L(r)| / |L(r)|; the metric is the mean over all
+    N records. Grouping by (pred, gold) cell, a cell of size n inside a
+    predicted cluster of size np and gold entity of size ng contributes
+    n · (n/np) to Σprecision and n · (n/ng) to Σrecall, so
+
+        B³-precision = (1/N) Σ_cells n² / np
+        B³-recall    = (1/N) Σ_cells n² / ng
+
+    Exactness/order-independence: each cell's contribution is quantized
+    to an INTEGER — floor(n²·10^scale / np) via exact integer floor
+    division — summed as DECIMAL(38,0) (overflow-free, order-free), and
+    divided out in ONE final IEEE expression; round(...,6) absorbs the
+    ≤ #cells·10^-scale quantization slack. The n²·10^scale product is
+    computed in DECIMAL(38,0), so no BIGINT overflow for any real
+    cluster size. A deterministic metric regardless of partitioning is
+    itself a scale feature: reruns and resumes reproduce the exact
+    evaluation number.
+
+    Plan shape: three hash-aggregates (cell sizes, pred sizes, gold
+    sizes), two equi-joins of the cell table to the size tables, one
+    global 1-row aggregate. No pair enumeration — a 10⁹-row clustering
+    costs the same shape as ``pairwise_cluster_metrics``.
+
+    Returns ONE row ``(n_records, bcubed_precision, bcubed_recall,
+    bcubed_f1)``."""
+    cells = assignments.groupBy(pred_col, gold_col).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    pred_sz = assignments.groupBy(pred_col).agg(
+        F.count("*").cast("long").alias("_np")
+    )
+    gold_sz = assignments.groupBy(gold_col).agg(
+        F.count("*").cast("long").alias("_ng")
+    )
+    # exact integral floor division (NOT decimal `/` + floor — decimal
+    # division may round the quotient before flooring); the quotient is
+    # ≤ n·10^scale so it fits the LONG that `div` returns
+    nsq = f"cast(_n as decimal(38,0)) * _n * cast({10 ** scale} as decimal(38,0))"
+    joined = cells.join(pred_sz, pred_col).join(gold_sz, gold_col)
+    sums = joined.agg(
+        F.sum(F.col("_n")).cast("long").alias("n_records"),
+        F.sum(F.expr(f"({nsq}) div _np").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.expr(f"({nsq}) div _ng").cast("decimal(38,0)")).alias("_sr"),
+    )
+    denom = F.col("n_records").cast("double") * float(10**scale)
+    p = F.col("_sp").cast("double") / denom
+    r = F.col("_sr").cast("double") / denom
+    return sums.select(
+        "n_records",
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(
+            (2.0 * F.col("_sp").cast("double") * F.col("_sr"))
+            / (
+                (F.col("_sp") + F.col("_sr")).cast("double")
+                * F.col("n_records")
+                * float(10**scale)
+            ),
+            6,
+        ).alias("bcubed_f1"),
+    )

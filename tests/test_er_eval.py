@@ -3,6 +3,7 @@ metric values, determinism under ties, and plan-shape assertions (no pair
 enumeration, zero Python)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from capelinker_spark.operators.er_eval import (
     blocking_metrics,
@@ -111,3 +112,68 @@ def test_golden_record_simple_rules_single_aggregate(spark):
     assert "EvalPython" not in plan
     row = df.collect()[0]
     assert row["name"] == "longer" and row["v"] == 5
+
+
+def test_bcubed_hand_computed(spark):
+    """Same clustering as the pairwise test — pred {a:1,2,3}{b:4,5}{c:6}
+    vs gold {x:1,2}{y:3,4,5}{z:6}. Cells (a,x)=2 (a,y)=1 (b,y)=2 (c,z)=1:
+    B3-P = (1/6)(4/3 + 1/3 + 4/2 + 1/1) = 0.777778 = B3-R = B3-F1."""
+    from capelinker_spark.operators.er_eval import bcubed_metrics
+
+    assign = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "a", "y"),
+            (4, "b", "y"),
+            (5, "b", "y"),
+            (6, "c", "z"),
+        ],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = bcubed_metrics(assign).collect()[0]
+    assert row["n_records"] == 6
+    assert row["bcubed_precision"] == pytest.approx(0.777778, abs=1e-6)
+    assert row["bcubed_recall"] == pytest.approx(0.777778, abs=1e-6)
+    assert row["bcubed_f1"] == pytest.approx(0.777778, abs=1e-6)
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from capelinker_spark.operators.er_eval import bcubed_metrics
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "a"), (3, "b", "b")],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = bcubed_metrics(perfect).collect()[0]
+    assert (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"]) \
+        == (1.0, 1.0, 1.0)
+
+    # everything in one predicted cluster, gold all singletons:
+    # precision per record = 1/N, recall = 1
+    allone = spark.createDataFrame(
+        [(i, "a", f"g{i}") for i in range(4)],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = bcubed_metrics(allone).collect()[0]
+    assert row["bcubed_precision"] == pytest.approx(0.25, abs=1e-6)
+    assert row["bcubed_recall"] == 1.0
+
+
+def test_bcubed_deterministic_and_no_pair_join(spark):
+    """Integer-quantized contributions: identical to the last ulp under
+    repartitioning; plan has no self-join of the assignment table."""
+    from capelinker_spark.operators.er_eval import bcubed_metrics
+
+    assign = spark.range(2000).select(
+        "id",
+        (F.col("id") % 37).cast("string").alias("canonical_id"),
+        (F.col("id") % 41).cast("string").alias("entity_id"),
+    )
+    a = bcubed_metrics(assign).collect()[0]
+    b = bcubed_metrics(assign.repartition(17)).collect()[0]
+    assert tuple(a) == tuple(b)
+
+    plan = bcubed_metrics(assign)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "EvalPython" not in plan

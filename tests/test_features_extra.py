@@ -373,3 +373,67 @@ def test_uniformise_greedy_global_crosses_blocks(spark):
         _uniformise_greedy_global(
             df, "mlast", 0.2, "mlast_unif", None, max_vocab=2
         )
+
+
+def test_monge_elkan_hand_computed(spark):
+    """Word-reordered identical names score 1.0; the asymmetric direction
+    a='abc' vs b='abc xyz' is 1.0 forward (every a-word has an exact
+    match) and 0.5 backward (xyz finds nothing, JW distance 1)."""
+    pairs = spark.createDataFrame(
+        [
+            (1, "john smith", "smith john"),
+            (2, "abc", "abc xyz"),
+        ],
+        "pid long, a string, b string",
+    )
+    fwd = {
+        r["pid"]: r["me_sim"]
+        for r in FE.monge_elkan(pairs, "a", "b", ["pid"]).collect()
+    }
+    assert fwd[1] == pytest.approx(1.0)
+    assert fwd[2] == pytest.approx(1.0)
+    sym = {
+        r["pid"]: r["me_sim"]
+        for r in FE.monge_elkan(
+            pairs, "a", "b", ["pid"], symmetric=True
+        ).collect()
+    }
+    assert sym[1] == pytest.approx(1.0)
+    assert sym[2] == pytest.approx(0.75)  # (1.0 + 0.5) / 2
+
+
+def test_monge_elkan_empty_side_null_and_row_preserved(spark):
+    pairs = spark.createDataFrame(
+        [(1, "   ", "anything"), (2, "word", "")],
+        "pid long, a string, b string",
+    )
+    rows = {r["pid"]: r["me_sim"]
+            for r in FE.monge_elkan(pairs, "a", "b", ["pid"]).collect()}
+    assert rows == {1: None, 2: None}
+
+
+def test_monge_elkan_deterministic_under_partitioning(spark):
+    import random
+
+    rng = random.Random(3)
+    words = ["maria", "garcia", "lopez", "smith", "smyth", "jon", "john"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(words, k=rng.randrange(1, 4))),
+            " ".join(rng.choices(words, k=rng.randrange(1, 4))),
+        )
+        for i in range(200)
+    ]
+    pairs = spark.createDataFrame(rows, "pid long, a string, b string")
+    a = sorted(
+        (r["pid"], r["me_sim"])
+        for r in FE.monge_elkan(pairs, "a", "b", ["pid"]).collect()
+    )
+    b = sorted(
+        (r["pid"], r["me_sim"])
+        for r in FE.monge_elkan(
+            pairs.repartition(11), "a", "b", ["pid"]
+        ).collect()
+    )
+    assert a == b

@@ -112,3 +112,35 @@ def test_estimate_guards(spark):
     )
     with pytest.raises(ValueError, match="max 2"):
         estimate_fellegi_sunter(trinary, ["x"])
+
+
+def test_term_frequency_weights_hand_computed(spark):
+    """Values john x3 + anna x1: N=4, S2=10. tf(john)=log2(10/12),
+    tf(anna)=log2(10/4); the average adjustment over records is ~0 by
+    construction (rare values positive, common negative)."""
+    import math
+
+    from capelinker_spark.ml.fellegi_sunter import term_frequency_weights
+
+    rec = spark.createDataFrame(
+        [("john",), ("john",), ("john",), ("anna",), (None,)],
+        "first string",
+    )
+    got = {
+        r["value"]: (r["n_value"], r["tf_weight"])
+        for r in term_frequency_weights(rec, "first").collect()
+    }
+    assert got["john"] == (3, round(math.log2(10 / 12), 6))
+    assert got["anna"] == (1, round(math.log2(10 / 4), 6))
+    assert set(got) == {"john", "anna"}  # NULLs excluded
+
+
+def test_term_frequency_weights_uniform_is_zero_ish(spark):
+    """All-distinct values: u(v)=1/N for every v and ubar=1/N, so every
+    tf weight is exactly log2(1)=0."""
+    from capelinker_spark.ml.fellegi_sunter import term_frequency_weights
+
+    rec = spark.range(8).selectExpr("'v' || id AS first")
+    ws = term_frequency_weights(rec, "first").collect()
+    assert len(ws) == 8
+    assert all(r["tf_weight"] == 0.0 for r in ws)

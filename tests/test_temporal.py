@@ -1,0 +1,92 @@
+"""As-of join (operators/temporal.py): hand-computed backward-asof
+semantics, inclusive ties, duplicate-timestamp tiebreak, multi-key,
+column-collision suffixing, and the one-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.temporal import asof_join
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_asof_basic_backward(spark):
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 5), ("b", 7)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 15, "y"), ("b", 9, "z")],
+        "k string, rt long, val string",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    # t=10 matches rt=10 (ties inclusive), t=20 -> rt=15, t=5 and b/7 -> NULL
+    assert _rows(out, "k", "t", "val") == [
+        ("a", 5, None),
+        ("a", 10, "x"),
+        ("a", 20, "y"),
+        ("b", 7, None),
+    ]
+
+
+def test_asof_tiebreak_highest_wins(spark):
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 10, 1, "lo"), ("a", 10, 2, "hi")],
+        "k string, rt long, rid int, val string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", tiebreak="rid"
+    )
+    assert _rows(out, "k", "t", "rid", "val") == [("a", 10, 2, "hi")]
+
+
+def test_asof_multikey_and_suffix(spark):
+    left = spark.createDataFrame(
+        [("a", 1, 10, "L")], "k string, g int, t long, v string"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 9, "R1"), ("a", 2, 9, "R2")],
+        "k string, g int, rt long, v string",
+    )
+    out = asof_join(
+        left, right, on=["k", "g"], left_time="t", right_time="rt"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    # left payload kept verbatim; colliding right column suffixed
+    assert rows[0]["v"] == "L" and rows[0]["v_r"] == "R1"
+
+
+def test_asof_left_rows_never_dropped_or_duplicated(spark):
+    left = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("t")
+    )
+    right = spark.range(40).select(
+        (F.col("id") % 5).alias("k"),
+        (F.col("id") * 4).alias("rt"),
+        F.col("id").alias("payload"),
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert out.count() == 50
+    # every non-null match satisfies rt <= t and is the max such rt
+    matched = out.select("k", "t", F.col("rt").alias("mrt"))
+    bad = matched.join(right, "k").where(
+        F.col("mrt").isNotNull()
+        & (F.col("rt") <= F.col("t"))
+        & (F.col("rt") > F.col("mrt"))
+    )
+    assert bad.count() == 0
+
+
+def test_asof_plan_single_shuffle_no_python(spark):
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 9, 1.0)], "k string, rt long, val double"
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # union-tag-window form: ONE hash exchange on the key, no join at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
