@@ -3662,6 +3662,259 @@ def m7_greedy_match(spark, sf_dir):
     return greedy_match(e)
 
 
+@register(
+    "tm1_asof_join",
+    """SELECT l.event_id, l.user_id, r.event_id AS purchase_id,
+              r.value AS purchase_value
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'click') l
+       ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase') r
+         ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def tm1_asof_join(spark, sf_dir):
+    """TM1: backward as-of join (operators/temporal.py) — each click
+    event picks up the user's latest purchase at or before it (inclusive
+    ties), the temporal-linkage primitive behind cross-census "_from →
+    latest earlier _to" pairing. The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the union-tag-window formulation is checked against an
+    independent implementation, not a transcription of itself. Purchase
+    values are untouched parquet doubles — EXACT is structural."""
+    from capelinker_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="pts",
+        tiebreak="purchase_id",
+    )
+    return out.select("event_id", "user_id", "purchase_id", "purchase_value")
+
+
+@register(
+    "er7_bcubed",
+    f"""WITH a AS (SELECT c_nationkey::VARCHAR AS p, c_mktsegment AS g
+                   FROM customer),
+        cells AS (SELECT p, g, count(*) AS n FROM a GROUP BY p, g),
+        ps AS (SELECT p, count(*) AS np FROM a GROUP BY p),
+        gs AS (SELECT g, count(*) AS ng FROM a GROUP BY g),
+        j AS (SELECT n, np, ng
+              FROM cells JOIN ps USING (p) JOIN gs USING (g)),
+        s AS (SELECT CAST(sum(n) AS BIGINT) AS n_records,
+                     sum((n::HUGEINT * n * {10 ** 12}) // np) AS sp,
+                     sum((n::HUGEINT * n * {10 ** 12}) // ng) AS sr
+              FROM j)
+        SELECT n_records,
+               round(sp::DOUBLE / (n_records::DOUBLE * 1e12), 6)
+                 AS bcubed_precision,
+               round(sr::DOUBLE / (n_records::DOUBLE * 1e12), 6)
+                 AS bcubed_recall,
+               round((2.0 * sp::DOUBLE * sr::DOUBLE)
+                     / ((sp + sr)::DOUBLE * n_records * 1e12), 6)
+                 AS bcubed_f1
+        FROM s""",
+)
+def er7_bcubed(spark, sf_dir):
+    """ER7: B-cubed precision/recall/F1 (er_eval.bcubed_metrics) of the
+    nation "clustering" of customers against the market-segment "gold"
+    labels — the record-averaged ER metric. Per-cell contributions are
+    quantized to integers (floor(n²·10¹² / size)) and summed as
+    DECIMAL(38,0) / HUGEINT, so the metric is order-independent and the
+    two engines agree to the last digit before the single final IEEE
+    division on each side."""
+    from capelinker_spark.operators.er_eval import bcubed_metrics
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("canonical_id"),
+        F.col("c_mktsegment").alias("entity_id"),
+    )
+    return bcubed_metrics(c)
+
+
+_F16_PAIRS = """SELECT a.p_partkey AS pid, a.p_name AS name_a,
+                       b.p_name AS name_b
+                FROM part a JOIN part b ON a.p_partkey + 1000 = b.p_partkey
+                WHERE a.p_partkey < 300"""
+
+
+def _f16_dir_sql(src: str, dst: str, alias: str) -> str:
+    """One Monge-Elkan direction as CTEs: word multiplicities on the
+    source side (position-min ≡ word-min × multiplicity), distinct words
+    on the target side, quantized JW minima, integral sums."""
+    jwq = duckdb_jw_sql("wa.w", "wb.w", 0.1)
+    return f"""
+        {alias}_wa AS (SELECT pid, w, count(*) AS m
+            FROM (SELECT pid, unnest({WORDS_SQL.format(c=src)}) AS w
+                  FROM pairs)
+            WHERE w <> '' GROUP BY pid, w),
+        {alias}_wb AS (SELECT DISTINCT pid, w
+            FROM (SELECT pid, unnest({WORDS_SQL.format(c=dst)}) AS w
+                  FROM pairs)
+            WHERE w <> ''),
+        {alias}_q AS (SELECT wa.pid, wa.w, wa.m,
+                min(CAST(floor(({jwq}) * 1000000.0 + 0.5) AS BIGINT))
+                  AS minq
+            FROM {alias}_wa wa JOIN {alias}_wb wb USING (pid)
+            GROUP BY wa.pid, wa.w, wa.m),
+        {alias}_s AS (SELECT pid,
+                CAST(sum(m) AS BIGINT) AS n,
+                CAST(sum(minq * m) AS BIGINT) AS s
+            FROM {alias}_q GROUP BY pid)"""
+
+
+@register(
+    "f16_monge_elkan",
+    f"""WITH pairs AS MATERIALIZED ({_F16_PAIRS}),
+        {_f16_dir_sql('name_a', 'name_b', 'ab')},
+        {_f16_dir_sql('name_b', 'name_a', 'ba')}
+        SELECT p.pid,
+               floor((CAST((ab.n * 1000000 - ab.s) * ba.n
+                           + (ba.n * 1000000 - ba.s) * ab.n AS DOUBLE)
+                      / CAST(2 * ab.n * ba.n * 1000000 AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0
+                 AS me_sim
+        FROM pairs p
+        JOIN ab_s ab USING (pid) JOIN ba_s ba USING (pid)""",
+)
+def f16_monge_elkan(spark, sf_dir):
+    """F16: symmetric Monge-Elkan similarity (features.monge_elkan, JW
+    p=0.1 inner measure) over paired part names — the hybrid token/edit
+    distance robust to word reordering that whole-string JW (F1/distcalc,
+    R/distances.R:30-40) is not. Word-pair JW quantized floor(d·1e6+.5)
+    to longs, per-word minima and sums integral, and the symmetric
+    combination is the common-denominator integer ratio — ONE IEEE
+    division per row on both engines. The 6-decimal quantization is
+    floor(x·1e6+0.5)/1e6, NOT round(x,6): with a 2·na·nb·1e6
+    denominator the quotient terminates at 7 decimals, so exact
+    half-boundaries are common (pid 190 = 0.5208335) and Spark's
+    HALF_UP-on-shortest-repr disagrees with DuckDB's binary-value round
+    there; the floor form is the same IEEE op sequence on both."""
+    from capelinker_spark.operators.features import monge_elkan
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.where(F.col("p_partkey") < 300).select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        (F.col("p_partkey") - 1000).alias("pid"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "pid")
+    out = monge_elkan(
+        pairs, "name_a", "name_b", ["pid"], symmetric=True
+    )
+    return out.select(
+        "pid",
+        (
+            F.floor(F.col("me_sim") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("me_sim"),
+    )
+
+
+@register(
+    "lr1_cascade_link",
+    """WITH l0 AS (SELECT c_custkey AS id_from, c_nationkey AS nat,
+                          c_mktsegment AS seg,
+                          CAST(floor(c_acctbal / 100) AS BIGINT) AS bal
+                   FROM customer WHERE c_custkey % 2 = 0),
+        r0 AS (SELECT c_custkey AS id_to, c_nationkey AS nat,
+                      c_mktsegment AS seg,
+                      CAST(floor(c_acctbal / 100) AS BIGINT) AS bal
+               FROM customer WHERE c_custkey % 2 = 1),
+        c1 AS (SELECT l0.id_from, r0.id_to
+               FROM l0 JOIN r0 USING (nat, seg, bal)),
+        m1 AS (SELECT id_from, id_to FROM
+                 (SELECT id_from, id_to,
+                         count(*) OVER (PARTITION BY id_from) AS nl,
+                         count(*) OVER (PARTITION BY id_to) AS nr
+                  FROM c1)
+               WHERE nl = 1 AND nr = 1),
+        l1 AS (SELECT * FROM l0
+               WHERE id_from NOT IN (SELECT id_from FROM m1)),
+        r1 AS (SELECT * FROM r0
+               WHERE id_to NOT IN (SELECT id_to FROM m1)),
+        c2 AS (SELECT l1.id_from, r1.id_to
+               FROM l1 JOIN r1 USING (nat, bal)),
+        m2 AS (SELECT id_from, id_to FROM
+                 (SELECT id_from, id_to,
+                         count(*) OVER (PARTITION BY id_from) AS nl,
+                         count(*) OVER (PARTITION BY id_to) AS nr
+                  FROM c2)
+               WHERE nl = 1 AND nr = 1)
+        SELECT id_from, id_to, 'tight' AS pass_name FROM m1
+        UNION ALL
+        SELECT id_from, id_to, 'loose' AS pass_name FROM m2""",
+)
+def lr1_cascade_link(spark, sf_dir):
+    """LR1: deterministic multi-pass linkage cascade
+    (linkrules.cascade_link) — even-key customers vs odd-key customers,
+    tight pass on (nation, segment, balance-band), loose pass on
+    (nation, balance-band); only pairs unambiguous on BOTH sides match,
+    matched records leave the pools (ABE census-linking recipe; the
+    reference's exact-key merge, R/candidates.R). Ids and keys only —
+    EXACT is structural."""
+    from capelinker_spark.operators.linkrules import cascade_link
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal"),
+    )
+    left = c.where(F.col("c_custkey") % 2 == 0).withColumnRenamed(
+        "c_custkey", "id_from"
+    )
+    right = c.where(F.col("c_custkey") % 2 == 1).withColumnRenamed(
+        "c_custkey", "id_to"
+    )
+    return cascade_link(
+        left,
+        right,
+        [("tight", ["nat", "seg", "bal"]), ("loose", ["nat", "bal"])],
+    )
+
+
+@register(
+    "fs2_tf_weights",
+    """WITH f AS (SELECT p_type AS value,
+                         CAST(count(*) AS BIGINT) AS n_value
+                  FROM part WHERE p_type IS NOT NULL GROUP BY p_type),
+        t AS (SELECT CAST(sum(n_value) AS BIGINT) AS N,
+                     CAST(sum(n_value * n_value) AS BIGINT) AS S2
+              FROM f)
+        SELECT value, n_value,
+               round(log2(S2::DOUBLE / (N * n_value)::DOUBLE), 6)
+                 AS tf_weight
+        FROM f, t""",
+)
+def fs2_tf_weights(spark, sf_dir):
+    """FS2: Winkler term-frequency agreement weights
+    (fellegi_sunter.term_frequency_weights) over part types — the
+    value-specific refinement of the flat Fellegi-Sunter u-probability
+    (rare-value agreement outweighs common-value agreement). Counts are
+    exact longs; ONE IEEE division feeds log₂ evaluated in CPython libm
+    on the Spark side and DuckDB libm on the oracle side, with
+    round(...,6) absorbing any last-ulp divergence (the m1 sigmoid
+    convention)."""
+    from capelinker_spark.ml.fellegi_sunter import term_frequency_weights
+
+    part = _t(spark, sf_dir, "part")
+    return term_frequency_weights(part, "p_type")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -3684,8 +3937,8 @@ def m7_greedy_match(spark, sf_dir):
 # streak rows stay in. Every rotated-out row remains in the judge's full
 # `tools/check_oracle.py` sweep each round.
 #
-# Round-6 rotation (verdict-r5 item 2): IN = the 10 round-6-new queries
-# (m7, cu7, ir1, dd12, er1-er6), the 7 existing queries whose engine code
+# Round-6 rotation (verdict-r5 item 2): IN = the 15 round-6-new queries
+# (m7, cu7, ir1, dd12, er1-er7, tm1, f16, lr1, fs2), the 7 existing queries whose engine code
 # changed this round (dd9/dd10/dd11 — rewrite functions gained pipeline
 # wiring; cu1/cu4 — CurationPipeline class extended; tok1 — incremental
 # BPE trainer; ann1 — simsearch l2_normalize/IVFPQ rework), and the full
@@ -3695,12 +3948,18 @@ def m7_greedy_match(spark, sf_dir):
 # re-earned round-5 window (r5-new dd9-family stays only where touched;
 # cu5, cu6, ts10, j4, u11, dm3, cu3 and the 26-cohort + streak rows all
 # have fresh r5 driver rows and rotate to the judge's full sweep).
+# Late-round-6 amendment: tm1/er7/f16/lr1/fs2 (never driver-checked)
+# rotate IN per rule 2; the window being full, the five LONGEST-streak
+# r04-cohort rows (dd1-dd4, ts1 — green since round 1) rotate OUT to the
+# judge's full sweep.
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
     "dd12_line_dedup_keep_first", "er1_blocking_metrics",
     "er2_pairwise_cluster_metrics", "er3_golden_record",
     "er4_comparison_patterns", "er5_fs_score", "er6_metablocking",
+    "tm1_asof_join", "er7_bcubed", "f16_monge_elkan",
+    "lr1_cascade_link", "fs2_tf_weights",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -3716,9 +3975,7 @@ _DRIVER_WINDOW = [
     "q1_flagship_agg", "j1_jw_similarity_join", "j2_numeric_band_join",
     "j5_soundex_blocking_join", "j6_left_outer_assembly",
     "f7_namefreq_grouped_count", "m2_dual_rank_select",
-    "c1_connected_components", "c2_expand_index", "dd1_exact_dedup",
-    "dd2_minhash_signature", "dd3_minhash_lsh_neardup", "dd4_simhash",
-    "ts1_lang_id", "ann2_embedding_neardup",
+    "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
 ]
 
 
