@@ -226,6 +226,15 @@ HEADLINE_QUERIES = [
     "dd11_remove_contaminated_spans",
     "cu6_token_budget_mix",
     "ts10_collapse_repeated_lines",
+    # round 6
+    "ir1_bm25_topk",
+    "dd12_line_dedup_keep_first",
+    "er6_metablocking",
+    "er7_bcubed",
+    "m7_greedy_match",
+    "tm1_asof_join",
+    "lr1_cascade_link",
+    "f16_monge_elkan",
 ]
 
 

@@ -3915,6 +3915,198 @@ def fs2_tf_weights(spark, sf_dir):
     return term_frequency_weights(part, "p_type")
 
 
+def _er8_sql() -> str:
+    ws = _fs_weights()
+    terms = " + ".join(
+        f"(CASE WHEN gamma_{f} = 1 THEN {wa!r} ELSE {wd!r} END)"
+        for f, (wa, wd) in zip(_FS_FIELDS, ws)
+    )
+    return f"""WITH g AS ({_FS_GAMMA_SQL}),
+       s AS (SELECT id_from, id_to, gamma_seg,
+                    round({terms}, 6) AS fs_score,
+                    id_from % 7 AS seg_value
+             FROM g),
+       f AS (SELECT c_custkey % 7 AS value,
+                    CAST(count(*) AS BIGINT) AS n_value
+             FROM customer GROUP BY 1),
+       t AS (SELECT CAST(sum(n_value) AS BIGINT) AS N,
+                    CAST(sum(n_value * n_value) AS BIGINT) AS S2
+             FROM f),
+       w AS (SELECT value,
+                    round(log2(S2::DOUBLE / (N * n_value)::DOUBLE), 6)
+                      AS tf_weight
+             FROM f, t),
+       adj AS (SELECT s.id_from, s.id_to, s.gamma_seg, s.fs_score,
+                      round(s.fs_score
+                            + CASE WHEN s.gamma_seg = 1
+                                   THEN COALESCE(w.tf_weight, 0.0)
+                                   ELSE 0.0 END, 6) AS fs_score_tf
+               FROM s LEFT JOIN w ON s.seg_value = w.value)
+       SELECT id_from, id_to, gamma_seg, fs_score, fs_score_tf
+       FROM adj WHERE fs_score_tf > -1.5"""
+
+
+@register("er8_tf_adjusted_score", _er8_sql())
+def er8_tf_adjusted_score(spark, sf_dir):
+    """ER8: term-frequency-adjusted Fellegi-Sunter scoring
+    (fellegi_sunter.tf_adjust ∘ term_frequency_weights ∘ score_expr —
+    the Splink ``term_frequency_adjustments`` recipe): pairs agreeing on
+    a RARE seg value gain weight, common-value agreements lose it, and
+    the candidate threshold filters on the ADJUSTED rounded score. Both
+    addends are 6-decimal-rounded doubles, so the sum sits ~1e-15 from
+    the decimal grid (never near a half-boundary) and round(...,6)
+    re-snaps identically on both engines. The weight table joins
+    broadcast — the pair table never shuffles."""
+    import numpy as np
+
+    from capelinker_spark.ml.fellegi_sunter import (
+        FellegiSunterModel,
+        term_frequency_weights,
+        tf_adjust,
+    )
+
+    model = FellegiSunterModel(
+        fields=list(_FS_FIELDS),
+        m=np.array(_FS_M),
+        u=np.array(_FS_U),
+        lam=0.1,
+        iterations=0,
+        converged=True,
+    )
+    pairs = _fs_gammas(spark, sf_dir).withColumn(
+        "seg_value", F.col("id_from") % 7
+    )
+    scored = pairs.withColumn("fs_score", F.round(model.score_expr(), 6))
+    segs = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 7).alias("segv")
+    )
+    tf = term_frequency_weights(segs, "segv")
+    out = tf_adjust(
+        scored, tf, "seg_value", "gamma_seg", "fs_score", out="fs_score_tf"
+    )
+    return out.where(F.col("fs_score_tf") > -1.5).select(
+        "id_from", "id_to", "gamma_seg", "fs_score", "fs_score_tf"
+    )
+
+
+_BK1_REC = """SELECT c_custkey AS id, c_nationkey AS nat,
+                     c_mktsegment AS seg,
+                     CAST(floor(c_acctbal / 100) AS BIGINT) AS bal
+              FROM customer"""
+
+
+@register(
+    "bk1_blocking_rule_coverage",
+    f"""WITH rec AS MATERIALIZED ({_BK1_REC}),
+        p1 AS (SELECT l.id AS a, r.id AS b FROM rec l JOIN rec r
+               ON l.nat = r.nat AND l.seg = r.seg AND l.bal = r.bal
+                  AND l.id < r.id),
+        p2 AS (SELECT l.id AS a, r.id AS b FROM rec l JOIN rec r
+               ON l.nat = r.nat AND l.bal = r.bal AND l.id < r.id),
+        p3 AS (SELECT l.id AS a, r.id AS b FROM rec l JOIN rec r
+               ON l.nat = r.nat AND l.seg = r.seg AND l.id < r.id),
+        u2 AS (SELECT * FROM p1 UNION SELECT * FROM p2),
+        u3 AS (SELECT * FROM u2 UNION SELECT * FROM p3)
+        SELECT 'nat_seg_bal' AS rule,
+               CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_pairs,
+               CAST((SELECT count(*) FROM p1) AS BIGINT) AS n_new_pairs,
+               CAST((SELECT count(*) FROM p1) AS BIGINT) AS cum_pairs
+        UNION ALL
+        SELECT 'nat_bal',
+               CAST((SELECT count(*) FROM p2) AS BIGINT),
+               CAST((SELECT count(*) FROM (SELECT * FROM p2 EXCEPT
+                     SELECT * FROM p1)) AS BIGINT),
+               CAST((SELECT count(*) FROM u2) AS BIGINT)
+        UNION ALL
+        SELECT 'nat_seg',
+               CAST((SELECT count(*) FROM p3) AS BIGINT),
+               CAST((SELECT count(*) FROM (SELECT * FROM p3 EXCEPT
+                     SELECT * FROM u2)) AS BIGINT),
+               CAST((SELECT count(*) FROM u3) AS BIGINT)""",
+)
+def bk1_blocking_rule_coverage(spark, sf_dir):
+    """BK1: blocking-rule coverage audit
+    (blocking.blocking_rule_coverage, the Splink
+    cumulative-comparisons-per-rule chart): per candidate rule, the
+    combinatorial pair count (Σ s·(s−1)/2 over block sizes — NO pair
+    enumeration, so even an exploding rule is safe to audit) and the
+    marginal-new / cumulative distinct pair counts (enumerated,
+    anti-joined against earlier rules — the honest cost of pair
+    identity). Exact longs end to end."""
+    from capelinker_spark.operators.blocking import blocking_rule_coverage
+
+    rec = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal"),
+    )
+    return blocking_rule_coverage(
+        rec,
+        [
+            ("nat_seg_bal", ["nat", "seg", "bal"]),
+            ("nat_bal", ["nat", "bal"]),
+            ("nat_seg", ["nat", "seg"]),
+        ],
+        id_col="id",
+    )
+
+
+@register(
+    "er9_cluster_graph_metrics",
+    """WITH a AS (SELECT c_custkey AS id, c_nationkey AS cl,
+                         c_mktsegment AS seg,
+                         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+                  FROM customer WHERE c_custkey < 600),
+        e AS (SELECT l.id AS s, r.id AS d FROM a l JOIN a r
+              ON l.seg = r.seg AND l.band = r.band AND l.id < r.id),
+        ie AS (SELECT ls.cl AS canonical_id, count(*) AS n_edges
+               FROM e JOIN a ls ON e.s = ls.id JOIN a ld ON e.d = ld.id
+               WHERE ls.cl = ld.cl GROUP BY ls.cl),
+        n AS (SELECT cl AS canonical_id,
+                     CAST(count(*) AS BIGINT) AS n_nodes
+              FROM a GROUP BY cl)
+        SELECT n.canonical_id, n_nodes,
+               CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+               CASE WHEN n_nodes > 1 THEN
+                 floor((CAST(2 * COALESCE(n_edges, 0) AS DOUBLE)
+                        / CAST(n_nodes * (n_nodes - 1) AS DOUBLE))
+                       * 1000000.0 + 0.5) / 1000000.0
+               END AS density
+        FROM n LEFT JOIN ie USING (canonical_id)""",
+)
+def er9_cluster_graph_metrics(spark, sf_dir):
+    """ER9: per-cluster graph diagnostics
+    (er_eval.cluster_graph_metrics): nation clusters of customers
+    against segment+balance-band agreement edges — node count,
+    intra-cluster edge count, and density 2m/(n(n−1)), the over-merge
+    signal for transitive-closure clusterings. Density quantized
+    floor(x·1e6+0.5)/1e6 (n·(n−1) denominators can terminate at a
+    decimal half-boundary — the f16 finding); counts exact longs."""
+    from capelinker_spark.operators.er_eval import cluster_graph_metrics
+
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 600)
+    assign = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("canonical_id"),
+    )
+    keyed = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    )
+    l = keyed.select(
+        F.col("id").alias("id_from"), "seg", "band"
+    )
+    r = keyed.select(F.col("id").alias("id_to"), "seg", "band")
+    edges = (
+        l.join(r, ["seg", "band"])
+        .where(F.col("id_from") < F.col("id_to"))
+        .select("id_from", "id_to")
+    )
+    return cluster_graph_metrics(edges, assign)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -3951,7 +4143,8 @@ def fs2_tf_weights(spark, sf_dir):
 # Late-round-6 amendment: tm1/er7/f16/lr1/fs2 (never driver-checked)
 # rotate IN per rule 2; the window being full, the five LONGEST-streak
 # r04-cohort rows (dd1-dd4, ts1 — green since round 1) rotate OUT to the
-# judge's full sweep.
+# judge's full sweep. Second amendment: er8/bk1/er9 IN (never checked),
+# s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -3959,7 +4152,8 @@ _DRIVER_WINDOW = [
     "er2_pairwise_cluster_metrics", "er3_golden_record",
     "er4_comparison_patterns", "er5_fs_score", "er6_metablocking",
     "tm1_asof_join", "er7_bcubed", "f16_monge_elkan",
-    "lr1_cascade_link", "fs2_tf_weights",
+    "lr1_cascade_link", "fs2_tf_weights", "er8_tf_adjusted_score",
+    "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -3971,9 +4165,9 @@ _DRIVER_WINDOW = [
     "ann3_embedding_dedup_canonical", "a14_labeling_sheet",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
-    "f9_cos_uniqueness", "s1_scan_projection", "p4_clean_name_chain",
-    "q1_flagship_agg", "j1_jw_similarity_join", "j2_numeric_band_join",
-    "j5_soundex_blocking_join", "j6_left_outer_assembly",
+    "f9_cos_uniqueness", "p4_clean_name_chain",
+    "q1_flagship_agg", "j1_jw_similarity_join",
+    "j6_left_outer_assembly",
     "f7_namefreq_grouped_count", "m2_dual_rank_select",
     "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
 ]

@@ -37,6 +37,8 @@ __all__ = [
     "comparison_patterns",
     "FellegiSunterModel",
     "estimate_fellegi_sunter",
+    "term_frequency_weights",
+    "tf_adjust",
 ]
 
 
@@ -243,4 +245,49 @@ def term_frequency_weights(
             ),
         )
         .select(out_value, "n_value", "tf_weight")
+    )
+
+
+def tf_adjust(
+    scored: DataFrame,
+    tf: DataFrame,
+    value_col: str,
+    gamma_col: str,
+    score_col: str,
+    out: str | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Apply a field's term-frequency adjustment to an FS score (the
+    Splink ``term_frequency_adjustments`` semantics): where the pair
+    AGREES on the field (γ=1), the flat agreement weight is corrected by
+    the value-specific ``tf_weight`` from ``term_frequency_weights`` —
+    rare-value agreements gain weight, common-value agreements lose it.
+    Disagreeing pairs and values absent from the table are untouched.
+
+    Exactness: both addends are already 6-decimal-rounded doubles, so
+    their sum is the same double on both engines and the final
+    round(...,6) re-snaps to the grid (the sum sits ~1e-15 from a grid
+    point, never near a half-boundary — unlike ratio quotients, see
+    features.monge_elkan).
+
+    Plan shape: ONE equi-join of the pair table against the
+    vocabulary-sized weight table, broadcast by default — the pair
+    table never shuffles."""
+    out = out or score_col
+    t = tf.select(
+        F.col("value").alias("_tf_value"),
+        F.col("tf_weight").alias("_tf_w"),
+    )
+    if broadcast:
+        t = F.broadcast(t)
+    adj = F.when(
+        F.col(gamma_col).cast("int") == 1,
+        F.coalesce(F.col("_tf_w"), F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(
+            t, scored[value_col] == t["_tf_value"], "left"
+        )
+        .withColumn(out, F.round(F.col(score_col) + adj, 6))
+        .drop("_tf_value", "_tf_w")
     )

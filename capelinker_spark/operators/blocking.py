@@ -304,3 +304,94 @@ def metablock_candidates(
     elif prune != "none":
         raise ValueError(f"unknown prune scheme {prune!r}")
     return pairs.select("id_from", "id_to", "weight")
+
+
+def blocking_rule_coverage(
+    records: DataFrame,
+    rules: list[tuple[str, list[str]]],
+    id_col: str = "id",
+    max_pairs_enumerated: int | None = 50_000_000,
+) -> DataFrame:
+    """Splink-style blocking-rule audit: for each candidate rule (an
+    ordered equi-key list), how many comparison pairs it generates and —
+    the number that drives the real decision — how many pairs are NEW
+    versus all earlier rules, plus the running distinct total. The
+    workhorse for choosing a rule union before any records are compared
+    (Splink `count_comparisons_from_blocking_rule` / cumulative
+    comparisons chart).
+
+    Two cost tiers in one plan, mirroring meta-blocking:
+    * ``n_pairs`` is COMBINATORIAL — Σ s·(s−1)/2 over the rule's block
+      sizes, one hash-aggregate per rule, no pair ever materialized, so
+      it is safe to ask of a rule that would explode (the whole point of
+      auditing it);
+    * ``n_new_pairs`` / ``cum_pairs`` require pair IDENTITY, so pairs are
+      enumerated (id<id equi-self-join) and anti-joined against the
+      union of earlier rules' pairs. ``max_pairs_enumerated`` guards the
+      enumeration: any rule whose combinatorial count exceeds it fails
+      fast with the count in the message instead of launching the join.
+
+    All counts are exact longs from lazy 1-row aggregates, cross-joined
+    into one unioned result (J4 lazy-scalar discipline — a single
+    action computes everything). NULL key components never pair (SQL
+    equi-join semantics). Returns one row per rule:
+    ``(rule, n_pairs, n_new_pairs, cum_pairs)``."""
+    if len({n for n, _ in rules}) != len(rules):
+        raise ValueError("duplicate rule names")
+    if max_pairs_enumerated is not None:
+        for name, keys in rules:
+            sizes = records.groupBy(*keys).agg(F.count("*").alias("s"))
+            cnt_row = sizes.agg(
+                F.coalesce(
+                    F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0)
+                ).cast("long").alias("c")
+            ).collect()[0]
+            if cnt_row["c"] > max_pairs_enumerated:
+                raise ValueError(
+                    f"rule {name!r} generates {cnt_row['c']} pairs "
+                    f"(> max_pairs_enumerated={max_pairs_enumerated}); "
+                    "raise the guard or tighten the rule"
+                )
+
+    out: DataFrame | None = None
+    prev: DataFrame | None = None  # distinct union of earlier rules' pairs
+    for name, keys in rules:
+        sizes = records.groupBy(*keys).agg(F.count("*").alias("s"))
+        n_pairs = sizes.agg(
+            F.coalesce(F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+        l = records.select(F.col(id_col).alias("_il"), *keys)
+        r = records.select(F.col(id_col).alias("_ir"), *keys)
+        pairs = (
+            l.join(r, list(keys))
+            .where(F.col("_il") < F.col("_ir"))
+            .select("_il", "_ir")
+        )
+        new = (
+            pairs
+            if prev is None
+            else pairs.join(prev, ["_il", "_ir"], "left_anti")
+        )
+        cum = pairs if prev is None else prev.unionByName(pairs).distinct()
+        n_new = new.distinct().agg(
+            F.count("*").cast("long").alias("n_new_pairs")
+        )
+        n_cum = cum.distinct().agg(
+            F.count("*").cast("long").alias("cum_pairs")
+        )
+        row = (
+            n_pairs.crossJoin(n_new)
+            .crossJoin(n_cum)
+            .select(
+                F.lit(name).alias("rule"),
+                "n_pairs",
+                "n_new_pairs",
+                "cum_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        prev = cum.distinct()
+    assert out is not None, "rules must be non-empty"
+    return out

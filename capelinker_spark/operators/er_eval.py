@@ -330,3 +330,66 @@ def bcubed_metrics(
             6,
         ).alias("bcubed_f1"),
     )
+
+
+def cluster_graph_metrics(
+    edges: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "canonical_id",
+    src: str = "id_from",
+    dst: str = "id_to",
+) -> DataFrame:
+    """Per-cluster graph diagnostics (the Splink cluster-metrics recipe):
+    node count, INTRA-cluster edge count, and edge density
+    2m / (n·(n−1)) — the standard "is this component over-merged?"
+    signal (a big low-density cluster is usually a transitive-closure
+    chain through one bad link; density 1.0 is a clique of all-pairs
+    evidence).
+
+    Cross-cluster edges are dropped (they are, by construction of the
+    clustering, the pruned evidence); singleton clusters report density
+    NULL (undefined denominator). Dangling edge endpoints — ids absent
+    from ``assignments`` — never count.
+
+    Exactness: n and m are exact longs; density is quantized
+    floor(x·1e6+0.5)/1e6, NOT round(x,6) — n·(n−1) denominators are
+    frequently 2^a·5^b (n=5 → 20), so the quotient can terminate at a
+    decimal half-boundary where Spark's and DuckDB's round() diverge on
+    the same double (the f16/pid-190 finding).
+
+    Plan shape: two equi-joins label the edge endpoints (broadcast-able
+    when the assignment table is small; at scale both shuffle on id —
+    the same key layout connected components already produced), then two
+    hash-aggregates and one left join of clusters to intra-edge counts.
+    No pair enumeration beyond the given edge list."""
+    lab = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(lab.withColumnRenamed("_id", "_s").withColumnRenamed("_c", "_cs"), "_s")
+        .join(lab.withColumnRenamed("_id", "_d").withColumnRenamed("_c", "_cd"), "_d")
+        .where(F.col("_cs") == F.col("_cd"))
+    )
+    m = e.groupBy(F.col("_cs").alias(cluster_col)).agg(
+        F.count("*").cast("long").alias("n_edges")
+    )
+    n = assignments.groupBy(cluster_col).agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+    dens_raw = (F.lit(2) * F.col("n_edges")).cast("double") / (
+        F.col("n_nodes") * (F.col("n_nodes") - 1)
+    ).cast("double")
+    return (
+        n.join(m, cluster_col, "left")
+        .withColumn("n_edges", F.coalesce(F.col("n_edges"), F.lit(0)))
+        .withColumn(
+            "density",
+            F.when(
+                F.col("n_nodes") > 1,
+                F.floor(dens_raw * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0),
+            ),
+        )
+    )

@@ -51,3 +51,41 @@ def test_metablock_candidates(spark):
         metablock_candidates(records, weight="ecbs", **kw)
     with pytest.raises(ValueError, match="unknown prune"):
         metablock_candidates(records, prune="cep", **kw)
+
+
+def test_blocking_rule_coverage_hand_computed(spark):
+    """Rules (k1,k2) then (k1): 4 tight pairs; the loose rule adds only
+    the 2 cross-(k2) pairs inside k1 blocks."""
+    import pytest as _pytest
+
+    from capelinker_spark.operators.blocking import blocking_rule_coverage
+
+    rec = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "a", "y"),
+            (4, "b", "x"),
+            (5, "b", "x"),
+            (6, "b", "x"),
+            (7, None, "x"),
+        ],
+        "id long, k1 string, k2 string",
+    )
+    rows = {
+        r["rule"]: (r["n_pairs"], r["n_new_pairs"], r["cum_pairs"])
+        for r in blocking_rule_coverage(
+            rec, [("tight", ["k1", "k2"]), ("loose", ["k1"])]
+        ).collect()
+    }
+    assert rows["tight"] == (4, 4, 4)
+    assert rows["loose"] == (6, 2, 6)
+
+    with _pytest.raises(ValueError, match="'tight' generates 4 pairs"):
+        blocking_rule_coverage(
+            rec,
+            [("tight", ["k1", "k2"])],
+            max_pairs_enumerated=3,
+        )
+    with _pytest.raises(ValueError, match="duplicate rule names"):
+        blocking_rule_coverage(rec, [("r", ["k1"]), ("r", ["k2"])])

@@ -177,3 +177,42 @@ def test_bcubed_deterministic_and_no_pair_join(spark):
     plan = bcubed_metrics(assign)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "EvalPython" not in plan
+
+
+def test_cluster_graph_metrics_hand_computed(spark):
+    """Clusters A{1,2,3} B{4,5} C{6}; edges (1,2)(2,3) intra-A, (4,5)
+    intra-B, (1,4) cross (dropped), (8,9) dangling (dropped):
+    density A = 4/6 = 0.666667, B = 1.0, C = NULL."""
+    from capelinker_spark.operators.er_eval import cluster_graph_metrics
+
+    assign = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C")],
+        "id long, canonical_id string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (1, 4), (8, 9)],
+        "id_from long, id_to long",
+    )
+    got = {
+        r["canonical_id"]: (r["n_nodes"], r["n_edges"], r["density"])
+        for r in cluster_graph_metrics(edges, assign).collect()
+    }
+    assert got["A"] == (3, 2, 0.666667)
+    assert got["B"] == (2, 1, 1.0)
+    assert got["C"] == (1, 0, None)
+
+
+def test_cluster_graph_metrics_no_python_no_single_partition(spark):
+    from capelinker_spark.operators.er_eval import cluster_graph_metrics
+
+    assign = spark.range(100).select(
+        "id", (F.col("id") % 7).cast("string").alias("canonical_id")
+    )
+    edges = spark.range(200).select(
+        (F.col("id") % 90).alias("id_from"),
+        ((F.col("id") * 3) % 90 + 1).alias("id_to"),
+    )
+    plan = cluster_graph_metrics(edges, assign)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan

@@ -144,3 +144,54 @@ def test_term_frequency_weights_uniform_is_zero_ish(spark):
     ws = term_frequency_weights(rec, "first").collect()
     assert len(ws) == 8
     assert all(r["tf_weight"] == 0.0 for r in ws)
+
+
+def test_tf_adjust_hand_computed(spark):
+    """Agreeing on common 'john' loses weight, disagreeing rows and
+    unknown values are untouched; NULL tf join falls back to 0."""
+    import math
+
+    from capelinker_spark.ml.fellegi_sunter import (
+        term_frequency_weights,
+        tf_adjust,
+    )
+
+    rec = spark.createDataFrame(
+        [("john",)] * 3 + [("anna",)], "first string"
+    )
+    tf = term_frequency_weights(rec, "first")
+    scored = spark.createDataFrame(
+        [
+            (1, 1, 1.0, "john"),
+            (2, 0, 1.0, "john"),
+            (3, 1, 0.5, "zed"),
+            (4, 1, 2.0, "anna"),
+        ],
+        "pid long, gamma int, score double, val string",
+    )
+    out = {
+        r["pid"]: r["score"]
+        for r in tf_adjust(scored, tf, "val", "gamma", "score").collect()
+    }
+    w_john = round(math.log2(10 / 12), 6)
+    w_anna = round(math.log2(10 / 4), 6)
+    assert out[1] == round(1.0 + w_john, 6)
+    assert out[2] == 1.0
+    assert out[3] == 0.5
+    assert out[4] == round(2.0 + w_anna, 6)
+
+
+def test_tf_adjust_broadcast_plan(spark):
+    from capelinker_spark.ml.fellegi_sunter import (
+        term_frequency_weights,
+        tf_adjust,
+    )
+
+    rec = spark.createDataFrame([("a",), ("b",)], "first string")
+    tf = term_frequency_weights(rec, "first")
+    scored = spark.createDataFrame(
+        [(1, 1, 1.0, "a")], "pid long, gamma int, score double, val string"
+    )
+    plan = tf_adjust(scored, tf, "val", "gamma", "score")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan

@@ -228,6 +228,32 @@ def main():
         _fmt(tok1),
     ))
 
+    tm1 = QUERIES["tm1_asof_join"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Backward as-of join (tm1)",
+        "Look for: NO join node at all — the union-tag-window form is "
+        "`Union` → ONE `Exchange hashpartitioning(user_id)` → `Window` "
+        "(`last(_payload, ignorenulls)` over the unbounded-preceding "
+        "frame) → filter to the left rows. One shuffle of |L|+|R| rows "
+        "replaces the join-explode-argmax plan entirely "
+        "(tests/test_temporal.py::test_asof_plan_single_shuffle_no_python "
+        "asserts the single exchange).",
+        _fmt(tm1),
+    ))
+
+    er7 = QUERIES["er7_bcubed"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "B-cubed clustering metrics (er7)",
+        "Look for: three partial→final `HashAggregate` pairs (cell, "
+        "predicted-cluster and gold-entity sizes), two equi-joins of the "
+        "CELL table (bounded by #clusters × #entities, not records) to "
+        "the size tables, and one global 1-row reduction — a 10⁹-record "
+        "clustering is evaluated without enumerating a single pair. "
+        "Contributions are integer-quantized, so the plan is "
+        "order-independent end to end.",
+        _fmt(er7),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
