@@ -3743,6 +3743,58 @@ def er7_bcubed(spark, sf_dir):
     return bcubed_metrics(c)
 
 
+@register(
+    "tm2_asof_forward_tolerance",
+    """WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'view'),
+        c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ct
+              FROM events WHERE event_type = 'click')
+       SELECT v.event_id, v.user_id,
+              CASE WHEN c.ct - v.t <= 1800000000
+                   THEN c.click_id END AS click_id,
+              CASE WHEN c.ct - v.t <= 1800000000
+                   THEN c.ct - v.t END AS gap_us
+       FROM v ASOF LEFT JOIN c
+         ON v.user_id = c.user_id AND v.t <= c.ct""",
+)
+def tm2_asof_forward_tolerance(spark, sf_dir):
+    """TM2: FORWARD as-of join with a tolerance (pandas merge_asof
+    semantics, operators/temporal.py): each view event picks the user's
+    NEXT click, nulled when it is more than 30 minutes away. Same
+    one-shuffle window plan as tm1 with the sort reversed; times are
+    unix_micros longs (the tolerance contract — timestamp-interval
+    arithmetic is not portable), so the gap is exact integer
+    subtraction. Oracle: DuckDB's native ASOF with the inequality
+    flipped + a CASE for the tolerance."""
+    from capelinker_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ct"),
+    )
+    out = asof_join(
+        views,
+        clicks,
+        on="user_id",
+        left_time="t",
+        right_time="ct",
+        tiebreak="click_id",
+        direction="forward",
+        tolerance=1_800_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        (F.col("ct") - F.col("t")).alias("gap_us"),
+    )
+
+
 _F16_PAIRS = """SELECT a.p_partkey AS pid, a.p_name AS name_a,
                        b.p_name AS name_b
                 FROM part a JOIN part b ON a.p_partkey + 1000 = b.p_partkey
@@ -4144,7 +4196,8 @@ def er9_cluster_graph_metrics(spark, sf_dir):
 # rotate IN per rule 2; the window being full, the five LONGEST-streak
 # r04-cohort rows (dd1-dd4, ts1 — green since round 1) rotate OUT to the
 # judge's full sweep. Second amendment: er8/bk1/er9 IN (never checked),
-# s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered).
+# s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered);
+# then tm2 IN, f7 OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4154,6 +4207,7 @@ _DRIVER_WINDOW = [
     "tm1_asof_join", "er7_bcubed", "f16_monge_elkan",
     "lr1_cascade_link", "fs2_tf_weights", "er8_tf_adjusted_score",
     "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
+    "tm2_asof_forward_tolerance",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4168,7 +4222,7 @@ _DRIVER_WINDOW = [
     "f9_cos_uniqueness", "p4_clean_name_chain",
     "q1_flagship_agg", "j1_jw_similarity_join",
     "j6_left_outer_assembly",
-    "f7_namefreq_grouped_count", "m2_dual_rank_select",
+    "m2_dual_rank_select",
     "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
 ]
 

@@ -44,11 +44,21 @@ def asof_join(
     right_time: str,
     tiebreak: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the right row with
-    the greatest ``right_time`` ≤ ``left_time`` within the same ``on``
-    key (DuckDB ``ASOF LEFT JOIN`` semantics; rows with no earlier right
-    row keep NULL payload).
+    """As-of join: for every left row, attach the right row with the
+    greatest ``right_time`` ≤ ``left_time`` (``direction='backward'``,
+    the default — DuckDB ``ASOF LEFT JOIN ... ON l.t >= r.t`` semantics)
+    or the smallest ``right_time`` ≥ ``left_time`` (``'forward'``)
+    within the same ``on`` key; rows with no such right row keep NULL
+    payload. Ties (equal times) are inclusive in both directions.
+
+    ``tolerance`` (pandas ``merge_asof`` semantics): maximum allowed
+    |left_time − right_time|; a match farther away is nulled out. Times
+    must be NUMERIC when a tolerance is given (cast timestamps to
+    ``unix_micros`` first) — timestamp-interval arithmetic is not
+    portable across engines.
 
     ``tiebreak``: a right column ordering duplicates at the same
     (key, time) — the row with the HIGHEST tiebreak value wins. Defaults
@@ -56,8 +66,11 @@ def asof_join(
     an id column whenever the right side can carry same-timestamp rows).
 
     Right payload columns are all non-key, non-time right columns,
-    suffixed when they collide with a left name.
+    suffixed when they collide with a left name. The forward direction
+    is the same one-shuffle window plan with the sort reversed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     tiebreak = tiebreak or right_time
 
@@ -67,16 +80,18 @@ def asof_join(
     }
 
     # one struct so a single last() carries the whole right row; the
-    # tiebreak leads the struct purely for documentation — ordering is
-    # done by the window sort below, not by struct comparison
+    # matched right TIME rides inside it (field __rt) for the tolerance
+    # check — ordering is done by the window sort below, not by struct
+    # comparison
     r = right.select(
         *keys,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
         F.col(tiebreak).alias("_tb"),
-        F.struct(*[F.col(c).alias(out_names[c]) for c in payload]).alias(
-            "_payload"
-        ),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(out_names[c]) for c in payload],
+        ).alias("_payload"),
     )
     l = left.select(
         *keys,
@@ -92,19 +107,30 @@ def asof_join(
 
     # right rows sort BEFORE left rows at equal time (ties are inclusive:
     # right_time == left_time matches), and among right duplicates the
-    # highest tiebreak sorts last => last() picks it
+    # highest tiebreak sorts last => last() picks it. Forward direction:
+    # same frame over the REVERSED time order, so "last seen" is the
+    # smallest right_time ≥ left_time.
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(t_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     tagged = l.unionByName(r).withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
+    match = F.col("_match")
+    if tolerance is not None:
+        gap = (
+            F.col("_t") - match["__rt"]
+            if direction == "backward"
+            else match["__rt"] - F.col("_t")
+        )
+        match = F.when(gap <= F.lit(tolerance), F.col("_match"))
     out = tagged.where(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[
-            F.col(f"_match.{out_names[c]}").alias(out_names[c])
+            match[out_names[c]].alias(out_names[c])
             for c in payload
         ],
     )

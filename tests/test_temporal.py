@@ -90,3 +90,54 @@ def test_asof_plan_single_shuffle_no_python(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_asof_forward_direction(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 3), ("a", 20)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 15, "y")], "k string, rt long, val string"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        direction="forward",
+    )
+    # t=10 -> rt=10 (inclusive), t=3 -> rt=10 (nearest later), t=20 -> NULL
+    assert _rows(out, "t", "val") == [(3, "x"), (10, "x"), (20, None)]
+
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, right, on="k", left_time="t", right_time="rt",
+                  direction="nearest")
+
+
+def test_asof_tolerance_both_directions(spark):
+    left = spark.createDataFrame(
+        [("a", 20), ("a", 25)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("a", 5, "z"), ("a", 18, "w")], "k string, rt long, val string"
+    )
+    back = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", tolerance=2
+    )
+    # t=20: rt=18, gap 2 <= 2 -> kept; t=25: rt=18, gap 7 -> nulled
+    assert _rows(back, "t", "val") == [(20, "w"), (25, None)]
+
+    fleft = spark.createDataFrame(
+        [("a", 3), ("a", 14)], "k string, t long"
+    )
+    fwd = asof_join(
+        fleft, right, on="k", left_time="t", right_time="rt",
+        direction="forward", tolerance=5,
+    )
+    # t=3: next rt=5, gap 2 -> kept; t=14: next rt=18, gap 4 <= 5 -> kept
+    assert _rows(fwd, "t", "val") == [(3, "z"), (14, "w")]
+
+    tight = asof_join(
+        fleft, right, on="k", left_time="t", right_time="rt",
+        direction="forward", tolerance=1,
+    )
+    assert _rows(tight, "t", "val") == [(3, None), (14, None)]
