@@ -235,6 +235,8 @@ HEADLINE_QUERIES = [
     "tm1_asof_join",
     "lr1_cascade_link",
     "f16_monge_elkan",
+    "j9_edit_distance_pairs",
+    "m8_mutual_best_match",
 ]
 
 

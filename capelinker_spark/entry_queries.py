@@ -4159,6 +4159,195 @@ def er9_cluster_graph_metrics(spark, sf_dir):
     return cluster_graph_metrics(edges, assign)
 
 
+@register(
+    "j9_edit_distance_pairs",
+    """WITH s AS (SELECT c_custkey AS id,
+                         CASE WHEN c_custkey % 7 = 0
+                              THEN substr(c_name, 10, 8)
+                              ELSE substr(c_name, 10, 9) END AS s
+                  FROM customer)
+       SELECT l.id AS id_from, r.id AS id_to,
+              CAST(levenshtein(l.s, r.s) AS INT) AS dist
+       FROM s l JOIN s r ON l.id < r.id
+       WHERE levenshtein(l.s, r.s) <= 1
+       ORDER BY id_from, id_to""",
+)
+def j9_edit_distance_pairs(spark, sf_dir):
+    """J9: all record pairs within Levenshtein distance 1 via
+    deletion-neighborhood blocking (blocking.edit_distance_pairs —
+    FastSS / SymSpell keys): customer-number strings, with every 7th
+    row truncated by one character so equality, substitution, AND
+    insertion/deletion pairs all occur. The oracle is the brute-force
+    O(n²) crossJoin — EXACT equality is the completeness proof that the
+    variant-key equi-join misses no true pair (every candidate is
+    verified with the exact native levenshtein before emission). Plan:
+    len+1 hashed variant keys per row, ONE equi-self-join, no cartesian
+    product, zero Python."""
+    from capelinker_spark.operators.blocking import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.substring("c_name", 10, 8)
+        )
+        .otherwise(F.substring("c_name", 10, 9))
+        .alias("s"),
+    )
+    return edit_distance_pairs(d, "s")
+
+
+@register(
+    "er10_adjusted_rand",
+    """WITH a AS (SELECT c_custkey % 200 AS p, c_custkey % 150 AS g
+                  FROM customer),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM a),
+       i AS (SELECT coalesce(CAST(sum(n * (n - 1) // 2) AS HUGEINT),
+                             0) AS idx
+             FROM (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM a GROUP BY p, g)),
+       ea AS (SELECT coalesce(CAST(sum(n * (n - 1) // 2) AS HUGEINT),
+                              0) AS ea
+              FROM (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM a GROUP BY p)),
+       eb AS (SELECT coalesce(CAST(sum(n * (n - 1) // 2) AS HUGEINT),
+                              0) AS eb
+              FROM (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM a GROUP BY g)),
+       t AS (SELECT n_records, idx, ea, eb,
+                    CAST(n_records * (n_records - 1) // 2 AS HUGEINT)
+                      AS pt
+             FROM n, i, ea, eb)
+       SELECT n_records,
+              CAST(idx AS BIGINT) AS pairs_index,
+              CAST(ea AS BIGINT) AS pairs_pred,
+              CAST(eb AS BIGINT) AS pairs_gold,
+              CASE WHEN (ea + eb) * pt - 2 * ea * eb <> 0 THEN
+                round(CAST(2 * (idx * pt - ea * eb) AS DOUBLE)
+                      / CAST((ea + eb) * pt - 2 * ea * eb AS DOUBLE), 6)
+              END AS ari
+       FROM t""",
+)
+def er10_adjusted_rand(spark, sf_dir):
+    """ER10: Adjusted Rand Index (er_eval.adjusted_rand_index, Hubert &
+    Arabie 1985) of the er2 modular clusterings — the chance-corrected
+    companion to er2's raw pairwise F1 and er7's B-cubed. Every term of
+    the contingency algebra (index, ea, eb, C(n,2)) is an exact integer
+    summed as DECIMAL(38,0) (HUGEINT on the oracle side); the ONLY IEEE
+    operation is the final division, rounded to 6. Three hash-aggregates
+    + 1-row lazy scalars — no pair enumeration at any scale."""
+    from capelinker_spark.operators.er_eval import adjusted_rand_index
+
+    assign = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 200).alias("canonical_id"),
+        (F.col("c_custkey") % 150).alias("entity_id"),
+    )
+    return adjusted_rand_index(assign)
+
+
+@register(
+    "er11_cluster_diff",
+    """WITH j AS (SELECT c_custkey AS id,
+                    CASE WHEN c_custkey < 500
+                           THEN 'a' || CAST(c_custkey % 50 AS VARCHAR)
+                         WHEN c_custkey < 1000
+                           THEN 'b' || CAST(c_custkey % 50 AS VARCHAR)
+                         ELSE 'c' || CAST(c_custkey % 100 AS VARCHAR)
+                    END AS o,
+                    CASE WHEN c_custkey < 500
+                           THEN 'p' || CAST(c_custkey % 50 AS VARCHAR)
+                         WHEN c_custkey < 1000
+                           THEN 'q' || CAST(c_custkey % 100 AS VARCHAR)
+                         ELSE 'r' || CAST(c_custkey % 50 AS VARCHAR)
+                    END AS w
+                  FROM customer),
+       osz AS (SELECT o, CAST(count(*) AS BIGINT) AS sz
+               FROM j GROUP BY o),
+       st AS (SELECT w, CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(count(DISTINCT o) AS BIGINT)
+                       AS n_source_clusters,
+                     max(o) AS src
+              FROM j GROUP BY w)
+       SELECT st.w AS canonical_id, n_members, n_source_clusters,
+              CASE WHEN n_source_clusters > 1 THEN 'merged'
+                   WHEN n_members = osz.sz THEN 'stable'
+                   ELSE 'split' END AS status
+       FROM st LEFT JOIN osz ON st.src = osz.o
+       ORDER BY canonical_id""",
+)
+def er11_cluster_diff(spark, sf_dir):
+    """ER11: split/merge diff between two clusterings of the same
+    records (er_eval.cluster_diff) — the incremental-ER churn audit.
+    Customers are clustered two ways, segmented so all three statuses
+    occur: ids <500 keep the same mod-50 partition (stable), ids
+    500-999 refine mod-50 → mod-100 (split), ids ≥1000 coarsen
+    mod-100 → mod-50 (merged). One equi-join on id + two
+    hash-aggregates + one broadcastable stats join; no pair
+    enumeration."""
+    from capelinker_spark.operators.er_eval import cluster_diff
+
+    c = _t(spark, sf_dir, "customer")
+
+    def seg(p1, p2, p3, m2, m3):
+        k = F.col("c_custkey")
+        return (
+            F.when(k < 500, F.concat(F.lit(p1), (k % 50).cast("string")))
+            .when(k < 1000, F.concat(F.lit(p2), (k % m2).cast("string")))
+            .otherwise(F.concat(F.lit(p3), (k % m3).cast("string")))
+        )
+
+    old = c.select(
+        F.col("c_custkey").alias("id"),
+        seg("a", "b", "c", 50, 100).alias("canonical_id"),
+    )
+    new = c.select(
+        F.col("c_custkey").alias("id"),
+        seg("p", "q", "r", 100, 50).alias("canonical_id"),
+    )
+    return cluster_diff(old, new)
+
+
+@register(
+    "m8_mutual_best_match",
+    """WITH pairs AS (SELECT c_custkey AS id_from, s_suppkey AS id_to,
+                        -CAST(floor(abs(c_acctbal - s_acctbal) * 100.0
+                                    + 0.5) AS BIGINT) AS score
+                      FROM customer JOIN supplier
+                        ON c_nationkey = s_nationkey),
+       r AS (SELECT *,
+               row_number() OVER (PARTITION BY id_from
+                 ORDER BY score DESC, id_from ASC, id_to ASC) AS rf,
+               row_number() OVER (PARTITION BY id_to
+                 ORDER BY score DESC, id_from ASC, id_to ASC) AS rt
+             FROM pairs)
+       SELECT id_from, id_to, score FROM r WHERE rf = 1 AND rt = 1
+       ORDER BY id_from""",
+)
+def m8_mutual_best_match(spark, sf_dir):
+    """M8: reciprocal-best (mutual nearest neighbour) one:one selection
+    (predict.mutual_best_match, Christen §6.10): nationkey-blocked
+    customer×supplier candidates scored by negated account-balance
+    delta in integer cents (floor(x·100+0.5) — exact same IEEE sequence
+    on both engines, no float round). A pair survives only when it is
+    rank-1 for BOTH endpoints under the total order (score DESC, ids
+    ASC) — high-precision, no cascade to weaker edges. Two keyed
+    windows + one filter; no joins, no iteration."""
+    from capelinker_spark.operators.predict import mutual_best_match
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = c.join(s, c["c_nationkey"] == s["s_nationkey"]).select(
+        F.col("c_custkey").alias("id_from"),
+        F.col("s_suppkey").alias("id_to"),
+        (
+            -F.floor(
+                F.abs(F.col("c_acctbal") - F.col("s_acctbal")) * 100.0
+                + 0.5
+            ).cast("long")
+        ).alias("score"),
+    )
+    return mutual_best_match(pairs, score_col="score")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -4197,7 +4386,9 @@ def er9_cluster_graph_metrics(spark, sf_dir):
 # r04-cohort rows (dd1-dd4, ts1 — green since round 1) rotate OUT to the
 # judge's full sweep. Second amendment: er8/bk1/er9 IN (never checked),
 # s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered);
-# then tm2 IN, f7 OUT (same rule).
+# then tm2 IN, f7 OUT (same rule). Third amendment: j9/er10/er11/m8 IN
+# (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
+# full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4207,7 +4398,8 @@ _DRIVER_WINDOW = [
     "tm1_asof_join", "er7_bcubed", "f16_monge_elkan",
     "lr1_cascade_link", "fs2_tf_weights", "er8_tf_adjusted_score",
     "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
-    "tm2_asof_forward_tolerance",
+    "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
+    "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4220,9 +4412,6 @@ _DRIVER_WINDOW = [
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness", "p4_clean_name_chain",
-    "q1_flagship_agg", "j1_jw_similarity_join",
-    "j6_left_outer_assembly",
-    "m2_dual_rank_select",
     "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
 ]
 

@@ -208,6 +208,91 @@ def sorted_neighborhood_pairs(
     )
 
 
+def deletion_variants(col: Column) -> Column:
+    """Array of the string itself plus every single-character-deletion
+    variant (the SymSpell / FastSS key set): 'abc' → ['abc','bc','ac','ab'].
+    Duplicate variants from repeated characters are removed ('aab' yields
+    'ab' once). NULL → NULL; '' → ['']."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.length(col)),
+            lambda i: F.when(i == F.lit(0), col).otherwise(
+                F.concat(
+                    col.substr(F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col) - i),
+                )
+            ),
+        )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "id",
+    max_dist: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` (currently 1)
+    via deletion-neighborhood blocking (FastSS, Bocek et al. 2007 /
+    SymSpell) — the scalable alternative to the reference's dense
+    stringdist matrix (R/candidates.R:65-116) when the predicate is a
+    small edit bound rather than a similarity threshold.
+
+    Completeness: lev(a,b) ≤ 1 implies a and b share a member of
+    {s} ∪ deletes₁(s) — equality shares the string itself, an
+    insertion/deletion shares the shorter string, a substitution shares
+    the common deletion at the edited position — so an equi-join on the
+    variant key finds every true pair. The converse fails ('ab'/'ba'
+    share a delete at distance 2), so every candidate is verified with
+    the exact native ``F.levenshtein`` before it is emitted: the output
+    is EXACT, the blocking only bounds the work.
+
+    Plan shape: per-row fan-out is length+1 variant keys; keys travel as
+    ``xxhash64`` LONGS so the candidate shuffle carries (id, 8-byte key)
+    instead of near-duplicate strings (hash collisions are harmless —
+    the verification filter sees the real strings). One equi-self-join
+    on the key, one distinct on verified pairs. ``max_bucket_size``
+    drops hotter variant keys first (mega-bucket cap, same contract as
+    the LSH joins — output becomes approximate and the cap must be
+    disclosed). Returns ``(id_from, id_to, dist)`` with id_from < id_to,
+    dist the exact Levenshtein distance ≤ ``max_dist``.
+
+    Why not distance k>1: deletion neighborhoods of order k fan out
+    O(len^k) keys per row; at k=2 the right tool is the q-gram
+    count-filter join — out of scope here, ``max_dist=1`` is asserted.
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).where(F.col("_s").isNotNull())
+    keyed = base.select(
+        "_id",
+        "_s",
+        F.explode(deletion_variants(F.col("_s"))).alias("_v"),
+    ).select("_id", "_s", F.xxhash64(F.col("_v")).alias("_k"))
+    if max_bucket_size is not None:
+        sizes = keyed.groupBy("_k").agg(F.count("*").alias("_bsz"))
+        keyed = keyed.join(
+            sizes.where(F.col("_bsz") <= max_bucket_size), "_k"
+        ).drop("_bsz")
+    l = keyed.select(
+        F.col("_id").alias("id_from"), F.col("_s").alias("_sf"), "_k"
+    )
+    r = keyed.select(
+        F.col("_id").alias("id_to"), F.col("_s").alias("_st"), "_k"
+    )
+    return (
+        l.join(r, "_k")
+        .where(F.col("id_from") < F.col("id_to"))
+        .withColumn("dist", F.levenshtein(F.col("_sf"), F.col("_st")))
+        .where(F.col("dist") <= max_dist)
+        .select("id_from", "id_to", "dist")
+        .distinct()
+    )
+
+
 def metablock_candidates(
     records: DataFrame,
     keys: Column,

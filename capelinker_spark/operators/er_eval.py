@@ -332,6 +332,142 @@ def bcubed_metrics(
     )
 
 
+def adjusted_rand_index(
+    assignments: DataFrame,
+    pred_col: str = "canonical_id",
+    gold_col: str = "entity_id",
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) of a predicted
+    clustering against gold labels — the chance-corrected third opinion
+    next to ``pairwise_cluster_metrics`` (quadratic weighting) and
+    ``bcubed_metrics`` (record weighting): ARI is 0 in expectation for a
+    random clustering and 1 only for a perfect one, so it is the metric
+    to compare clusterings of DIFFERENT granularity fairly.
+
+    With index = Σ_cells C(n_ij,2), ea = Σ_pred C(a_i,2),
+    eb = Σ_gold C(b_j,2), p = C(n,2):
+
+        ARI = 2·(index·p − ea·eb) / ((ea+eb)·p − 2·ea·eb)
+
+    (the textbook form with numerator and denominator multiplied by p —
+    every term an exact integer). Exactness: per-group C(n,2) is exact
+    LONG (n·(n−1) fits to n ≈ 4·10⁹); the four sums and both products
+    are DECIMAL(38,0) (magnitudes ≤ ~10³⁶ at 10⁹ records — overflow-free
+    and order-independent), and the ONLY IEEE operation is the final
+    division, rounded to 6. Degenerate clusterings (denominator 0: both
+    sides all-singletons or both one cluster) return NULL rather than
+    the conventional 1 — deterministic on both engines.
+
+    Plan shape: three hash-aggregates over the assignment table + 1-row
+    lazy scalars crossJoined; no pair enumeration. Returns ONE row
+    ``(n_records, pairs_index, pairs_pred, pairs_gold, ari)``."""
+
+    def comb_sum(cols: list, alias: str) -> DataFrame:
+        sizes = assignments.groupBy(*cols).agg(
+            F.count("*").cast("long").alias("_n")
+        )
+        return _scalar(
+            sizes.agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr("(_n * (_n - 1)) div 2").cast("decimal(38,0)")
+                    ),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias(alias)
+            )
+        )
+
+    n_rec = _scalar(assignments.agg(F.count("*").cast("long").alias("n_records")))
+    idx = comb_sum([pred_col, gold_col], "pairs_index")
+    ea = comb_sum([pred_col], "pairs_pred")
+    eb = comb_sum([gold_col], "pairs_gold")
+    p = (
+        (F.col("n_records").cast("decimal(38,0)") * (F.col("n_records") - 1))
+        / 2
+    ).cast("decimal(38,0)")
+    num = F.lit(2).cast("decimal(38,0)") * (
+        F.col("pairs_index") * p - F.col("pairs_pred") * F.col("pairs_gold")
+    )
+    den = (F.col("pairs_pred") + F.col("pairs_gold")) * p - (
+        F.lit(2).cast("decimal(38,0)")
+        * F.col("pairs_pred")
+        * F.col("pairs_gold")
+    )
+    return (
+        n_rec.crossJoin(idx)
+        .crossJoin(ea)
+        .crossJoin(eb)
+        .select(
+            "n_records",
+            F.col("pairs_index").cast("long").alias("pairs_index"),
+            F.col("pairs_pred").cast("long").alias("pairs_pred"),
+            F.col("pairs_gold").cast("long").alias("pairs_gold"),
+            F.when(
+                den != F.lit(0).cast("decimal(38,0)"),
+                F.round(num.cast("double") / den.cast("double"), 6),
+            ).alias("ari"),
+        )
+    )
+
+
+def cluster_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "id",
+    old_col: str = "canonical_id",
+    new_col: str = "canonical_id",
+) -> DataFrame:
+    """Split/merge diff between two clusterings of the same records —
+    the incremental-ER ops question ("what did this rerun / this batch
+    of new links DO to my entities?") that a bare metric number hides.
+    Pairs with ``streaming.update_components``: run it on consecutive
+    component snapshots to audit churn per wave.
+
+    Records present in both assignment tables (inner join on id) are
+    classified per NEW cluster:
+
+    * ``'stable'`` — its members are exactly one old cluster, entire;
+    * ``'split'``  — its members are a strict subset of ONE old cluster
+      (the old entity broke apart);
+    * ``'merged'`` — its members span >1 old cluster.
+
+    (A merged cluster may also contain split fragments — merge takes
+    precedence; sizes are computed over the SHARED record set, so
+    records added/removed between runs do not masquerade as splits.)
+
+    Returns one row per new cluster: ``(new_col, n_members,
+    n_source_clusters, status)``.
+
+    Plan shape: one equi-join of the two assignment tables on id, two
+    hash-aggregates (old sizes; per-new-cluster count + exact distinct
+    + max source), one broadcast-able join of per-cluster stats to old
+    sizes. No pair enumeration; scales as the assignment tables do."""
+    j = old.select(
+        F.col(id_col).alias("_id"), F.col(old_col).alias("_old")
+    ).join(
+        new.select(F.col(id_col).alias("_id"), F.col(new_col).alias("_new")),
+        "_id",
+    )
+    old_sz = j.groupBy("_old").agg(F.count("*").cast("long").alias("_osz"))
+    stats = j.groupBy("_new").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.count_distinct(F.col("_old")).cast("long").alias("n_source_clusters"),
+        F.max("_old").alias("_src"),
+    )
+    return (
+        stats.join(old_sz, stats["_src"] == old_sz["_old"], "left")
+        .select(
+            F.col("_new").alias(new_col),
+            "n_members",
+            "n_source_clusters",
+            F.when(F.col("n_source_clusters") > 1, F.lit("merged"))
+            .when(F.col("n_members") == F.col("_osz"), F.lit("stable"))
+            .otherwise(F.lit("split"))
+            .alias("status"),
+        )
+    )
+
+
 def cluster_graph_metrics(
     edges: DataFrame,
     assignments: DataFrame,

@@ -162,6 +162,39 @@ def format_confusion(m: dict) -> str:
     )
 
 
+def mutual_best_match(
+    pairs: DataFrame,
+    id_from: str = "id_from",
+    id_to: str = "id_to",
+    score_col: str = "predicted",
+) -> DataFrame:
+    """Reciprocal-best (symmetric best match) selection: keep a scored
+    pair only when it is the TOP-ranked candidate for BOTH of its
+    endpoints. The standard high-precision one:one selection strategy
+    (Christen, *Data Matching* §6.10 "mutual nearest neighbours");
+    exactly the FIRST round of ``greedy_match`` — records whose best
+    candidates disagree stay unmatched instead of cascading to weaker
+    edges, which is what distinguishes it from the full greedy matching
+    and from ``select_links('one:one')``'s drop-ties rule.
+
+    Priority is a TOTAL order (score DESC, then id_from ASC, id_to ASC),
+    so the result is deterministic under any partitioning.
+
+    Plan shape: two keyed windows over the pair table (one shuffle per
+    endpoint role) + one filter — no iteration, no joins, no driver-side
+    data. Returns the matched ``(id_from, id_to, score_col)`` edges."""
+    prio = [F.desc(score_col), F.asc(id_from), F.asc(id_to)]
+    wf = Window.partitionBy(id_from).orderBy(*prio)
+    wt = Window.partitionBy(id_to).orderBy(*prio)
+    return (
+        pairs.select(id_from, id_to, score_col)
+        .withColumn("_rf", F.row_number().over(wf))
+        .withColumn("_rt", F.row_number().over(wt))
+        .where((F.col("_rf") == 1) & (F.col("_rt") == 1))
+        .select(id_from, id_to, score_col)
+    )
+
+
 def greedy_match(
     pairs: DataFrame,
     id_from: str = "id_from",

@@ -89,3 +89,81 @@ def test_blocking_rule_coverage_hand_computed(spark):
         )
     with _pytest.raises(ValueError, match="duplicate rule names"):
         blocking_rule_coverage(rec, [("r", ["k1"]), ("r", ["k2"])])
+
+
+def test_deletion_variants_hand_computed(spark):
+    """'abc' → itself + 3 single-deletion variants; repeated chars
+    dedup ('aab' yields 'ab' once); '' → ['']; NULL → NULL."""
+    from capelinker_spark.operators.blocking import deletion_variants
+
+    df = spark.createDataFrame(
+        [("abc",), ("aab",), ("",), (None,)], "s string"
+    )
+    rows = {
+        r["s"]: r["v"]
+        for r in df.select(
+            "s", deletion_variants(F.col("s")).alias("v")
+        ).collect()
+    }
+    assert rows["abc"] == ["abc", "bc", "ac", "ab"]
+    assert rows["aab"] == ["aab", "ab", "aa"]
+    assert rows[""] == [""]
+    assert rows[None] is None
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """Deletion-neighborhood blocking finds EVERY lev≤1 pair: compare
+    against the exact crossJoin truth on a corpus with equality,
+    substitution, insertion, and deletion pairs."""
+    from capelinker_spark.operators.blocking import edit_distance_pairs
+
+    words = [
+        "smith", "smyth", "smit", "smiths", "jones", "jomes", "jone",
+        "brown", "braun", "brwn", "taylor", "tailor", "taylr", "smith",
+    ]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    got = {
+        (r["id_from"], r["id_to"], r["dist"])
+        for r in edit_distance_pairs(df, "s").collect()
+    }
+    l = df.select(F.col("id").alias("id_from"), F.col("s").alias("_a"))
+    r = df.select(F.col("id").alias("id_to"), F.col("s").alias("_b"))
+    truth = {
+        (x["id_from"], x["id_to"], x["dist"])
+        for x in l.crossJoin(r)
+        .where(F.col("id_from") < F.col("id_to"))
+        .withColumn("dist", F.levenshtein("_a", "_b"))
+        .where(F.col("dist") <= 1)
+        .collect()
+    }
+    assert got == truth and len(truth) >= 8
+
+
+def test_edit_distance_pairs_plan_and_guards(spark):
+    """max_dist≠1 rejected; plan has no cartesian product and no Python;
+    max_bucket_size drops a hot key's pairs."""
+    from capelinker_spark.operators.blocking import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"w{i:03d}") for i in range(40)], "id long, s string"
+    )
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, "s", max_dist=2)
+    plan = (
+        edit_distance_pairs(df, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BatchEvalPython" not in plan
+
+    hot = spark.createDataFrame(
+        [(i, "same") for i in range(10)] + [(10, "ab"), (11, "ac")],
+        "id long, s string",
+    )
+    capped = edit_distance_pairs(hot, "s", max_bucket_size=5).collect()
+    # the 10-row 'same' bucket (and its variant buckets) are over cap;
+    # the distance-1 pair (ab, ac) survives via the shared 'a' variant
+    assert {(r["id_from"], r["id_to"]) for r in capped} == {(10, 11)}

@@ -216,3 +216,75 @@ def test_cluster_graph_metrics_no_python_no_single_partition(spark):
         .executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_adjusted_rand_index_hand_computed(spark):
+    """pred {a:1,2,3}{b:4,5}{c:6} vs gold {x:1,2}{y:3,4,5}{z:6}:
+    index=2, ea=eb=4, p=15 → ARI = 2·(2·15−16)/(8·15−32) = 28/88
+    = 0.318182 (6dp)."""
+    from capelinker_spark.operators.er_eval import adjusted_rand_index
+
+    assign = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x"),
+            (3, "a", "y"),
+            (4, "b", "y"),
+            (5, "b", "y"),
+            (6, "c", "z"),
+        ],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = adjusted_rand_index(assign).collect()[0]
+    assert (row["n_records"], row["pairs_index"]) == (6, 2)
+    assert (row["pairs_pred"], row["pairs_gold"]) == (4, 4)
+    assert row["ari"] == pytest.approx(round(28 / 88, 6))
+
+
+def test_adjusted_rand_index_perfect_and_degenerate(spark):
+    """Identical clusterings → ARI 1.0; all-singletons on both sides →
+    denominator 0 → NULL (not the conventional 1)."""
+    from capelinker_spark.operators.er_eval import adjusted_rand_index
+
+    same = spark.createDataFrame(
+        [(1, "a", "a"), (2, "a", "a"), (3, "b", "b")],
+        "id long, canonical_id string, entity_id string",
+    )
+    assert adjusted_rand_index(same).collect()[0]["ari"] == 1.0
+
+    singles = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        "id long, canonical_id string, entity_id string",
+    )
+    assert adjusted_rand_index(singles).collect()[0]["ari"] is None
+
+
+def test_cluster_diff_statuses(spark):
+    """old {A:1,2,3}{B:4,5}{C:6} → new {X:1,2}{Y:3}{Z:4,5,6}: X and Y
+    are splits of A, Z merges B+C; a new-side-only record (7) is
+    excluded by the shared-record inner join; a cluster identical over
+    the shared set is stable."""
+    from capelinker_spark.operators.er_eval import cluster_diff
+
+    old = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B"), (6, "C"),
+         (8, "D"), (9, "D")],
+        "id long, canonical_id string",
+    )
+    new = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y"), (4, "Z"), (5, "Z"), (6, "Z"),
+         (7, "W"), (8, "D2"), (9, "D2")],
+        "id long, canonical_id string",
+    )
+    rows = {
+        r["canonical_id"]: (
+            r["n_members"], r["n_source_clusters"], r["status"]
+        )
+        for r in cluster_diff(old, new).collect()
+    }
+    assert rows == {
+        "X": (2, 1, "split"),
+        "Y": (1, 1, "split"),
+        "Z": (3, 2, "merged"),
+        "D2": (2, 1, "stable"),
+    }

@@ -136,3 +136,47 @@ def test_greedy_match_empty_and_conflict(spark):
     )
     got = {(r["id_from"], r["id_to"]) for r in greedy_match(chain).collect()}
     assert got == {(1, 1), (2, 2)}
+
+
+def test_mutual_best_match_hand_computed(spark):
+    """(1,a,.9) is reciprocal-best and kept; 2's best is a but a prefers
+    1, so 2 stays unmatched (no cascade to weaker edges — the contrast
+    with greedy_match, which would then give 2 its next candidate)."""
+    from capelinker_spark.operators.predict import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [(1, "a", 0.9), (1, "b", 0.8), (2, "a", 0.85), (2, "b", 0.7)],
+        "id_from long, id_to string, predicted double",
+    )
+    got = [tuple(r) for r in mutual_best_match(pairs).collect()]
+    assert got == [(1, "a", 0.9)]
+
+    from capelinker_spark.operators.predict import greedy_match
+
+    greedy = {
+        (r["id_from"], r["id_to"])
+        for r in greedy_match(pairs).collect()
+    }
+    assert greedy == {(1, "a"), (2, "b")}
+
+
+def test_mutual_best_match_tie_determinism(spark):
+    """Equal scores resolve by (id_from, id_to) ascending — a total
+    order, so the result is stable under repartitioning."""
+    from capelinker_spark.operators.predict import mutual_best_match
+
+    pairs = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "a", 0.9), (2, "b", 0.9)],
+        "id_from long, id_to string, predicted double",
+    )
+    # 2's own best at equal scores is (2,a) (id_to asc), which loses a
+    # to 1 — so (2,b), though reciprocal-feasible, is not 2's rank-1
+    # and 2 stays unmatched: only (1,a) survives.
+    expect = {(1, "a", 0.9)}
+    got = {tuple(r) for r in mutual_best_match(pairs).collect()}
+    assert got == expect
+    got_rp = {
+        tuple(r)
+        for r in mutual_best_match(pairs.repartition(7, "id_to")).collect()
+    }
+    assert got_rp == expect
