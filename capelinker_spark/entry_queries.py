@@ -4197,6 +4197,51 @@ def j9_edit_distance_pairs(spark, sf_dir):
 
 
 @register(
+    "j10_qgram_edit_pairs",
+    """WITH s AS (SELECT c_custkey AS id,
+                         CASE WHEN c_custkey % 11 = 0
+                              THEN substr(c_mktsegment ||
+                                     CAST(c_custkey % 500 AS VARCHAR),
+                                     1, 4)
+                              ELSE c_mktsegment ||
+                                     CAST(c_custkey % 500 AS VARCHAR)
+                         END AS s
+                  FROM customer)
+       SELECT l.id AS id_from, r.id AS id_to,
+              CAST(levenshtein(l.s, r.s) AS INT) AS dist
+       FROM s l JOIN s r ON l.id < r.id
+       WHERE levenshtein(l.s, r.s) <= 2
+       ORDER BY id_from, id_to""",
+)
+def j10_qgram_edit_pairs(spark, sf_dir):
+    """J10: all pairs within Levenshtein distance 2 via the positional
+    q-gram count filter + depth-2 deletion-neighborhood short tier
+    (blocking.qgram_edit_pairs, Gravano et al. VLDB 2001 / FastSS):
+    segment+number strings, with every 11th row truncated to 4 chars so
+    BOTH tiers and the cross-tier seam carry true pairs. The oracle is
+    the brute-force O(n²) crossJoin — EXACT equality is the
+    completeness proof for the two-tier candidate generation (every
+    candidate is re-verified with the exact native levenshtein). Plan:
+    two equi-self-joins (hashed positional grams; hashed deletion
+    variants), one pair-count aggregate, no cartesian product, zero
+    Python."""
+    from capelinker_spark.operators.blocking import qgram_edit_pairs
+
+    full = F.concat(
+        F.col("c_mktsegment"), (F.col("c_custkey") % 500).cast("string")
+    )
+    d = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.substring(full, 1, 4)
+        )
+        .otherwise(full)
+        .alias("s"),
+    )
+    return qgram_edit_pairs(d, "s", max_dist=2)
+
+
+@register(
     "er10_adjusted_rand",
     """WITH a AS (SELECT c_custkey % 200 AS p, c_custkey % 150 AS g
                   FROM customer),
@@ -4388,7 +4433,7 @@ def m8_mutual_best_match(spark, sf_dir):
 # s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered);
 # then tm2 IN, f7 OUT (same rule). Third amendment: j9/er10/er11/m8 IN
 # (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
-# full-sweep covered).
+# full-sweep covered); then j10 IN, p4 OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4400,6 +4445,7 @@ _DRIVER_WINDOW = [
     "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
+    "j10_qgram_edit_pairs",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4411,7 +4457,7 @@ _DRIVER_WINDOW = [
     "ann3_embedding_dedup_canonical", "a14_labeling_sheet",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
-    "f9_cos_uniqueness", "p4_clean_name_chain",
+    "f9_cos_uniqueness",
     "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
 ]
 

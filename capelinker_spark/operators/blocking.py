@@ -293,6 +293,152 @@ def edit_distance_pairs(
     )
 
 
+def _deletion_variants_depth(col: Column, k: int) -> Column:
+    """All strings reachable from ``col`` by deleting ≤ k characters
+    (depth-k deletion neighborhood, duplicates removed). Built by
+    composing ``deletion_variants`` k times — each application already
+    includes the string itself, so depth d covers every depth < d."""
+    out = deletion_variants(col)
+    for _ in range(k - 1):
+        out = F.array_distinct(
+            F.flatten(F.transform(out, lambda v: deletion_variants(v)))
+        )
+    return out
+
+
+def qgram_edit_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "id",
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` via the
+    positional q-gram count filter (Gravano et al., VLDB 2001) — the
+    scale path ``edit_distance_pairs`` points to for edit bounds > 1,
+    and the distributed replacement for the reference's dense
+    stringdist matrix (R/candidates.R:65-116) under an edit-bound
+    predicate.
+
+    Two complete candidate tiers, both plain equi-joins:
+
+    * **gram tier** — each string emits its positional q-grams
+      ``(gram, pos)``; one self-equi-join on the gram (position offset
+      ≤ k enforced as a post-join filter), then a per-pair match count.
+      One edit destroys ≤ q grams, so ed(a,b) ≤ k implies the pair
+      shares ≥ max(|a|,|b|) − q + 1 − k·q positional grams; pairs are
+      kept when count ≥ max(that bound, 1). Join-match counts can only
+      overcount a true 1-1 gram matching, so no true pair is lost.
+    * **short tier** — for strings where the bound is vacuous
+      (max(|a|,|b|) ≤ q − 1 + k·q, e.g. ≤ 5 chars at q=2,k=2) the gram
+      filter cannot prune, so short strings instead join on their
+      depth-k deletion neighborhood (ed(a,b) ≤ k ⟹ some common string
+      is reachable by ≤ k deletions from each — FastSS, Bocek et al.
+      2007). Fan-out is Σ_{i≤k} C(len,i) keys/row, bounded because the
+      tier only ever sees short strings. A true pair with one long
+      member always has max length over the bound and both members
+      ≥ q chars, so the gram tier covers every pair the short tier
+      does not.
+
+    Every candidate from either tier is verified with the exact native
+    ``F.levenshtein`` — the output is EXACT; blocking only bounds work.
+
+    Skew: positional keys travel as ``xxhash64(gram)`` longs.
+    ``max_gram_freq`` drops grams occurring in more rows than the cap
+    (stop-grams — the classic hot keys like ``'th'``). Dropping grams
+    weakens the count bound, so a non-None cap makes the result
+    APPROXIMATE and must be disclosed, exactly like
+    ``max_bucket_size`` on the LSH joins.
+
+    Returns ``(id_from, id_to, dist)`` with id_from < id_to.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    k = max_dist
+    short_bound = q - 1 + k * q
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).where(F.col("_s").isNotNull())
+
+    # --- gram tier: strings of length >= q emit positional grams ------
+    def _pos_grams(b):
+        return b.where(F.length("_s") >= q).select(
+            "_id",
+            F.length("_s").alias("_len"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_s") - (q - 1)),
+                    lambda i: F.col("_s").substr(i, F.lit(q)),
+                )
+            ).alias("_pos", "_gram"),
+        ).select("_id", "_len", "_pos", F.xxhash64("_gram").alias("_k"))
+
+    g = _pos_grams(base)
+    if max_gram_freq is not None:
+        freq = g.groupBy("_k").agg(
+            F.count_distinct("_id").alias("_rows")
+        )
+        g = g.join(freq.where(F.col("_rows") <= max_gram_freq), "_k").drop(
+            "_rows"
+        )
+    gl = g.select(
+        F.col("_id").alias("id_from"),
+        F.col("_len").alias("_la"),
+        F.col("_pos").alias("_pa"),
+        "_k",
+    )
+    gr = g.select(
+        F.col("_id").alias("id_to"),
+        F.col("_len").alias("_lb"),
+        F.col("_pos").alias("_pb"),
+        "_k",
+    )
+    gram_cand = (
+        gl.join(gr, "_k")
+        .where(
+            (F.col("id_from") < F.col("id_to"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .groupBy("id_from", "id_to", "_la", "_lb")
+        .agg(F.count("*").alias("_matches"))
+        .where(
+            F.col("_matches")
+            >= F.greatest(
+                F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(k * q),
+                F.lit(1),
+            )
+        )
+        .select("id_from", "id_to")
+    )
+
+    # --- short tier: depth-k deletion neighborhood ---------------------
+    short = base.where(F.length("_s") <= short_bound)
+    sk = short.select(
+        "_id",
+        F.explode(_deletion_variants_depth(F.col("_s"), k)).alias("_v"),
+    ).select("_id", F.xxhash64("_v").alias("_k"))
+    short_cand = (
+        sk.select(F.col("_id").alias("id_from"), "_k")
+        .join(sk.select(F.col("_id").alias("id_to"), "_k"), "_k")
+        .where(F.col("id_from") < F.col("id_to"))
+        .select("id_from", "id_to")
+        .distinct()
+    )
+
+    cand = gram_cand.unionByName(short_cand).distinct()
+    a = base.select(F.col("_id").alias("id_from"), F.col("_s").alias("_sa"))
+    b = base.select(F.col("_id").alias("id_to"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(a, "id_from")
+        .join(b, "id_to")
+        .withColumn("dist", F.levenshtein(F.col("_sa"), F.col("_sb")))
+        .where(F.col("dist") <= max_dist)
+        .select("id_from", "id_to", "dist")
+    )
+
+
 def metablock_candidates(
     records: DataFrame,
     keys: Column,

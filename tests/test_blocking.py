@@ -167,3 +167,97 @@ def test_edit_distance_pairs_plan_and_guards(spark):
     # the 10-row 'same' bucket (and its variant buckets) are over cap;
     # the distance-1 pair (ab, ac) survives via the shared 'a' variant
     assert {(r["id_from"], r["id_to"]) for r in capped} == {(10, 11)}
+
+
+def test_qgram_edit_pairs_matches_brute_force(spark):
+    """Randomized dense corpus (small alphabet, lengths 0-9 → empty,
+    sub-q, short-tier, and gram-tier strings all present): candidates
+    from the positional-gram count filter + depth-2 deletion tier,
+    verified exact, equal the O(n²) truth at max_dist=2."""
+    import random
+
+    from capelinker_spark.operators.blocking import qgram_edit_pairs
+
+    rng = random.Random(11)
+    words = set()
+    while len(words) < 70:
+        words.add(
+            "".join(
+                rng.choice("abcde") for _ in range(rng.randint(0, 9))
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(sorted(words))], "id long, s string"
+    )
+    got = {
+        (r["id_from"], r["id_to"], r["dist"])
+        for r in qgram_edit_pairs(df, "s").collect()
+    }
+    l = df.select(F.col("id").alias("id_from"), F.col("s").alias("_a"))
+    r = df.select(F.col("id").alias("id_to"), F.col("s").alias("_b"))
+    truth = {
+        (x["id_from"], x["id_to"], x["dist"])
+        for x in l.crossJoin(r)
+        .where(F.col("id_from") < F.col("id_to"))
+        .withColumn("dist", F.levenshtein("_a", "_b"))
+        .where(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == truth and len(truth) >= 40
+
+
+def test_qgram_edit_pairs_k1_and_guards(spark):
+    """max_dist=1 agrees with edit_distance_pairs; max_dist<1 rejected;
+    plan has no cartesian product and no Python."""
+    from capelinker_spark.operators.blocking import (
+        edit_distance_pairs,
+        qgram_edit_pairs,
+    )
+
+    words = ["smith", "smyth", "smit", "jones", "jomes", "taylor"]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "id long, s string"
+    )
+    via_qgram = {
+        tuple(r) for r in qgram_edit_pairs(df, "s", max_dist=1).collect()
+    }
+    via_del = {
+        tuple(r) for r in edit_distance_pairs(df, "s").collect()
+    }
+    assert via_qgram == via_del
+
+    with pytest.raises(ValueError):
+        qgram_edit_pairs(df, "s", max_dist=0)
+    plan = (
+        qgram_edit_pairs(df, "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BatchEvalPython" not in plan
+
+
+def test_qgram_edit_pairs_stop_gram_cap(spark):
+    """max_gram_freq drops hot grams (approximate mode): a pair held
+    together only by a stop-gram disappears; a pair sharing rare grams
+    survives."""
+    from capelinker_spark.operators.blocking import qgram_edit_pairs
+
+    # 'ththth'-family: every row shares hot 'th'/'ht' grams
+    rows = [(i, "ththth") for i in range(9)] + [
+        (9, "ththtx"),
+        (10, "walker"),
+        (11, "walter"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    full = {
+        (r["id_from"], r["id_to"])
+        for r in qgram_edit_pairs(df, "s").collect()
+    }
+    capped = {
+        (r["id_from"], r["id_to"])
+        for r in qgram_edit_pairs(df, "s", max_gram_freq=5).collect()
+    }
+    assert (10, 11) in full and (10, 11) in capped
+    assert (0, 1) in full and (0, 9) in full
+    assert not any(a <= 9 and b <= 9 for a, b in capped)
