@@ -4352,6 +4352,64 @@ def er11_cluster_diff(spark, sf_dir):
 
 
 @register(
+    "er12_nmi",
+    """WITH a AS (SELECT c_custkey % 200 AS p, c_custkey % 150 AS g
+                  FROM customer),
+       n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM a),
+       sc AS (SELECT coalesce(sum(CAST(cnt AS DECIMAL(19,0))
+                       * CAST(round(ln(cnt), 6) AS DECIMAL(18,6))),
+                     CAST(0 AS DECIMAL(38,6))) AS s
+              FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+                    FROM a GROUP BY p, g)),
+       sp AS (SELECT coalesce(sum(CAST(cnt AS DECIMAL(19,0))
+                       * CAST(round(ln(cnt), 6) AS DECIMAL(18,6))),
+                     CAST(0 AS DECIMAL(38,6))) AS s
+              FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+                    FROM a GROUP BY p)),
+       sg AS (SELECT coalesce(sum(CAST(cnt AS DECIMAL(19,0))
+                       * CAST(round(ln(cnt), 6) AS DECIMAL(18,6))),
+                     CAST(0 AS DECIMAL(38,6))) AS s
+              FROM (SELECT CAST(count(*) AS BIGINT) AS cnt
+                    FROM a GROUP BY g)),
+       t AS (SELECT n_records,
+                    CAST(n_records AS DECIMAL(19,0))
+                      * CAST(round(ln(n_records), 6) AS DECIMAL(18,6))
+                      AS tt,
+                    sc.s AS scs, sp.s AS sps, sg.s AS sgs
+             FROM n, sc, sp, sg)
+       SELECT n_records,
+              round(CAST(tt + scs - sps - sgs AS DOUBLE) / n_records, 6)
+                AS mi,
+              round(CAST(tt - sps AS DOUBLE) / n_records, 6)
+                AS entropy_pred,
+              round(CAST(tt - sgs AS DOUBLE) / n_records, 6)
+                AS entropy_gold,
+              CASE WHEN (tt - sps) > 0 AND (tt - sgs) > 0 THEN
+                round(CAST(tt + scs - sps - sgs AS DOUBLE)
+                      / sqrt(CAST(tt - sps AS DOUBLE)
+                             * CAST(tt - sgs AS DOUBLE)), 6)
+              END AS nmi
+       FROM t""",
+)
+def er12_nmi(spark, sf_dir):
+    """ER12: Normalized Mutual Information (er_eval.nmi_metrics, Strehl
+    & Ghosh 2002 sqrt normalization) of the er10 modular clusterings —
+    the information-theoretic fourth opinion completing the metric
+    quartet (er2 pairwise F1 / er7 B-cubed / er10 ARI / NMI). Every
+    ln(size) — logs of integers only — is rounded to 6 FIRST and summed
+    as exact DECIMAL(38,6) (the ts9 recipe: order-independent across
+    partitionings), and NMI is ONE final IEEE expression. Three
+    hash-aggregates + 1-row lazy scalars; no pair enumeration."""
+    from capelinker_spark.operators.er_eval import nmi_metrics
+
+    assign = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 200).alias("canonical_id"),
+        (F.col("c_custkey") % 150).alias("entity_id"),
+    )
+    return nmi_metrics(assign)
+
+
+@register(
     "m8_mutual_best_match",
     """WITH pairs AS (SELECT c_custkey AS id_from, s_suppkey AS id_to,
                         -CAST(floor(abs(c_acctbal - s_acctbal) * 100.0
@@ -4433,7 +4491,9 @@ def m8_mutual_best_match(spark, sf_dir):
 # s1/j2/j5 OUT (next-longest streak, r1-era core, full-sweep covered);
 # then tm2 IN, f7 OUT (same rule). Third amendment: j9/er10/er11/m8 IN
 # (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
-# full-sweep covered); then j10 IN, p4 OUT (same rule).
+# full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
+# amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
+# full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4445,7 +4505,7 @@ _DRIVER_WINDOW = [
     "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
-    "j10_qgram_edit_pairs",
+    "j10_qgram_edit_pairs", "er12_nmi",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4458,7 +4518,7 @@ _DRIVER_WINDOW = [
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",
-    "c1_connected_components", "c2_expand_index", "ann2_embedding_neardup",
+    "c2_expand_index", "ann2_embedding_neardup",
 ]
 
 

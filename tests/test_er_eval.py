@@ -288,3 +288,79 @@ def test_cluster_diff_statuses(spark):
         "Z": (3, 2, "merged"),
         "D2": (2, 1, "stable"),
     }
+
+
+def _ref_nmi(pairs):
+    """CPython reference: sqrt-normalized NMI from scratch (Strehl &
+    Ghosh 2002), full-precision — the operator's 6-decimal quantized
+    sums must land within 2e-6 of this."""
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    cu = Counter(p for p, _ in pairs)
+    cv = Counter(g for _, g in pairs)
+    cc = Counter(pairs)
+    mi = sum(
+        (c / n) * math.log(n * c / (cu[p] * cv[g]))
+        for (p, g), c in cc.items()
+    )
+    hu = -sum((c / n) * math.log(c / n) for c in cu.values())
+    hv = -sum((c / n) * math.log(c / n) for c in cv.values())
+    return mi, hu, hv, mi / math.sqrt(hu * hv)
+
+
+def test_nmi_vs_cpython_reference(spark):
+    from capelinker_spark.operators.er_eval import nmi_metrics
+
+    pairs = [(i % 7, i % 5) for i in range(200)] + [
+        (i % 3 + 10, i % 4 + 10) for i in range(61)
+    ]
+    assign = spark.createDataFrame(
+        [(i, p, g) for i, (p, g) in enumerate(pairs)],
+        "id long, canonical_id long, entity_id long",
+    )
+    row = nmi_metrics(assign).collect()[0]
+    mi, hu, hv, nmi = _ref_nmi(pairs)
+    assert row["n_records"] == 261
+    assert row["mi"] == pytest.approx(mi, abs=2e-6)
+    assert row["entropy_pred"] == pytest.approx(hu, abs=2e-6)
+    assert row["entropy_gold"] == pytest.approx(hv, abs=2e-6)
+    assert row["nmi"] == pytest.approx(nmi, abs=2e-6)
+
+
+def test_nmi_perfect_and_degenerate(spark):
+    from capelinker_spark.operators.er_eval import nmi_metrics
+
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")],
+        "id long, canonical_id string, entity_id string",
+    )
+    assert nmi_metrics(perfect).collect()[0]["nmi"] == 1.0
+
+    # one predicted cluster: zero predicted entropy -> NMI undefined
+    allone = spark.createDataFrame(
+        [(i, "a", f"g{i}") for i in range(4)],
+        "id long, canonical_id string, entity_id string",
+    )
+    row = nmi_metrics(allone).collect()[0]
+    assert row["entropy_pred"] == 0.0
+    assert row["nmi"] is None
+
+
+def test_nmi_deterministic_under_repartitioning(spark):
+    """The decimal-quantized log sums make the metric bit-stable across
+    partitionings; plan never self-joins the assignment table."""
+    from capelinker_spark.operators.er_eval import nmi_metrics
+
+    assign = spark.createDataFrame(
+        [(i, i % 13, (i * 7) % 11) for i in range(500)],
+        "id long, canonical_id long, entity_id long",
+    )
+    r1 = nmi_metrics(assign).collect()[0]
+    r2 = nmi_metrics(assign.repartition(17, "id")).collect()[0]
+    assert r1 == r2
+    plan = (
+        nmi_metrics(assign)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
