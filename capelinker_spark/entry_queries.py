@@ -4352,6 +4352,68 @@ def er11_cluster_diff(spark, sf_dir):
 
 
 @register(
+    "j11_prefix_jaccard_join",
+    """WITH s AS (SELECT c_custkey AS id,
+                    c_mktsegment || ' w' ||
+                      CAST(c_custkey % 7 AS VARCHAR) || ' x' ||
+                      CAST(c_custkey % 11 AS VARCHAR) ||
+                      CASE WHEN c_custkey % 5 = 0
+                           THEN ' y' || CAST(c_custkey % 13 AS VARCHAR)
+                           ELSE '' END AS str
+                  FROM customer),
+       t AS (SELECT id,
+                    list_distinct(list_filter(
+                      string_split_regex(trim(str),
+                        '[ \\t\\n\\r\\f\\x0b]+'),
+                      x -> x <> '')) AS tok
+             FROM s),
+       p AS (SELECT a.id AS id_from, b.id AS id_to,
+                    CAST(len(list_intersect(a.tok, b.tok)) AS BIGINT)
+                      AS n_common,
+                    CAST(len(a.tok) + len(b.tok)
+                         - len(list_intersect(a.tok, b.tok)) AS BIGINT)
+                      AS u
+             FROM t a JOIN t b ON a.id < b.id)
+       SELECT id_from, id_to, n_common,
+              CAST(n_common AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+       FROM p
+       WHERE n_common * 1000000 >= 600000 * u
+       ORDER BY id_from, id_to""",
+)
+def j11_prefix_jaccard_join(spark, sf_dir):
+    """J11: all pairs with word-set Jaccard ≥ 0.6 via prefix filtering
+    (blocking.prefix_jaccard_pairs, AllPairs/PPJoin — Bayardo WWW'07):
+    the EXACT set-similarity join next to the approximate MinHash-LSH
+    tier. Segment + modular-word strings with 3- and 4-token records so
+    identical-set, subset, and boundary (3/5 = exactly 0.6) pairs all
+    occur. The oracle is the brute-force O(n²) crossJoin — EXACT
+    equality is the completeness proof for the prefix filter (every
+    candidate is re-verified with native array_intersect under the
+    integer-quantized threshold; no float crosses the engine boundary).
+    Plan: doc-frequency hash-agg, one self-equi-join on hashed prefix
+    tokens, no cartesian product, zero Python."""
+    from capelinker_spark.operators.blocking import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit(" w"),
+            (F.col("c_custkey") % 7).cast("string"),
+            F.lit(" x"),
+            (F.col("c_custkey") % 11).cast("string"),
+            F.when(
+                F.col("c_custkey") % 5 == 0,
+                F.concat(
+                    F.lit(" y"), (F.col("c_custkey") % 13).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("str"),
+    )
+    return prefix_jaccard_pairs(d, "str", threshold=0.6)
+
+
+@register(
     "er12_nmi",
     """WITH a AS (SELECT c_custkey % 200 AS p, c_custkey % 150 AS g
                   FROM customer),
@@ -4493,7 +4555,7 @@ def m8_mutual_best_match(spark, sf_dir):
 # (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
 # full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
 # amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
-# full-sweep covered).
+# full-sweep covered); then j11 IN, c2 OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4505,7 +4567,7 @@ _DRIVER_WINDOW = [
     "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
-    "j10_qgram_edit_pairs", "er12_nmi",
+    "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4518,7 +4580,7 @@ _DRIVER_WINDOW = [
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",
-    "c2_expand_index", "ann2_embedding_neardup",
+    "ann2_embedding_neardup",
 ]
 
 

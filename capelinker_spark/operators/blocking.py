@@ -626,3 +626,151 @@ def blocking_rule_coverage(
         prev = cum.distinct()
     assert out is not None, "rules must be non-empty"
     return out
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    str_col: str,
+    id_col: str = "id",
+    threshold: float = 0.6,
+    max_token_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with word-set Jaccard similarity ≥ ``threshold`` via
+    prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07 / Xiao et
+    al. WWW'08) — the EXACT set-similarity join complementing the
+    approximate MinHash-LSH tier (dedup.minhash_lsh): same question, no
+    recall loss, the right tool when the contract is "every pair above
+    t", e.g. final-pass verification or legal-grade dedup.
+
+    Algorithm: tokens (WS_SPLIT words, deduplicated) are globally
+    ordered by ascending document frequency (ties by token — a total
+    order); a record with n tokens emits only its first
+    n − ⌈t·n⌉ + 1 tokens (the *prefix*): two sets with Jaccard ≥ t must
+    share at least one prefix token under ANY common total order, so
+    one self-equi-join on prefix tokens generates a complete candidate
+    set. Rare-token-first ordering makes prefixes collide as little as
+    possible — the frequency sort IS the performance trick.
+
+    Exactness: the threshold is quantized once to q = round(t·10⁶);
+    every filter is INTEGER arithmetic against q — prefix length uses
+    ⌈q·n / 10⁶⌉ via integer div, the length filter is
+    q·max(|x|,|y|) ≤ 10⁶·min(|x|,|y|), and verification keeps
+    10⁶·|x∩y| ≥ q·(|x|+|y|−|x∩y|). No float ever crosses an engine
+    boundary; the output ``jaccard`` is ONE final IEEE division.
+
+    Plan shape: one hash-aggregate (doc frequencies), one join of the
+    tall token table to frequencies, one per-record sort_array
+    (bounded by record token count), one self-equi-join on
+    xxhash64(prefix token) with the integer length filter, distinct
+    pairs, two joins back for verification with native
+    array_intersect. No cartesian product, zero Python. Hash collisions
+    only add candidates — verification is exact.
+
+    Skew: ``max_token_freq`` drops tokens whose document frequency
+    exceeds the cap from PREFIXES only (verification is untouched).
+    Dropping prefix tokens can only lose candidates whose every prefix
+    token is a stop word, so a non-None cap makes the result
+    APPROXIMATE and must be disclosed — same contract as
+    ``max_bucket_size`` on the LSH joins.
+
+    Returns ``(id_from, id_to, n_common, jaccard)`` with
+    id_from < id_to. Records with no tokens never pair (Jaccard
+    undefined)."""
+    from capelinker_spark.operators.textstats import WS_SPLIT
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    q = round(threshold * 1_000_000)
+
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.trim(F.col(str_col)), WS_SPLIT), lambda x: x != ""
+        )
+    )
+    base = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .where(F.size("_t") > 0)
+    )
+    tall = base.select("_id", F.explode("_t").alias("_tok"))
+    freq = tall.groupBy("_tok").agg(F.count("*").cast("long").alias("_df"))
+    # per-record tokens sorted rarest-first under the (df, token) total
+    # order; sort_array makes the collect_list order irrelevant
+    sorted_t = (
+        tall.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("_df", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ).alias("_ts")
+        )
+        .select(
+            "_id",
+            "_ts",
+            F.size("_ts").alias("_n"),
+            # ceil(t*n) in exact integer arithmetic
+            (
+                F.size("_ts")
+                - ((F.size("_ts") * q + 999_999) / 1_000_000).cast("long")
+                + 1
+            ).alias("_p"),
+        )
+    )
+    pref = sorted_t.select(
+        "_id",
+        "_n",
+        F.explode(F.slice("_ts", 1, F.col("_p"))).alias("_tok"),
+    )
+    if max_token_freq is not None:
+        pref = pref.join(
+            freq.where(F.col("_df") <= max_token_freq), "_tok"
+        ).drop("_df")
+    pk = pref.select(
+        "_id", "_n", F.xxhash64("_tok").alias("_k")
+    )
+    pl = pk.select(
+        F.col("_id").alias("id_from"), F.col("_n").alias("_na"), "_k"
+    )
+    pr = pk.select(
+        F.col("_id").alias("id_to"), F.col("_n").alias("_nb"), "_k"
+    )
+    cand = (
+        pl.join(pr, "_k")
+        .where(
+            (F.col("id_from") < F.col("id_to"))
+            & (
+                F.greatest("_na", "_nb") * q
+                <= F.least("_na", "_nb") * F.lit(1_000_000)
+            )
+        )
+        .select("id_from", "id_to")
+        .distinct()
+    )
+    a = sorted_t.select(
+        F.col("_id").alias("id_from"),
+        F.col("_ts").alias("_ta"),
+        F.col("_n").alias("_la"),
+    )
+    b = sorted_t.select(
+        F.col("_id").alias("id_to"),
+        F.col("_ts").alias("_tb"),
+        F.col("_n").alias("_lb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.col("_la") + F.col("_lb") - F.col("n_common")
+    return (
+        cand.join(a, "id_from")
+        .join(b, "id_to")
+        .withColumn("n_common", inter)
+        .where(F.col("n_common") * 1_000_000 >= q * union)
+        .select(
+            "id_from",
+            "id_to",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double") / union.cast("double")
+            ).alias("jaccard"),
+        )
+    )

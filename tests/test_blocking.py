@@ -261,3 +261,82 @@ def test_qgram_edit_pairs_stop_gram_cap(spark):
     assert (10, 11) in full and (10, 11) in capped
     assert (0, 1) in full and (0, 9) in full
     assert not any(a <= 9 and b <= 9 for a, b in capped)
+
+
+def _brute_jaccard(rows, t):
+    import re
+
+    out = {}
+    toks = {
+        i: set(w for w in re.split(r"[ \t\n\r\f\x0b]+", s.strip()) if w)
+        for i, s in rows
+    }
+    q = round(t * 1_000_000)
+    ids = sorted(toks)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = toks[ids[i]], toks[ids[j]]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a | b)
+            if inter * 1_000_000 >= q * union:
+                out[(ids[i], ids[j])] = (inter, inter / union)
+    return out
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    """EXACT completeness vs the O(n^2) reference on an adversarial mix:
+    duplicate sets, subset/superset, near-misses at the threshold,
+    frequency ties, empty and single-token records."""
+    from capelinker_spark.operators.blocking import prefix_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # identical -> 1.0
+        (3, "alpha beta gamma"),                # subset 3/4 = 0.75
+        (4, "alpha beta zeta eta"),             # 2/6 = 0.333
+        (5, "  alpha   beta\tgamma  delta "),   # whitespace noise
+        (6, "omega"),
+        (7, "omega"),                           # single-token dup
+        (8, ""),                                # no tokens
+        (9, "beta gamma delta epsilon"),        # 3/5 = 0.6 boundary
+        (10, "kappa lambda mu nu xi"),
+        (11, "kappa lambda mu nu omicron"),     # 4/6 = 0.667
+        (12, "alpha alpha beta beta gamma"),    # dup words collapse
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_from"], r["id_to"]): (r["n_common"], r["jaccard"])
+        for r in prefix_jaccard_pairs(df, "s", threshold=0.6).collect()
+    }
+    want = _brute_jaccard(rows, 0.6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+    assert (1, 2) in got and got[(1, 2)] == (4, 1.0)
+    assert (9, 1) not in got  # ordered id_from < id_to
+    assert (1, 9) in got      # 0.6 boundary kept (>=)
+
+
+def test_prefix_jaccard_plan_and_cap(spark):
+    from capelinker_spark.operators.blocking import prefix_jaccard_pairs
+
+    rows = [(i, f"w{i % 4} stop common x{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = prefix_jaccard_pairs(df, "s", threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    full = {(r["id_from"], r["id_to"]) for r in out.collect()}
+    # stop-word cap prunes prefixes -> subset of the exact result
+    capped = {
+        (r["id_from"], r["id_to"])
+        for r in prefix_jaccard_pairs(
+            df, "s", threshold=0.5, max_token_freq=10
+        ).collect()
+    }
+    assert capped <= full
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(df, "s", threshold=0.0)
