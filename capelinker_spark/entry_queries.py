@@ -4352,6 +4352,56 @@ def er11_cluster_diff(spark, sf_dir):
 
 
 @register(
+    "tm3_interval_join",
+    """WITH l AS (SELECT o_orderkey AS lid,
+                         CAST(o_orderkey % 50 AS BIGINT) AS k,
+                         CAST(o_orderkey % 997 AS BIGINT) AS s,
+                         CAST(o_orderkey % 997 + o_orderkey % 5 AS BIGINT)
+                           AS e
+                  FROM orders),
+       r AS (SELECT s_suppkey AS rid,
+                    CAST(s_suppkey % 50 AS BIGINT) AS k,
+                    CAST((s_suppkey * 7) % 997 AS BIGINT) AS s_r,
+                    CAST((s_suppkey * 7) % 997 + s_suppkey % 9 AS BIGINT)
+                      AS e_r
+             FROM supplier)
+       SELECT lid, l.k AS k, s, e, rid, s_r, e_r
+       FROM l JOIN r ON l.k = r.k AND s <= e_r AND s_r <= e
+       ORDER BY lid, rid""",
+)
+def tm3_interval_join(spark, sf_dir):
+    """TM3: interval overlap join (temporal.interval_overlap_join) —
+    validity-window pairing of order spans × supplier spans within a
+    mod-50 key. The oracle is DuckDB's native inequality join; the
+    Spark plan is the range-bucketing rewrite: each span explodes into
+    width-8 buckets, ONE equi-join on (key, bucket), exact overlap
+    filter, and pair-dedupe BY CONSTRUCTION (a pair survives only in
+    the bucket holding the overlap's left edge — no distinct shuffle).
+    No nested-loop join, zero Python."""
+    from capelinker_spark.operators.temporal import interval_overlap_join
+
+    l = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("lid"),
+        (F.col("o_orderkey") % 50).cast("long").alias("k"),
+        (F.col("o_orderkey") % 997).cast("long").alias("s"),
+        ((F.col("o_orderkey") % 997) + (F.col("o_orderkey") % 5))
+        .cast("long")
+        .alias("e"),
+    )
+    r = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        (F.col("s_suppkey") % 50).cast("long").alias("k"),
+        ((F.col("s_suppkey") * 7) % 997).cast("long").alias("s"),
+        (((F.col("s_suppkey") * 7) % 997) + (F.col("s_suppkey") % 9))
+        .cast("long")
+        .alias("e"),
+    )
+    return interval_overlap_join(
+        l, r, ("s", "e"), ("s", "e"), on="k", bucket_width=8
+    ).select("lid", "k", "s", "e", "rid", "s_r", "e_r")
+
+
+@register(
     "j11_prefix_jaccard_join",
     """WITH s AS (SELECT c_custkey AS id,
                     c_mktsegment || ' w' ||
@@ -4555,7 +4605,9 @@ def m8_mutual_best_match(spark, sf_dir):
 # (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
 # full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
 # amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
-# full-sweep covered); then j11 IN, c2 OUT (same rule).
+# full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT (same
+# rule — c1/c2/ann2/dd1-dd4/ts1 etc. remain in the judge's full
+# per-round check_oracle sweep).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4568,6 +4620,7 @@ _DRIVER_WINDOW = [
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
+    "tm3_interval_join",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4580,7 +4633,6 @@ _DRIVER_WINDOW = [
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",
-    "ann2_embedding_neardup",
 ]
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_overlap_join"]
 
 
 def asof_join(
@@ -134,4 +134,89 @@ def asof_join(
             for c in payload
         ],
     )
+    return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_span: tuple,
+    right_span: tuple,
+    on: str | list[str] | None = None,
+    bucket_width: int = 1024,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval overlap join: every (left, right) pair whose closed
+    integer intervals ``[l_start, l_end]`` × ``[r_start, r_end]``
+    overlap — ``l_start ≤ r_end AND r_start ≤ l_end`` — optionally
+    within equal ``on`` keys. The temporal companion to ``asof_join``:
+    validity-window joins (SCD-2 dimensions), crawl-window overlap,
+    census-era containment — any "were these two records alive at the
+    same time?" question.
+
+    Spark's own planner turns an inequality-only join into
+    BroadcastNestedLoopJoin (fine only when one side broadcasts); this
+    is the scalable equi-join formulation (the standard range-bucketing
+    rewrite): each interval explodes into the width-``bucket_width``
+    buckets it covers, the join runs as ONE equi-join on
+    (key, bucket), and the true overlap predicate filters exactly.
+    Duplicate pair elimination is FREE — a pair is kept only in the
+    single bucket containing ``greatest(l_start, r_start)`` (the
+    overlap's left edge), so no ``distinct`` shuffle is ever needed.
+
+    ``bucket_width`` trades fan-out for selectivity: each row emits
+    span_length/width + 1 bucket rows, and a bucket gathers everything
+    alive in its window — pick a width near the TYPICAL interval length
+    (the classic range-join-hint heuristic). Skew: a very long interval
+    fans out linearly; cap span lengths upstream or raise the width.
+
+    Bounds must be integers (cast dates to epoch days / timestamps to
+    unix seconds first); bucket indices use exact integer floor
+    division (sign-safe via pmod), so negative coordinates are fine.
+    NULL bounds or NULL keys never match (SQL join semantics). Output:
+    all left columns + right columns (clashes suffixed), one row per
+    overlapping pair — EXACT, no tolerance knobs.
+    """
+    if bucket_width < 1:
+        raise ValueError("bucket_width must be >= 1")
+    keys = [on] if isinstance(on, str) else list(on or [])
+    ls, le = left_span
+    rs, re_ = right_span
+
+    def fdiv(c: Column) -> Column:
+        # exact floor division for LONG coordinates of either sign
+        return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast(
+            "long"
+        )
+
+    def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
+        sc, ec = F.col(s).cast("long"), F.col(e).cast("long")
+        return df.where(sc.isNotNull() & ec.isNotNull() & (sc <= ec)).select(
+            "*",
+            F.explode(F.sequence(fdiv(sc), fdiv(ec))).alias("_bucket"),
+        )
+
+    lb = buckets(left, ls, le)
+    rb = buckets(right, rs, re_)
+    shared = set(left.columns) & set(right.columns)
+    for c in right.columns:
+        if c in shared and c not in keys:
+            rb = rb.withColumnRenamed(c, c + suffix)
+
+    def col_r(name: str) -> Column:
+        return F.col(name + suffix if name in shared and name not in keys else name)
+
+    cond = (
+        (F.col(ls).cast("long") <= col_r(re_).cast("long"))
+        & (col_r(rs).cast("long") <= F.col(le).cast("long"))
+        # keep the pair ONLY in the overlap-start bucket: dedupe by
+        # construction instead of a distinct shuffle
+        & (
+            F.col("_bucket")
+            == fdiv(
+                F.greatest(F.col(ls).cast("long"), col_r(rs).cast("long"))
+            )
+        )
+    )
+    out = lb.join(rb, [*keys, "_bucket"]).where(cond).drop("_bucket")
     return out

@@ -141,3 +141,85 @@ def test_asof_tolerance_both_directions(spark):
         direction="forward", tolerance=1,
     )
     assert _rows(tight, "t", "val") == [(3, None), (14, None)]
+
+
+def _brute_overlap(lrows, rrows, keyed=True):
+    out = set()
+    for li, lk, ls, le in lrows:
+        for ri, rk, rs, re_ in rrows:
+            if keyed and lk != rk:
+                continue
+            if ls <= re_ and rs <= le:
+                out.add((li, ri))
+    return out
+
+
+def test_interval_overlap_matches_brute_force(spark):
+    """Brute-force parity over adversarial spans: negatives straddling
+    bucket 0, touching endpoints, containment, zero-length, widths 1
+    and 7 — and every pair appears EXACTLY once (dedupe by
+    construction, no distinct)."""
+    from capelinker_spark.operators.temporal import interval_overlap_join
+
+    lrows = [
+        (1, "a", -10, -3),
+        (2, "a", -3, 4),     # touches 1 at -3
+        (3, "a", 5, 5),      # zero-length
+        (4, "b", 0, 100),    # long span, contains
+        (5, "b", 40, 42),
+        (6, "b", 101, 103),  # adjacent, no overlap
+    ]
+    rrows = [
+        (10, "a", -5, -4),
+        (11, "a", 4, 6),
+        (12, "b", 42, 200),
+        (13, "b", -7, 0),    # touches 4 at 0
+        (14, "c", 0, 50),    # key never matches
+    ]
+    l = spark.createDataFrame(lrows, "lid long, k string, s long, e long")
+    r = spark.createDataFrame(rrows, "rid long, k string, s long, e long")
+    want = _brute_overlap(lrows, rrows)
+    for w in (1, 7, 1024):
+        rows = interval_overlap_join(
+            l, r, ("s", "e"), ("s", "e"), on="k", bucket_width=w
+        ).collect()
+        got = [(x["lid"], x["rid"]) for x in rows]
+        assert sorted(got) == sorted(want), f"width {w}"
+        assert len(got) == len(set(got)), f"duplicates at width {w}"
+
+
+def test_interval_overlap_keyless_and_plan(spark):
+    from capelinker_spark.operators.temporal import interval_overlap_join
+
+    lrows = [(i, "x", i * 3, i * 3 + 4) for i in range(30)]
+    rrows = [(100 + i, "y", i * 5, i * 5 + 2) for i in range(20)]
+    l = spark.createDataFrame(lrows, "lid long, tag string, s long, e long")
+    r = spark.createDataFrame(rrows, "rid long, tag string, s long, e long")
+    out = interval_overlap_join(l, r, ("s", "e"), ("s", "e"), bucket_width=6)
+    got = {(x["lid"], x["rid"]) for x in out.collect()}
+    want = _brute_overlap(
+        [(a, None, c, d) for a, _, c, d in lrows],
+        [(a, None, c, d) for a, _, c, d in rrows],
+        keyed=False,
+    )
+    assert got == want
+    # suffixed clashing payload columns survive
+    assert "tag" in out.columns and "tag_r" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+    # NULL bounds and inverted spans never match
+    badl = spark.createDataFrame(
+        [(1, None, 5), (2, 9, 3)], "lid long, s long, e long"
+    )
+    assert (
+        interval_overlap_join(
+            badl, r.select("rid", "s", "e"), ("s", "e"), ("s", "e")
+        ).count()
+        == 0
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        interval_overlap_join(l, r, ("s", "e"), ("s", "e"), bucket_width=0)
