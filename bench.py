@@ -237,6 +237,9 @@ HEADLINE_QUERIES = [
     "f16_monge_elkan",
     "j9_edit_distance_pairs",
     "m8_mutual_best_match",
+    "er12_nmi",
+    "j11_prefix_jaccard_join",
+    "tm3_interval_join",
 ]
 
 
