@@ -254,6 +254,65 @@ def main():
         _fmt(er7),
     ))
 
+    ir1 = QUERIES["ir1_bm25_topk"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "BM25 keyword retrieval (ir1)",
+        "Look for: the corpus side is ONE tall (doc, term, tf) table "
+        "(explode + hash-agg) joined to the tiny query-term table on the "
+        "TERM — a posting-list equi-join (broadcast at this scale), "
+        "never a per-query corpus scan — then a per-(query, doc) "
+        "score aggregate and a top-k window per query.",
+        _fmt(ir1),
+    ))
+
+    dd12 = QUERIES["dd12_line_dedup_keep_first"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Corpus-global line dedup, keep-first (dd12)",
+        "Look for: the exploded line table shuffles ONCE on the line "
+        "VALUE — two stacked `Window` aggregates (global min occurrence; "
+        "min≠max duplicate test) reuse the SAME hashpartitioning "
+        "exchange — then a per-doc position-sorted rebuild. No "
+        "per-line doc lists, no second shuffle, no Python.",
+        _fmt(dd12),
+    ))
+
+    j11 = QUERIES["j11_prefix_jaccard_join"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Exact prefix-filter Jaccard join (j11, AllPairs/PPJoin)",
+        "Look for: a doc-frequency `HashAggregate` feeding the "
+        "per-record rarest-first sort (sort_array inside a project — "
+        "bounded by record token count, no exchange), prefix explode, "
+        "ONE self-equi-join on `xxhash64(token)` with the integer "
+        "length filter, and verification joins carrying the token "
+        "arrays. No cartesian product anywhere; every similarity "
+        "filter is integer arithmetic.",
+        _fmt(j11),
+    ))
+
+    tm3 = QUERIES["tm3_interval_join"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Bucketed interval overlap join (tm3)",
+        "Look for: both sides explode spans into width-8 buckets "
+        "(`Generate sequence(...)`), then ONE equi-join on "
+        "(key, bucket) — no `BroadcastNestedLoopJoin`, which is what "
+        "Spark plans for a bare inequality join — and the exact overlap "
+        "filter plus the overlap-start-bucket equality that dedupes "
+        "pairs WITHOUT a distinct shuffle.",
+        _fmt(tm3),
+    ))
+
+    er12 = QUERIES["er12_nmi"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Normalized Mutual Information (er12)",
+        "Look for: three partial→final `HashAggregate` pairs over the "
+        "assignment table (cell / pred / gold size histograms), each "
+        "reduced to a 1-row DECIMAL(38,6) log-sum and crossJoined as a "
+        "lazy scalar — entropy and MI at any scale without enumerating "
+        "pairs, order-independent because every ln term is quantized "
+        "before summation.",
+        _fmt(er12),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
