@@ -255,7 +255,9 @@ def read_steal() -> int:
         return 0
 
 
-def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+def run_queries(
+    spark, sf_dir: str
+) -> tuple[dict[str, float], dict[str, int], list[str]]:
     from capelinker_spark.entry_queries import QUERIES, _docs_plus_dups
     from capelinker_spark.operators.dedup import minhash_near_duplicates
 

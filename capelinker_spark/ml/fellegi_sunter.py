@@ -256,6 +256,7 @@ def tf_adjust(
     score_col: str,
     out: str | None = None,
     broadcast: bool = True,
+    tf_value_col: str | None = None,
 ) -> DataFrame:
     """Apply a field's term-frequency adjustment to an FS score (the
     Splink ``term_frequency_adjustments`` semantics): where the pair
@@ -272,10 +273,15 @@ def tf_adjust(
 
     Plan shape: ONE equi-join of the pair table against the
     vocabulary-sized weight table, broadcast by default — the pair
-    table never shuffles."""
+    table never shuffles.
+
+    ``tf_value_col`` names the weight table's value column; by default
+    the FIRST column of ``tf`` is used (``term_frequency_weights`` puts
+    ``out_value`` first), so the pairing composes under any
+    ``out_value=`` renaming."""
     out = out or score_col
     t = tf.select(
-        F.col("value").alias("_tf_value"),
+        F.col(tf_value_col or tf.columns[0]).alias("_tf_value"),
         F.col("tf_weight").alias("_tf_w"),
     )
     if broadcast:

@@ -269,27 +269,33 @@ def edit_distance_pairs(
     ).where(F.col("_s").isNotNull())
     keyed = base.select(
         "_id",
-        "_s",
         F.explode(deletion_variants(F.col("_s"))).alias("_v"),
-    ).select("_id", "_s", F.xxhash64(F.col("_v")).alias("_k"))
+    ).select("_id", F.xxhash64(F.col("_v")).alias("_k"))
     if max_bucket_size is not None:
         sizes = keyed.groupBy("_k").agg(F.count("*").alias("_bsz"))
         keyed = keyed.join(
             sizes.where(F.col("_bsz") <= max_bucket_size), "_k"
         ).drop("_bsz")
-    l = keyed.select(
-        F.col("_id").alias("id_from"), F.col("_s").alias("_sf"), "_k"
-    )
-    r = keyed.select(
-        F.col("_id").alias("id_to"), F.col("_s").alias("_st"), "_k"
-    )
-    return (
+    l = keyed.select(F.col("_id").alias("id_from"), "_k")
+    r = keyed.select(F.col("_id").alias("id_to"), "_k")
+    cand = (
         l.join(r, "_k")
         .where(F.col("id_from") < F.col("id_to"))
+        .select("id_from", "id_to")
+        .distinct()
+    )
+    # strings re-attach AFTER the key shuffle + distinct, so the (len+1)-way
+    # variant fan-out really does travel as (id, 8-byte key) rows — the
+    # documented plan shape (carrying _s through the explode would shuffle
+    # len+1 copies of every string)
+    a = base.select(F.col("_id").alias("id_from"), F.col("_s").alias("_sf"))
+    b = base.select(F.col("_id").alias("id_to"), F.col("_s").alias("_st"))
+    return (
+        cand.join(a, "id_from")
+        .join(b, "id_to")
         .withColumn("dist", F.levenshtein(F.col("_sf"), F.col("_st")))
         .where(F.col("dist") <= max_dist)
         .select("id_from", "id_to", "dist")
-        .distinct()
     )
 
 
@@ -562,24 +568,43 @@ def blocking_rule_coverage(
       enumeration: any rule whose combinatorial count exceeds it fails
       fast with the count in the message instead of launching the join.
 
-    All counts are exact longs from lazy 1-row aggregates, cross-joined
-    into one unioned result (J4 lazy-scalar discipline — a single
-    action computes everything). NULL key components never pair (SQL
-    equi-join semantics). Returns one row per rule:
+    All counts are exact longs. NULL key components never pair (SQL
+    equi-join semantics) — rows with any NULL key are dropped from BOTH
+    tiers, so the combinatorial ``n_pairs`` agrees with the enumerated
+    tier (a giant NULL group must not trip the guard or inflate
+    ``n_pairs`` past its own ``cum_pairs``). With the guard active, ONE
+    collected action checks every rule (the counts are unioned first —
+    never one Spark job per rule) and the collected values are reused
+    as literals; with ``max_pairs_enumerated=None`` everything stays
+    lazy (J4 lazy-scalar discipline). Returns one row per rule:
     ``(rule, n_pairs, n_new_pairs, cum_pairs)``."""
     if len({n for n, _ in rules}) != len(rules):
         raise ValueError("duplicate rule names")
+
+    filtered: dict[str, DataFrame] = {}
+    counts: dict[str, DataFrame] = {}
+    for name, keys in rules:
+        recs = records.na.drop(subset=list(keys))
+        filtered[name] = recs
+        sizes = recs.groupBy(*keys).agg(F.count("*").alias("s"))
+        counts[name] = sizes.agg(
+            F.coalesce(F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_pairs")
+        )
+
+    eager: dict[str, int] | None = None
     if max_pairs_enumerated is not None:
-        for name, keys in rules:
-            sizes = records.groupBy(*keys).agg(F.count("*").alias("s"))
-            cnt_row = sizes.agg(
-                F.coalesce(
-                    F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0)
-                ).cast("long").alias("c")
-            ).collect()[0]
-            if cnt_row["c"] > max_pairs_enumerated:
+        allc: DataFrame | None = None
+        for name, _ in rules:
+            c = counts[name].select(F.lit(name).alias("rule"), "n_pairs")
+            allc = c if allc is None else allc.unionByName(c)
+        assert allc is not None, "rules must be non-empty"
+        eager = {r["rule"]: r["n_pairs"] for r in allc.collect()}
+        for name, _ in rules:
+            if eager[name] > max_pairs_enumerated:
                 raise ValueError(
-                    f"rule {name!r} generates {cnt_row['c']} pairs "
+                    f"rule {name!r} generates {eager[name]} pairs "
                     f"(> max_pairs_enumerated={max_pairs_enumerated}); "
                     "raise the guard or tighten the rule"
                 )
@@ -587,14 +612,9 @@ def blocking_rule_coverage(
     out: DataFrame | None = None
     prev: DataFrame | None = None  # distinct union of earlier rules' pairs
     for name, keys in rules:
-        sizes = records.groupBy(*keys).agg(F.count("*").alias("s"))
-        n_pairs = sizes.agg(
-            F.coalesce(F.sum(F.expr("(s * (s - 1)) div 2")), F.lit(0))
-            .cast("long")
-            .alias("n_pairs")
-        )
-        l = records.select(F.col(id_col).alias("_il"), *keys)
-        r = records.select(F.col(id_col).alias("_ir"), *keys)
+        recs = filtered[name]
+        l = recs.select(F.col(id_col).alias("_il"), *keys)
+        r = recs.select(F.col(id_col).alias("_ir"), *keys)
         pairs = (
             l.join(r, list(keys))
             .where(F.col("_il") < F.col("_ir"))
@@ -612,16 +632,25 @@ def blocking_rule_coverage(
         n_cum = cum.distinct().agg(
             F.count("*").cast("long").alias("cum_pairs")
         )
-        row = (
-            n_pairs.crossJoin(n_new)
-            .crossJoin(n_cum)
-            .select(
+        if eager is not None:
+            row = n_new.crossJoin(n_cum).select(
                 F.lit(name).alias("rule"),
-                "n_pairs",
+                F.lit(eager[name]).cast("long").alias("n_pairs"),
                 "n_new_pairs",
                 "cum_pairs",
             )
-        )
+        else:
+            row = (
+                counts[name]
+                .crossJoin(n_new)
+                .crossJoin(n_cum)
+                .select(
+                    F.lit(name).alias("rule"),
+                    "n_pairs",
+                    "n_new_pairs",
+                    "cum_pairs",
+                )
+            )
         out = row if out is None else out.unionByName(row)
         prev = cum.distinct()
     assert out is not None, "rules must be non-empty"

@@ -136,10 +136,14 @@ def pairwise_cluster_metrics(
         sizes = assignments.groupBy(*cols).agg(
             F.count("*").cast("long").alias("_n")
         )
+        # exact integral C(n,2): `/ 2` would be a DOUBLE divide (inexact
+        # past 2^53 and partition-order-dependent in the sum), breaking
+        # the module's BIGINT contract; `div` is exact and n·(n−1) is
+        # always even
         return _scalar(
             sizes.agg(
                 F.coalesce(
-                    F.sum(F.col("_n") * (F.col("_n") - 1) / 2).cast("long"),
+                    F.sum(F.expr("(_n * (_n - 1)) div 2")).cast("long"),
                     F.lit(0).cast("long"),
                 ).alias(alias)
             )
@@ -313,14 +317,28 @@ def bcubed_metrics(
         F.count("*").cast("long").alias("_ng")
     )
     # exact integral floor division (NOT decimal `/` + floor — decimal
-    # division may round the quotient before flooring); the quotient is
-    # ≤ n·10^scale so it fits the LONG that `div` returns
-    nsq = f"cast(_n as decimal(38,0)) * _n * cast({10 ** scale} as decimal(38,0))"
+    # division may round the quotient before flooring). Spark's `div`
+    # returns LONG, and a direct (n²·10^scale) div d quotient is
+    # n·10^scale — past LONG for cells over ~9.2·10⁶ rows — so the
+    # quotient is built from the exact split identity
+    #   floor(n²·B/d) = (n² div d)·B + ((n² mod d)·B) div d
+    # whose pieces (≤ n and < 10^scale) always fit, with the ·B
+    # products in DECIMAL(38,0)
+    n2 = "cast(_n as decimal(38,0)) * _n"
+    b = f"cast({10 ** scale} as decimal(20,0))"
+
+    def fq(d: str) -> str:
+        return (
+            f"cast(({n2}) div {d} as decimal(38,0)) * {b}"
+            f" + cast((cast(pmod({n2}, {d}) as decimal(38,0)) * {b})"
+            f" div {d} as decimal(38,0))"
+        )
+
     joined = cells.join(pred_sz, pred_col).join(gold_sz, gold_col)
     sums = joined.agg(
         F.sum(F.col("_n")).cast("long").alias("n_records"),
-        F.sum(F.expr(f"({nsq}) div _np").cast("decimal(38,0)")).alias("_sp"),
-        F.sum(F.expr(f"({nsq}) div _ng").cast("decimal(38,0)")).alias("_sr"),
+        F.sum(F.expr(fq("_np")).cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.expr(fq("_ng")).cast("decimal(38,0)")).alias("_sr"),
     )
     denom = F.col("n_records").cast("double") * float(10**scale)
     p = F.col("_sp").cast("double") / denom

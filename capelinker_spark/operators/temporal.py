@@ -83,7 +83,11 @@ def asof_join(
     # matched right TIME rides inside it (field __rt) for the tolerance
     # check — ordering is done by the window sort below, not by struct
     # comparison
-    r = right.select(
+    # NULL-time right rows can never be "the latest observation at or
+    # before t" (DuckDB ASOF: a NULL comparison is no match) — but under
+    # the window's asc_nulls_first sort they would precede every row and
+    # leak their payload into left rows with no true match. Drop them.
+    r = right.where(F.col(right_time).isNotNull()).select(
         *keys,
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_side"),
@@ -119,14 +123,20 @@ def asof_join(
     tagged = l.unionByName(r).withColumn(
         "_match", F.last("_payload", ignorenulls=True).over(w)
     )
-    match = F.col("_match")
+    # a NULL-time LEFT row has no defined "as of" point (NULL comparison
+    # = no match on both engines); without this guard the sort parks it
+    # where it can see right rows (first under asc, last under desc)
+    match = F.when(F.col("_t").isNotNull(), F.col("_match"))
     if tolerance is not None:
         gap = (
             F.col("_t") - match["__rt"]
             if direction == "backward"
             else match["__rt"] - F.col("_t")
         )
-        match = F.when(gap <= F.lit(tolerance), F.col("_match"))
+        match = F.when(
+            F.col("_t").isNotNull() & (gap <= F.lit(tolerance)),
+            F.col("_match"),
+        )
     out = tagged.where(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[
@@ -184,9 +194,13 @@ def interval_overlap_join(
     rs, re_ = right_span
 
     def fdiv(c: Column) -> Column:
-        # exact floor division for LONG coordinates of either sign
-        return ((c - F.pmod(c, F.lit(bucket_width))) / bucket_width).cast(
-            "long"
+        # exact floor division for LONG coordinates of either sign and
+        # any magnitude: c − pmod(c, w) is the exact floor multiple, and
+        # integral `div` of an exact multiple is the true quotient —
+        # float division here would mis-bucket coordinates beyond 2^53
+        # (epoch nanoseconds)
+        return F.call_function(
+            "div", c - F.pmod(c, F.lit(bucket_width)), F.lit(bucket_width)
         )
 
     def buckets(df: DataFrame, s: str, e: str) -> DataFrame:

@@ -340,3 +340,27 @@ def test_prefix_jaccard_plan_and_cap(spark):
     assert capped <= full
     with pytest.raises(ValueError):
         prefix_jaccard_pairs(df, "s", threshold=0.0)
+
+
+def test_blocking_rule_coverage_null_keys_consistent(spark):
+    """Rows with a NULL key are dropped from BOTH count tiers: the
+    combinatorial n_pairs must agree with the enumerated pairs (a giant
+    NULL group previously inflated n_pairs past cum_pairs and could
+    falsely trip the enumeration guard — review r6)."""
+    from capelinker_spark.operators.blocking import blocking_rule_coverage
+
+    rows = [(i, None if i < 40 else "k", "z") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    out = {
+        r["rule"]: (r["n_pairs"], r["n_new_pairs"], r["cum_pairs"])
+        for r in blocking_rule_coverage(
+            df, [("a", ["a"]), ("b", ["b"])], max_pairs_enumerated=2000
+        ).collect()
+    }
+    # rule a: only the 10 non-null rows pair -> C(10,2)=45, and the
+    # NULL group's C(40,2)=780 appears nowhere
+    assert out["a"] == (45, 45, 45)
+    assert out["b"] == (1225, 1180, 1225)
+    # and the guard keys on the NULL-free count: 45 <= 100 passes even
+    # though the NULL group alone would be 780 > 100
+    blocking_rule_coverage(df, [("a", ["a"])], max_pairs_enumerated=100)

@@ -364,3 +364,19 @@ def test_nmi_deterministic_under_repartitioning(spark):
         nmi_metrics(assign)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_bcubed_large_cell_no_long_overflow(spark):
+    """A 10^7-record cell at scale=12 overflowed the LONG quotient of
+    the direct (n^2*10^12) div np form (review r6); the split-identity
+    form must return exactly 1.0 for a perfect giant clustering."""
+    from capelinker_spark.operators.er_eval import bcubed_metrics
+
+    big = spark.range(10_000_000).select(
+        F.lit("a").alias("canonical_id"), F.lit("x").alias("entity_id")
+    )
+    row = bcubed_metrics(big).collect()[0]
+    assert row["n_records"] == 10_000_000
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == 1.0
+    assert row["bcubed_f1"] == 1.0

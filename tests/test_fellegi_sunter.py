@@ -195,3 +195,28 @@ def test_tf_adjust_broadcast_plan(spark):
     plan = tf_adjust(scored, tf, "val", "gamma", "score")._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_tf_adjust_composes_with_renamed_out_value(spark):
+    """term_frequency_weights(out_value=...) must feed tf_adjust without
+    a hardcoded 'value' column (review r6)."""
+    from capelinker_spark.ml.fellegi_sunter import (
+        term_frequency_weights,
+        tf_adjust,
+    )
+
+    recs = spark.createDataFrame(
+        [(i, "john" if i < 8 else f"rare{i}") for i in range(10)],
+        "id long, name string",
+    )
+    tf = term_frequency_weights(recs, "name", out_value="name_value")
+    scored = spark.createDataFrame(
+        [(1, "john", 1, 2.0), (2, "rare9", 1, 2.0), (3, "john", 0, 2.0)],
+        "pair long, name string, gamma int, score double",
+    )
+    out = {
+        r["pair"]: r["score"]
+        for r in tf_adjust(scored, tf, "name", "gamma", "score").collect()
+    }
+    assert out[2] > out[1]        # rare agreement gains vs common
+    assert out[3] == 2.0          # disagreement untouched

@@ -223,3 +223,62 @@ def test_interval_overlap_keyless_and_plan(spark):
 
     with _pt.raises(ValueError):
         interval_overlap_join(l, r, ("s", "e"), ("s", "e"), bucket_width=0)
+
+
+def test_asof_null_times_never_match(spark):
+    """NULL-time right rows are no-match payload donors, and NULL-time
+    left rows have no as-of point — both must yield NULL payload
+    (DuckDB ASOF semantics: NULL comparison = no match), in BOTH
+    directions (review r6: the window sort parked NULL-time rows where
+    they leaked payload)."""
+    from capelinker_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 5), ("u", None)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("u", None, 100), ("u", 10, 101), ("u", 3, 102)],
+        "k string, pts long, pid long",
+    )
+    back = {
+        (r["ts"]): r["pid"]
+        for r in asof_join(
+            left, right, "k", "ts", "pts", tiebreak="pid"
+        ).collect()
+    }
+    assert back[5] == 102      # latest pts <= 5 is 3
+    assert back[None] is None  # NULL left time: no match
+
+    fwd = {
+        (r["ts"]): r["pid"]
+        for r in asof_join(
+            left, right, "k", "ts", "pts", tiebreak="pid",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[5] == 101       # earliest pts >= 5 is 10
+    assert fwd[None] is None
+
+    # only a NULL-time right row in range: still no match
+    r2 = spark.createDataFrame([("u", None, 100)], "k string, pts long, pid long")
+    row = asof_join(left, r2, "k", "ts", "pts", tiebreak="pid").collect()
+    assert all(x["pid"] is None for x in row)
+
+
+def test_interval_overlap_beyond_double_precision(spark):
+    """Bucket ids use exact integral division — epoch-nanosecond
+    coordinates (> 2^53, where double floor-div mis-buckets) must still
+    pair (review r6)."""
+    from capelinker_spark.operators.temporal import interval_overlap_join
+
+    base = (1 << 61) + 12345  # far beyond double's 2^53 integer range
+    l = spark.createDataFrame(
+        [(1, base, base + 10)], "lid long, s long, e long"
+    )
+    r = spark.createDataFrame(
+        [(9, base + 5, base + 20)], "rid long, s long, e long"
+    )
+    got = interval_overlap_join(
+        l, r, ("s", "e"), ("s", "e"), bucket_width=7
+    ).collect()
+    assert [(x["lid"], x["rid"]) for x in got] == [(1, 9)]
