@@ -4402,6 +4402,53 @@ def tm3_interval_join(spark, sf_dir):
 
 
 @register(
+    "tm4_scd2_intervals",
+    """WITH base AS (SELECT o_custkey AS id,
+                            CAST(o_orderkey % 512 AS BIGINT) AS ts,
+                            o_orderstatus AS st, o_orderpriority AS pri
+                     FROM orders),
+       ded AS (SELECT id, ts, st, pri FROM (
+                 SELECT id, ts, st, pri,
+                        lag(ts) OVER (PARTITION BY id ORDER BY ts ASC,
+                          st DESC NULLS LAST, pri DESC NULLS LAST)
+                          AS pts
+                 FROM base) d
+               WHERE pts IS NULL OR pts <> ts),
+       chg AS (SELECT id, ts, st, pri,
+                      (row_number() OVER w = 1
+                       OR st IS DISTINCT FROM lag(st) OVER w
+                       OR pri IS DISTINCT FROM lag(pri) OVER w) AS keep
+               FROM ded
+               WINDOW w AS (PARTITION BY id ORDER BY ts)),
+       vers AS (SELECT id, ts, st, pri FROM chg WHERE keep)
+       SELECT id, ts AS valid_from,
+              lead(ts) OVER (PARTITION BY id ORDER BY ts) - 1
+                AS valid_to,
+              st, pri
+       FROM vers ORDER BY id, valid_from""",
+)
+def tm4_scd2_intervals(spark, sf_dir):
+    """TM4: SCD-2 validity intervals from a change log
+    (temporal.scd2_intervals) — the producer for tm3's interval join:
+    orders as per-customer attribute observations (ts folded mod 512 so
+    same-ts duplicate loads occur and the deterministic
+    greatest-attrs-wins dedupe tier is exercised), change-detection
+    collapse (NULL-safe), closed valid_to = next change − 1, open
+    current version. Plan: ONE hashpartitioning(id) exchange carries
+    the dedupe lag, change lag, and close lead (sort-prefix reuse,
+    plan-asserted in pytest); zero Python."""
+    from capelinker_spark.operators.temporal import scd2_intervals
+
+    log = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("id"),
+        (F.col("o_orderkey") % 512).cast("long").alias("ts"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    return scd2_intervals(log, "id", "ts", ["st", "pri"])
+
+
+@register(
     "j11_prefix_jaccard_join",
     """WITH s AS (SELECT c_custkey AS id,
                     c_mktsegment || ' w' ||
@@ -4605,9 +4652,9 @@ def m8_mutual_best_match(spark, sf_dir):
 # (never checked), q1/j1/j6/m2 OUT (next-longest streak, r1-era core,
 # full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
 # amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
-# full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT (same
-# rule — c1/c2/ann2/dd1-dd4/ts1 etc. remain in the judge's full
-# per-round check_oracle sweep).
+# full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT; tm4 IN,
+# a14 OUT (same rule — c1/c2/ann2/a14/dd1-dd4/ts1 etc. remain in the
+# judge's full per-round check_oracle sweep).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4620,7 +4667,7 @@ _DRIVER_WINDOW = [
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
-    "tm3_interval_join",
+    "tm3_interval_join", "tm4_scd2_intervals",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4629,7 +4676,7 @@ _DRIVER_WINDOW = [
     "dd7_decontaminate", "ev1_sessionize_stats", "dm1_stratified_sample",
     "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
     "st1_streaming_window_agg", "dd6_near_dedup_canonical",
-    "ann3_embedding_dedup_canonical", "a14_labeling_sheet",
+    "ann3_embedding_dedup_canonical",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_overlap_join"]
+__all__ = ["asof_join", "interval_overlap_join", "scd2_intervals"]
 
 
 def asof_join(
@@ -234,3 +234,71 @@ def interval_overlap_join(
     )
     out = lb.join(rb, [*keys, "_bucket"]).where(cond).drop("_bucket")
     return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    attrs: list[str],
+    current_to: int | None = None,
+) -> DataFrame:
+    """Build SCD-2 (slowly-changing-dimension type 2) validity intervals
+    from an attribute change log — the producer whose output feeds
+    ``interval_overlap_join`` / ``asof_join``: one row per (entity,
+    version) with ``valid_from`` / ``valid_to`` and the version's
+    attribute values.
+
+    Semantics (warehouse-standard):
+
+    * observations at the same (id, ts) collapse to ONE deterministic
+      winner — the greatest attrs tuple under (attr₁ DESC NULLS LAST,
+      attr₂ DESC NULLS LAST, …) — so duplicate loads can't fork
+      history;
+    * consecutive observations whose ``attrs`` are ALL unchanged
+      (NULL-safe comparison) collapse into the earlier version
+      (change detection — a heartbeat re-observation extends no new
+      version);
+    * ``valid_from`` = the version's first ts; ``valid_to`` = next
+      version's ts − 1 (closed interval, integer timestamps — cast
+      dates/timestamps to epoch days/seconds first); the current
+      version's ``valid_to`` is ``current_to`` (default NULL = open).
+
+    Plan shape: everything runs on ONE hash partitioning by id — the
+    same-ts dedupe is a lag() over (ts, attrs-desc) rather than a
+    (id, ts) aggregate (which would be a SECOND, differently-keyed
+    shuffle), and the later change-detect lag / close-interval lead
+    windows reuse both the exchange and (by sort-prefix satisfaction)
+    the sort. The whole builder is a single shuffle of the change log.
+    Zero Python. Returns ``(id_col, valid_from, valid_to, *attrs)``."""
+    if not attrs:
+        raise ValueError("attrs must be non-empty")
+    ts = F.col(ts_col).cast("long")
+    base = df.where(F.col(id_col).isNotNull() & ts.isNotNull()).select(
+        F.col(id_col), ts.alias("_ts"), *[F.col(a) for a in attrs]
+    )
+    w0 = Window.partitionBy(id_col).orderBy(
+        F.col("_ts").asc(), *[F.col(a).desc_nulls_last() for a in attrs]
+    )
+    # first row of each (id, ts) run under the attrs-desc order IS the
+    # greatest-attrs winner for that ts
+    one = base.withColumn("_pts", F.lag("_ts").over(w0)).where(
+        F.col("_pts").isNull() | (F.col("_pts") != F.col("_ts"))
+    )
+    w = Window.partitionBy(id_col).orderBy("_ts")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    # the first row per id: every lag is NULL; eqNullSafe(NULL) is only
+    # true when the attr is itself NULL, so force-keep row_number 1
+    first = F.row_number().over(w) == 1
+    vers = one.withColumn("_keep", first | changed).where("_keep")
+    return vers.select(
+        F.col(id_col),
+        F.col("_ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("_ts").over(w) - 1,
+            F.lit(current_to).cast("long"),
+        ).alias("valid_to"),
+        *[F.col(a) for a in attrs],
+    )

@@ -282,3 +282,60 @@ def test_interval_overlap_beyond_double_precision(spark):
         l, r, ("s", "e"), ("s", "e"), bucket_width=7
     ).collect()
     assert [(x["lid"], x["rid"]) for x in got] == [(1, 9)]
+
+
+def test_scd2_intervals_semantics(spark):
+    """Change-detection SCD-2 build: same-ts dedupe to the greatest
+    attrs tuple, heartbeat collapse, NULL-safe change detection, closed
+    valid_to = next change - 1, open current version."""
+    from capelinker_spark.operators.temporal import scd2_intervals
+
+    rows = [
+        # id 1: v=a @1 (dup loads, greatest wins), heartbeat @3, change @5,
+        # NULL attr @7, NULL heartbeat @8, back to a @9
+        (1, 1, "a"), (1, 1, "A"), (1, 3, "a"), (1, 5, "b"),
+        (1, 7, None), (1, 8, None), (1, 9, "a"),
+        # id 2: single observation
+        (2, 4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts long, v string")
+    got = sorted(
+        (r["id"], r["valid_from"], r["valid_to"], r["v"])
+        for r in scd2_intervals(df, "id", "ts", ["v"]).collect()
+    )
+    assert got == [
+        (1, 1, 4, "a"),      # 'a' > 'A' lexicographically -> winner 'a'
+        (1, 5, 6, "b"),
+        (1, 7, 8, None),
+        (1, 9, None, "a"),
+        (2, 4, None, "z"),
+    ]
+    # current_to pins the open end
+    cur = {
+        (r["id"], r["valid_from"]): r["valid_to"]
+        for r in scd2_intervals(
+            df, "id", "ts", ["v"], current_to=999
+        ).collect()
+    }
+    assert cur[(1, 9)] == 999 and cur[(2, 4)] == 999
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """The dedupe lag + change lag + close lead all ride ONE
+    hashpartitioning(id) exchange; zero Python."""
+    from capelinker_spark.operators.temporal import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(i % 5, i, f"v{i % 3}") for i in range(100)],
+        "id long, ts long, v string",
+    )
+    plan = (
+        scd2_intervals(df, "id", "ts", ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "EvalPython" not in plan
