@@ -240,6 +240,7 @@ HEADLINE_QUERIES = [
     "er12_nmi",
     "j11_prefix_jaccard_join",
     "tm3_interval_join",
+    "tm4_scd2_intervals",
 ]
 
 

@@ -4402,6 +4402,47 @@ def tm3_interval_join(spark, sf_dir):
 
 
 @register(
+    "er13_triangle_support",
+    """WITH e0 AS (SELECT c_custkey AS a, c_custkey + 100 AS b
+                   FROM customer WHERE c_custkey % 7 <> 0
+                   UNION ALL
+                   SELECT c_custkey, c_custkey + 200
+                   FROM customer WHERE c_custkey % 3 <> 0),
+       e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+             FROM e0 WHERE a <> b),
+       adj AS (SELECT a AS u, b AS v FROM e
+               UNION ALL SELECT b, a FROM e)
+       SELECT e.a AS id_from, e.b AS id_to,
+              CAST((SELECT count(*)
+                    FROM adj x JOIN adj y ON x.v = y.v
+                    WHERE x.u = e.a AND y.u = e.b) AS BIGINT) AS support
+       FROM e ORDER BY id_from, id_to""",
+)
+def er13_triangle_support(spark, sf_dir):
+    """ER13: per-edge triangle support (er_eval.edge_triangle_support,
+    degree-ordered wedge counting — Suri & Vassilvitskii WWW'11) over a
+    two-stride graph on customer keys (+100 and +200 edges with mod-7 /
+    mod-3 gaps, so supports 0/1/2 and bridge edges all occur). The
+    oracle counts common neighbours directly (|N(a) ∩ N(b)| via the
+    doubled adjacency); the engine enumerates each triangle exactly
+    once from its smallest (degree, id) vertex — per-vertex wedge
+    fan-out bounded by orientation, the property that makes triangle
+    counting survive power-law graphs at scale. Exact integer counts,
+    no cartesian product, zero Python."""
+    from capelinker_spark.operators.er_eval import edge_triangle_support
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = c.where(k % 7 != 0).select(
+        k.alias("id_from"), (k + 100).alias("id_to")
+    )
+    e2 = c.where(k % 3 != 0).select(
+        k.alias("id_from"), (k + 200).alias("id_to")
+    )
+    return edge_triangle_support(e1.unionAll(e2))
+
+
+@register(
     "tm4_scd2_intervals",
     """WITH base AS (SELECT o_custkey AS id,
                             CAST(o_orderkey % 512 AS BIGINT) AS ts,
@@ -4653,8 +4694,8 @@ def m8_mutual_best_match(spark, sf_dir):
 # full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
 # amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
 # full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT; tm4 IN,
-# a14 OUT (same rule — c1/c2/ann2/a14/dd1-dd4/ts1 etc. remain in the
-# judge's full per-round check_oracle sweep).
+# a14 OUT; er13 IN, ann3 OUT (same rule — c1/c2/ann2/ann3/a14/dd1-dd4/
+# ts1 etc. remain in the judge's full per-round check_oracle sweep).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4667,7 +4708,7 @@ _DRIVER_WINDOW = [
     "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
-    "tm3_interval_join", "tm4_scd2_intervals",
+    "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4676,7 +4717,6 @@ _DRIVER_WINDOW = [
     "dd7_decontaminate", "ev1_sessionize_stats", "dm1_stratified_sample",
     "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
     "st1_streaming_window_agg", "dd6_near_dedup_canonical",
-    "ann3_embedding_dedup_canonical",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

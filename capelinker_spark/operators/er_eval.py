@@ -33,6 +33,7 @@ __all__ = [
     "nmi_metrics",
     "cluster_diff",
     "cluster_graph_metrics",
+    "edge_triangle_support",
 ]
 
 
@@ -644,6 +645,108 @@ def cluster_graph_metrics(
                 F.col("n_nodes") > 1,
                 F.floor(dens_raw * F.lit(1000000.0) + F.lit(0.5))
                 / F.lit(1000000.0),
+            ),
+        )
+    )
+
+
+def edge_triangle_support(
+    edges: DataFrame,
+    src: str = "id_from",
+    dst: str = "id_to",
+) -> DataFrame:
+    """Per-edge triangle support — for every undirected edge (a, b),
+    the number of common neighbours |N(a) ∩ N(b)| — the classic
+    over-merge audit next to ``cluster_graph_metrics``: a link with
+    support 0 sits in no triangle, so it is a BRIDGE CANDIDATE (the
+    single piece of evidence holding two subgroups together); ER
+    practice reviews low-support links first when a component looks
+    over-merged (Splink's cluster-studio workflow, edge 'is_bridge').
+
+    Distributed triangle counting (the degree-ordered wedge algorithm —
+    Suri & Vassilvitskii WWW'11 / Cohen 2009): every edge is oriented
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only from each triangle's SMALLEST vertex under that
+    total order, and a wedge closes into a triangle via one equi-join
+    against the oriented edge list. Orientation bounds per-vertex wedge
+    fan-out by O(sqrt(|E|)) on skewed (power-law) graphs — the hub that
+    would generate deg² wedges enumerates none, because its edges all
+    point INTO it. Each triangle is found exactly once, then credits
+    its three edges through one hash-aggregate.
+
+    Self-loops are dropped, duplicate/reversed edges dedupe, and edges
+    outside any triangle report support 0. Exact integer counts — no
+    approximation. Returns ``(src, dst, support)`` with src < dst.
+
+    Plan shape: one distinct over normalized edges, one degree
+    hash-aggregate + two broadcast-able degree joins, one wedge
+    self-equi-join on the source vertex, one closing equi-join, one
+    count aggregate, one left join back. No cartesian product, zero
+    Python."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("_a"), b.alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("_n", "_a").withColumnRenamed("_d", "_da"), "_a")
+        .join(deg.withColumnRenamed("_n", "_b").withColumnRenamed("_d", "_db"), "_b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oe = ed.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(
+            a_first,
+            F.struct(F.col("_db").alias("_d"), F.col("_b").alias("_i")),
+        )
+        .otherwise(
+            F.struct(F.col("_da").alias("_d"), F.col("_a").alias("_i"))
+        )
+        .alias("_vo"),  # (degree, id) order key of the head vertex
+    )
+    x = oe.select("_u", F.col("_v").alias("_x"), F.col("_vo").alias("_xo"))
+    y = oe.select("_u", F.col("_v").alias("_y"), F.col("_vo").alias("_yo"))
+    wedges = x.join(y, "_u").where(F.col("_xo") < F.col("_yo"))
+    tri = wedges.join(
+        oe.select(F.col("_u").alias("_x"), F.col("_v").alias("_y")),
+        ["_x", "_y"],
+    ).select("_u", "_x", "_y")
+
+    def norm(p: Column, q: Column) -> Column:
+        return F.struct(
+            F.least(p, q).alias("_a"), F.greatest(p, q).alias("_b")
+        )
+
+    tedges = tri.select(
+        F.explode(
+            F.array(
+                norm(F.col("_u"), F.col("_x")),
+                norm(F.col("_u"), F.col("_y")),
+                norm(F.col("_x"), F.col("_y")),
+            )
+        ).alias("_e")
+    ).select("_e._a", "_e._b")
+    counts = tedges.groupBy("_a", "_b").agg(
+        F.count("*").cast("long").alias("support")
+    )
+    return (
+        e.join(counts, ["_a", "_b"], "left")
+        .select(
+            F.col("_a").alias(src),
+            F.col("_b").alias(dst),
+            F.coalesce(F.col("support"), F.lit(0).cast("long")).alias(
+                "support"
             ),
         )
     )

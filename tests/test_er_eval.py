@@ -380,3 +380,41 @@ def test_bcubed_large_cell_no_long_overflow(spark):
     assert row["bcubed_precision"] == 1.0
     assert row["bcubed_recall"] == 1.0
     assert row["bcubed_f1"] == 1.0
+
+
+def test_edge_triangle_support_brute_force(spark):
+    """Exact per-edge common-neighbour counts vs an itertools reference
+    on a graph with a clique, a chain (bridges), a hub, and noisy
+    duplicate/reversed/self-loop input rows."""
+    import itertools
+
+    from capelinker_spark.operators.er_eval import edge_triangle_support
+
+    und = (
+        list(itertools.combinations([1, 2, 3, 4], 2))  # K4
+        + [(4, 5), (5, 6), (6, 7)]                     # chain: bridges
+        + [(10, i) for i in range(11, 16)]             # star hub
+        + [(11, 12), (13, 14)]                         # two hub triangles
+    )
+    rows = und + [(b, a) for a, b in und[:5]] + [(3, 3), (1, 2)]
+    df = spark.createDataFrame(rows, "id_from long, id_to long")
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {
+        (a, b): len(adj[a] & adj[b]) for a, b in und
+    }
+    got = {
+        (r["id_from"], r["id_to"]): r["support"]
+        for r in edge_triangle_support(df).collect()
+    }
+    assert got == want
+    assert got[(4, 5)] == 0 and got[(5, 6)] == 0        # bridges
+    assert got[(1, 2)] == 2                              # K4 edge
+    assert got[(11, 12)] == 1 and got[(10, 11)] == 1     # hub triangle
+    plan = (
+        edge_triangle_support(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
