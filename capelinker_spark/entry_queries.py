@@ -4443,6 +4443,59 @@ def er13_triangle_support(spark, sf_dir):
 
 
 @register(
+    "er14_clustering_coefficient",
+    """WITH e0 AS (SELECT c_custkey AS a, c_custkey + 100 AS b
+                   FROM customer WHERE c_custkey % 7 <> 0
+                   UNION ALL
+                   SELECT c_custkey, c_custkey + 200
+                   FROM customer WHERE c_custkey % 3 <> 0),
+       e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+             FROM e0 WHERE a <> b),
+       adj AS (SELECT a AS u, b AS v FROM e
+               UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+               FROM adj GROUP BY u),
+       tri AS (SELECT n1.u AS node, CAST(count(*) AS BIGINT) AS t
+               FROM adj n1
+               JOIN adj n2 ON n1.u = n2.u AND n1.v < n2.v
+               JOIN e ON e.a = n1.v AND e.b = n2.v
+               GROUP BY n1.u)
+       SELECT deg.node, degree,
+              coalesce(t, 0) AS triangles,
+              CASE WHEN degree > 1 THEN
+                floor(CAST(2 * coalesce(t, 0) AS DOUBLE)
+                      / CAST(degree * (degree - 1) AS DOUBLE)
+                      * 1000000.0 + 0.5) / 1000000.0
+              END AS coefficient
+       FROM deg LEFT JOIN tri ON deg.node = tri.node
+       ORDER BY deg.node""",
+)
+def er14_clustering_coefficient(spark, sf_dir):
+    """ER14: per-node local clustering coefficient
+    (er_eval.node_clustering_coefficient) over the er13 two-stride
+    graph — the over-merge-hub detector (high degree + low coefficient
+    = a record glued to subgroups that share no evidence). Triangles
+    from the same degree-ordered once-each enumeration as er13;
+    coefficient quantized floor(x·1e6+0.5)/1e6 per the f16
+    half-boundary rule (d·(d−1) denominators terminate). The oracle
+    counts closed neighbour pairs directly. Zero Python, no cartesian
+    product."""
+    from capelinker_spark.operators.er_eval import (
+        node_clustering_coefficient,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = c.where(k % 7 != 0).select(
+        k.alias("id_from"), (k + 100).alias("id_to")
+    )
+    e2 = c.where(k % 3 != 0).select(
+        k.alias("id_from"), (k + 200).alias("id_to")
+    )
+    return node_clustering_coefficient(e1.unionAll(e2))
+
+
+@register(
     "tm4_scd2_intervals",
     """WITH base AS (SELECT o_custkey AS id,
                             CAST(o_orderkey % 512 AS BIGINT) AS ts,
@@ -4694,8 +4747,9 @@ def m8_mutual_best_match(spark, sf_dir):
 # full-sweep covered); then j10 IN, p4 OUT (same rule). Fourth
 # amendment: er12 IN (never checked), c1 OUT (4x-green r1-era core,
 # full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT; tm4 IN,
-# a14 OUT; er13 IN, ann3 OUT (same rule — c1/c2/ann2/ann3/a14/dd1-dd4/
-# ts1 etc. remain in the judge's full per-round check_oracle sweep).
+# a14 OUT; er13 IN, ann3 OUT; er14 IN, dd6 OUT (same rule —
+# c1/c2/ann2/ann3/a14/dd6/dd1-dd4/ts1 etc. remain in the judge's full
+# per-round check_oracle sweep).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4709,6 +4763,7 @@ _DRIVER_WINDOW = [
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
+    "er14_clustering_coefficient",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -4716,7 +4771,7 @@ _DRIVER_WINDOW = [
     # the 33-query cohort whose last driver row is round 4
     "dd7_decontaminate", "ev1_sessionize_stats", "dm1_stratified_sample",
     "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
-    "st1_streaming_window_agg", "dd6_near_dedup_canonical",
+    "st1_streaming_window_agg",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

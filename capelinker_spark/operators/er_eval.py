@@ -34,6 +34,7 @@ __all__ = [
     "cluster_diff",
     "cluster_graph_metrics",
     "edge_triangle_support",
+    "node_clustering_coefficient",
 ]
 
 
@@ -650,6 +651,60 @@ def cluster_graph_metrics(
     )
 
 
+def _normalized_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge list normalized to (_a < _b), self-loops and
+    duplicate/reversed rows removed, NULL endpoints dropped."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    return (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(a.alias("_a"), b.alias("_b"))
+        .where(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+
+
+def _triangles(e: DataFrame) -> DataFrame:
+    """Enumerate each triangle of the normalized edge list EXACTLY once
+    as (_u, _x, _y) via degree-ordered wedge counting (Suri &
+    Vassilvitskii WWW'11): edges orient from the lower-(degree, id)
+    endpoint, wedges enumerate only from a triangle's smallest vertex
+    under that total order, and one equi-join closes them — per-vertex
+    fan-out stays bounded on power-law graphs because a hub's edges all
+    point INTO it."""
+    deg = (
+        e.select(F.col("_a").alias("_n"))
+        .unionAll(e.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").cast("long").alias("_d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("_n", "_a").withColumnRenamed("_d", "_da"), "_a")
+        .join(deg.withColumnRenamed("_n", "_b").withColumnRenamed("_d", "_db"), "_b")
+    )
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
+    )
+    oe = ed.select(
+        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
+        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
+        F.when(
+            a_first,
+            F.struct(F.col("_db").alias("_d"), F.col("_b").alias("_i")),
+        )
+        .otherwise(
+            F.struct(F.col("_da").alias("_d"), F.col("_a").alias("_i"))
+        )
+        .alias("_vo"),  # (degree, id) order key of the head vertex
+    )
+    x = oe.select("_u", F.col("_v").alias("_x"), F.col("_vo").alias("_xo"))
+    y = oe.select("_u", F.col("_v").alias("_y"), F.col("_vo").alias("_yo"))
+    wedges = x.join(y, "_u").where(F.col("_xo") < F.col("_yo"))
+    return wedges.join(
+        oe.select(F.col("_u").alias("_x"), F.col("_v").alias("_y")),
+        ["_x", "_y"],
+    ).select("_u", "_x", "_y")
+
+
 def edge_triangle_support(
     edges: DataFrame,
     src: str = "id_from",
@@ -683,45 +738,8 @@ def edge_triangle_support(
     self-equi-join on the source vertex, one closing equi-join, one
     count aggregate, one left join back. No cartesian product, zero
     Python."""
-    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
-    e = (
-        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .select(a.alias("_a"), b.alias("_b"))
-        .where(F.col("_a") != F.col("_b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.col("_a").alias("_n"))
-        .unionAll(e.select(F.col("_b").alias("_n")))
-        .groupBy("_n")
-        .agg(F.count("*").cast("long").alias("_d"))
-    )
-    ed = (
-        e.join(deg.withColumnRenamed("_n", "_a").withColumnRenamed("_d", "_da"), "_a")
-        .join(deg.withColumnRenamed("_n", "_b").withColumnRenamed("_d", "_db"), "_b")
-    )
-    a_first = (F.col("_da") < F.col("_db")) | (
-        (F.col("_da") == F.col("_db")) & (F.col("_a") < F.col("_b"))
-    )
-    oe = ed.select(
-        F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("_u"),
-        F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("_v"),
-        F.when(
-            a_first,
-            F.struct(F.col("_db").alias("_d"), F.col("_b").alias("_i")),
-        )
-        .otherwise(
-            F.struct(F.col("_da").alias("_d"), F.col("_a").alias("_i"))
-        )
-        .alias("_vo"),  # (degree, id) order key of the head vertex
-    )
-    x = oe.select("_u", F.col("_v").alias("_x"), F.col("_vo").alias("_xo"))
-    y = oe.select("_u", F.col("_v").alias("_y"), F.col("_vo").alias("_yo"))
-    wedges = x.join(y, "_u").where(F.col("_xo") < F.col("_yo"))
-    tri = wedges.join(
-        oe.select(F.col("_u").alias("_x"), F.col("_v").alias("_y")),
-        ["_x", "_y"],
-    ).select("_u", "_x", "_y")
+    e = _normalized_edges(edges, src, dst)
+    tri = _triangles(e)
 
     def norm(p: Column, q: Column) -> Column:
         return F.struct(
@@ -747,6 +765,69 @@ def edge_triangle_support(
             F.col("_b").alias(dst),
             F.coalesce(F.col("support"), F.lit(0).cast("long")).alias(
                 "support"
+            ),
+        )
+    )
+
+
+def node_clustering_coefficient(
+    edges: DataFrame,
+    src: str = "id_from",
+    dst: str = "id_to",
+) -> DataFrame:
+    """Per-node local clustering coefficient — 2·t(v) / (d(v)·(d(v)−1))
+    with t(v) the number of triangles through v — the node-level
+    companion to ``edge_triangle_support``: inside an ER component, a
+    low-coefficient, high-degree node is the classic OVER-MERGE HUB (a
+    record glued to many subgroups whose neighbours share no evidence
+    with each other), the first record to review when a cluster looks
+    wrong.
+
+    Triangles come from the same degree-ordered enumeration as
+    ``edge_triangle_support`` (each found once, then exploded to its
+    three corners and counted per node — one hash-aggregate). Degree-1
+    nodes report coefficient NULL (undefined denominator). The
+    coefficient is quantized floor(x·1e6 + 0.5)/1e6, NOT round(x, 6):
+    d·(d−1) denominators are frequently 2^a·5^b (d=5 → 20), so the
+    quotient can terminate at a decimal half-boundary where Spark's and
+    DuckDB's round() diverge on the same double (the f16 rule).
+
+    Returns ``(node, degree, triangles, coefficient)``.
+
+    Plan shape: the triangle pipeline's joins + one corner explode, one
+    per-node count, one left join onto the degree table. Zero Python,
+    no cartesian product."""
+    e = _normalized_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("_a").alias("node"))
+        .unionAll(e.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    corners = (
+        _triangles(e)
+        .select(
+            F.explode(
+                F.array(F.col("_u"), F.col("_x"), F.col("_y"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    coef_raw = (F.lit(2) * F.col("triangles")).cast("double") / (
+        F.col("degree") * (F.col("degree") - 1)
+    ).cast("double")
+    return (
+        deg.join(corners, "node", "left")
+        .withColumn(
+            "triangles", F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.col("degree") > 1,
+                F.floor(coef_raw * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0),
             ),
         )
     )

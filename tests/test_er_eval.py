@@ -418,3 +418,31 @@ def test_edge_triangle_support_brute_force(spark):
         edge_triangle_support(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+
+def test_node_clustering_coefficient(spark):
+    """K4 corners have coefficient 1.0; a chain node 0; the star hub's
+    coefficient counts only closed neighbour pairs; degree-1 nodes are
+    NULL."""
+    import itertools
+
+    from capelinker_spark.operators.er_eval import (
+        node_clustering_coefficient,
+    )
+
+    und = (
+        list(itertools.combinations([1, 2, 3, 4], 2))  # K4
+        + [(4, 5), (5, 6)]                             # tail
+        + [(10, 11), (10, 12), (10, 13), (11, 12)]     # star + 1 closure
+    )
+    df = spark.createDataFrame(und, "id_from long, id_to long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["coefficient"])
+        for r in node_clustering_coefficient(df).collect()
+    }
+    assert got[1] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)       # 3 of C(4,2)=6 pairs closed
+    assert got[5] == (2, 0, 0.0)
+    assert got[6] == (2 - 1, 0, None)  # degree 1 -> NULL
+    assert got[10] == (3, 1, 0.333333)
+    assert got[13] == (1, 0, None)
