@@ -446,3 +446,36 @@ def test_node_clustering_coefficient(spark):
     assert got[6] == (2 - 1, 0, None)  # degree 1 -> NULL
     assert got[10] == (3, 1, 0.333333)
     assert got[13] == (1, 0, None)
+
+
+def test_ktruss_peel_and_cascade(spark):
+    import itertools
+
+    from capelinker_spark.operators.er_eval import ktruss
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    pendant = [(4, 7), (4, 8), (7, 8)]        # triangle hanging off K4
+    chain = [(8, 9), (9, 10)]
+    df = spark.createDataFrame(
+        k4 + pendant + chain, "id_from long, id_to long"
+    )
+    # 4-truss: only K4 survives (pendant-triangle edges have support 1,
+    # dropping them cannot demote K4); final supports are in-truss
+    got = {
+        (r["id_from"], r["id_to"]): r["support"]
+        for r in ktruss(df, 4).collect()
+    }
+    assert set(got) == set(k4) and set(got.values()) == {2}
+    # 3-truss keeps both triangles, drops the chain
+    t3 = {(r["id_from"], r["id_to"]) for r in ktruss(df, 3).collect()}
+    assert t3 == set(k4) | set(pendant)
+    # k=2: trivially everything, with supports attached
+    assert ktruss(df, 2).count() == len(k4 + pendant + chain)
+
+    # cascade: a chain of triangles has no 4-truss — peeling must
+    # propagate wave by wave to empty, not stop after one pass
+    tri_chain = [(i, i + 1) for i in range(6)] + [(i, i + 2) for i in range(5)]
+    tc = spark.createDataFrame(tri_chain, "id_from long, id_to long")
+    assert ktruss(tc, 4).count() == 0
+    with pytest.raises(ValueError):
+        ktruss(df, 1)
