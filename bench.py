@@ -551,9 +551,18 @@ def main():
         print("BENCH_DETAIL " + json.dumps(detail))
         headline = json.dumps(result)
         # hard guard: the driver's tail capture is 2000 chars; never let the
-        # headline outgrow it again (drop per-query rows before core keys)
-        while len(headline) > 1800 and result["queries"]:
-            result["queries"].pop(next(iter(result["queries"])))
+        # headline outgrow it again. Drop per-query rows before core keys —
+        # FASTEST rows first (sub-second rows carry the least information;
+        # the slow rows are what a reader compares), and NEVER the linkage
+        # headline (the r6 driver line silently lost linkage_pipeline
+        # because this loop popped insertion order, i.e. linkage first)
+        while len(headline) > 1800 and len(result["queries"]) > 1:
+            droppable = [
+                k for k in result["queries"] if k != "linkage_pipeline"
+            ]
+            result["queries"].pop(
+                min(droppable, key=lambda k: result["queries"][k])
+            )
             result["queries_truncated_see_detail"] = True
             headline = json.dumps(result)
         print(headline)

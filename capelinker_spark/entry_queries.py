@@ -4704,6 +4704,140 @@ def m8_mutual_best_match(spark, sf_dir):
     return mutual_best_match(pairs, score_col="score")
 
 
+@register(
+    "pr1_pagerank",
+    """WITH raw AS (SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
+                    FROM lineitem WHERE l_orderkey < 8000
+                    UNION ALL
+                    SELECT 1000000 + l_suppkey, l_partkey % 401
+                    FROM lineitem WHERE l_orderkey < 8000),
+       edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                              UNION SELECT dst FROM edges),
+       outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                               FROM edges GROUP BY src),
+       r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       s1 AS (SELECT e.dst AS node, CAST(sum(r.r // o.deg) AS BIGINT) AS m
+              FROM edges e JOIN r0 r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+       r1 AS (SELECT n.node,
+                     CAST(150000000000 + (COALESCE(m, 0) // 20) * 17
+                          + ((COALESCE(m, 0) % 20) * 17) // 20
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s1 USING (node)),
+       s2 AS (SELECT e.dst AS node, CAST(sum(r.r // o.deg) AS BIGINT) AS m
+              FROM edges e JOIN r1 r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+       r2 AS (SELECT n.node,
+                     CAST(150000000000 + (COALESCE(m, 0) // 20) * 17
+                          + ((COALESCE(m, 0) % 20) * 17) // 20
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s2 USING (node)),
+       s3 AS (SELECT e.dst AS node, CAST(sum(r.r // o.deg) AS BIGINT) AS m
+              FROM edges e JOIN r2 r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+       r3 AS (SELECT n.node,
+                     CAST(150000000000 + (COALESCE(m, 0) // 20) * 17
+                          + ((COALESCE(m, 0) % 20) * 17) // 20
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s3 USING (node))
+       SELECT node, r AS rank_scaled, r / 1000000000000.0 AS rank
+       FROM r3""",
+)
+def pr1_pagerank(spark, sf_dir):
+    """PR1: fixed-iteration PageRank (cluster.pagerank) over a cyclic
+    part↔supplier link graph — the canonical web-corpus importance
+    signal. Ranks are LONGs in units of 1e-12 updated with pure integer
+    arithmetic (per-edge ``rank div outdeg``; damping 17/20 applied via
+    the overflow-free split identity floor(m·a/b) = (m div b)·a +
+    ((m mod b)·a) div b — er7's trick), so LONG sums make the result
+    independent of aggregation order; the float ``rank`` is ONE final
+    IEEE division (rank_scaled < 2^53 up to ~9×10^3 total mass units,
+    far above this graph). Oracle: the same recurrence unrolled as 3
+    CTE rounds. Dangling mass leaks by design (uniform teleport needs a
+    global-scalar barrier per iteration; documented variant). Plan per
+    iteration: one edge⋈rank shuffle join + one hash agg + one node
+    left join, lineage cut with checkpoint_truncated."""
+    from capelinker_spark.operators.cluster import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 8000)
+    e1 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    e2 = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") % 401).alias("dst"),
+    )
+    return pagerank(e1.unionAll(e2), iterations=3)
+
+
+@register(
+    "tm5_point_in_time_join",
+    """WITH base AS (SELECT o_custkey AS id,
+                            CAST(o_orderkey % 256 AS BIGINT) AS ts,
+                            o_orderstatus AS st, o_orderpriority AS pri
+                     FROM orders),
+       ded AS (SELECT id, ts, st, pri FROM (
+                 SELECT id, ts, st, pri,
+                        lag(ts) OVER (PARTITION BY id ORDER BY ts ASC,
+                          st DESC NULLS LAST, pri DESC NULLS LAST)
+                          AS pts
+                 FROM base) d
+               WHERE pts IS NULL OR pts <> ts),
+       chg AS (SELECT id, ts, st, pri,
+                      (row_number() OVER w = 1
+                       OR st IS DISTINCT FROM lag(st) OVER w
+                       OR pri IS DISTINCT FROM lag(pri) OVER w) AS keep
+               FROM ded
+               WINDOW w AS (PARTITION BY id ORDER BY ts)),
+       vers AS (SELECT id, ts, st, pri FROM chg WHERE keep),
+       dim AS (SELECT id, ts AS valid_from,
+                      COALESCE(lead(ts) OVER (PARTITION BY id
+                        ORDER BY ts) - 1, CAST(400 AS BIGINT))
+                        AS valid_to,
+                      st, pri
+               FROM vers),
+       facts AS (SELECT o_orderkey AS fact_id, o_custkey AS id,
+                        CAST(o_orderkey % 512 AS BIGINT) AS ts
+                 FROM orders)
+       SELECT f.fact_id, f.id, f.ts,
+              d.valid_from, d.valid_to, d.st, d.pri
+       FROM facts f LEFT JOIN dim d
+         ON f.id = d.id AND f.ts >= d.valid_from AND f.ts <= d.valid_to""",
+)
+def tm5_point_in_time_join(spark, sf_dir):
+    """TM5: point-in-time dimension lookup (temporal.point_in_time_join)
+    — every fact joined to the SCD-2 version (tm4's producer, here with
+    a CLOSED current version current_to=400) valid at the fact's
+    timestamp. Facts fold o_orderkey mod 512 while the dimension folds
+    mod 256, so all three outcomes occur: covered (version attached),
+    t past the closed current version (nulled by the bounds check), t
+    before the first version (no as-of match). Engine plan: asof_join's
+    union-tag-window — ONE shuffle of |facts|+|dim| on the key, NO join
+    node, no interval explosion — versus the oracle's generic
+    inequality join; SCD-2 non-overlap makes the two equivalent."""
+    from capelinker_spark.operators.temporal import (
+        point_in_time_join,
+        scd2_intervals,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_custkey").alias("id"),
+        (F.col("o_orderkey") % 256).cast("long").alias("ts"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    dim = scd2_intervals(log, "id", "ts", ["st", "pri"], current_to=400)
+    facts = orders.select(
+        F.col("o_orderkey").alias("fact_id"),
+        F.col("o_custkey").alias("id"),
+        (F.col("o_orderkey") % 512).cast("long").alias("ts"),
+    )
+    return point_in_time_join(facts, dim, "id", "ts")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -4749,7 +4883,9 @@ def m8_mutual_best_match(spark, sf_dir):
 # full-sweep covered); then j11 IN, c2 OUT; tm3 IN, ann2 OUT; tm4 IN,
 # a14 OUT; er13 IN, ann3 OUT; er14 IN, dd6 OUT (same rule —
 # c1/c2/ann2/ann3/a14/dd6/dd1-dd4/ts1 etc. remain in the judge's full
-# per-round check_oracle sweep).
+# per-round check_oracle sweep). Fifth amendment: pr1/tm5 IN (never
+# checked), st1/ev1 OUT (longest remaining streak — green r1-r4; back
+# next round under the ~2-round cadence; full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4763,15 +4899,15 @@ _DRIVER_WINDOW = [
     "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
-    "er14_clustering_coefficient",
+    "er14_clustering_coefficient", "pr1_pagerank",
+    "tm5_point_in_time_join",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
     "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
     # the 33-query cohort whose last driver row is round 4
-    "dd7_decontaminate", "ev1_sessionize_stats", "dm1_stratified_sample",
+    "dd7_decontaminate", "dm1_stratified_sample",
     "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
-    "st1_streaming_window_agg",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

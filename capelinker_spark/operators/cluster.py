@@ -301,3 +301,119 @@ def update_components(
         mapping, new_nodes["node"] == mapping["_old_c"], "left"
     ).select("node", F.coalesce("_new_c", "node").alias("component"))
     return relabeled.unionByName(new_rows)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed link graph — the canonical
+    web-corpus importance score (per-host/per-url rank is a standard
+    curation quality signal alongside the cu3 model score).
+
+    Exactness design (the repo-wide oracle contract): ranks are LONGs in
+    units of ``1/scale`` and every update is integer arithmetic —
+    per-edge contribution ``rank div outdeg``, damped in-sum via the
+    overflow-free split identity
+
+        floor(m·a/b) = (m div b)·a + ((m mod b)·a) div b
+
+    (same identity as er7's B-cubed quantization, so ``m·a`` is never
+    materialized and the update cannot overflow LONG at any graph size).
+    The float ``rank`` column is ONE final IEEE division — bit-identical
+    on any engine mirroring the integer recurrence, independent of
+    aggregation order (LONG sums are exact).
+
+    Semantics: edges are deduplicated (a simple graph — repeated links
+    don't multiply influence; self-loops are kept and contribute to
+    their own node); every distinct endpoint is a node with initial rank
+    ``scale`` (the unnormalized sum-preserving convention, rank mass N);
+    dangling nodes (no out-edges) leak their mass — the classic
+    uniform-teleport correction needs a global scalar per iteration and
+    is deliberately omitted so the recurrence stays one-shuffle-per-
+    iteration (document the variant, don't hide a barrier in it).
+    ``damping_num/damping_den`` is the rational damping factor (default
+    17/20 = 0.85); the teleport term is ``scale·(den−num) div den``.
+
+    Plan shape per iteration: ONE shuffle join of the (pre-checkpointed,
+    outdeg-annotated) edge table against the rank table on ``src``, one
+    hash aggregation on ``dst``, one node-table left join; lineage cut
+    with ``checkpoint_truncated`` (the r5 sizeInBytes land mine). At
+    cluster scale pre-partition both tables by node id so AQE coalesces
+    the per-iteration exchanges.
+
+    Returns ``(node, rank_scaled: long, rank: double)``.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return checkpoint_truncated(df, reliable=reliable_checkpoint)
+
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # outdeg rides on the edge table once, outside the loop
+    e = _ckpt(e.join(outdeg, "_s"))
+    nodes = _ckpt(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+
+    jump = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.withColumn("rank_scaled", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        in_sum = (
+            e.join(
+                ranks.select(
+                    F.col("node").alias("_s"), F.col("rank_scaled")
+                ),
+                "_s",
+            )
+            .select(
+                F.col("_d").alias("node"),
+                F.expr("rank_scaled div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_m"))
+        )
+        num, den = int(damping_num), int(damping_den)
+        # integral `div` throughout — a double divide here would silently
+        # mis-rank past 2^53 (the j10/er7 lesson); (m % den)·num is ≤
+        # (den−1)·num so neither term can overflow LONG
+        damped = F.expr(
+            f"(_m div {den}L) * {num}L"
+            f" + ((_m % {den}L) * {num}L) div {den}L"
+        )
+        ranks = _ckpt(
+            nodes.join(in_sum, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_m"), F.lit(0))
+                .cast("long")
+                .alias("_m"),
+            )
+            .select(
+                "node",
+                (F.lit(int(jump)).cast("long") + damped).alias(
+                    "rank_scaled"
+                ),
+            )
+        )
+    return ranks.select(
+        "node",
+        "rank_scaled",
+        (F.col("rank_scaled") / F.lit(float(scale))).alias("rank"),
+    )

@@ -33,7 +33,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_overlap_join", "scd2_intervals"]
+__all__ = [
+    "asof_join",
+    "interval_overlap_join",
+    "scd2_intervals",
+    "point_in_time_join",
+]
 
 
 def asof_join(
@@ -301,4 +306,64 @@ def scd2_intervals(
             F.lit(current_to).cast("long"),
         ).alias("valid_to"),
         *[F.col(a) for a in attrs],
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    fact_time: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffix: str = "_v",
+) -> DataFrame:
+    """Point-in-time join: attach to every fact row the SCD-2 dimension
+    version (one row per (key, ``valid_from``..``valid_to``) closed
+    interval, as produced by :func:`scd2_intervals`) that was valid at
+    ``fact_time`` — the standard warehouse "as the world looked then"
+    dimension lookup (here: score a crawl event against the host policy
+    / entity attributes in force at crawl time, not today's).
+
+    Semantics: version valid at t ⇔ ``valid_from ≤ t`` AND
+    (``valid_to`` IS NULL OR ``t ≤ valid_to``). SCD-2 intervals are
+    non-overlapping per key, so at most one version matches; facts with
+    no covering version (t before the first version, after a CLOSED
+    current version, or NULL t) keep NULL version columns. Times are
+    integers (cast timestamps first — the :func:`asof_join` rule).
+
+    Plan shape: this is :func:`asof_join` on ``valid_from`` (ONE shuffle
+    of |facts|+|dim| on the key, no join node, no interval explosion)
+    plus a post-hoc range check nulling out matches past a closed
+    ``valid_to`` — NOT an inequality join: any later version has
+    ``valid_from > t``, so "latest version at or before t, then bounds-
+    check" is exactly interval containment. Beats the generic
+    ``interval_overlap_join`` here because SCD-2 non-overlap makes the
+    as-of window sufficient.
+
+    Returns all fact columns plus the dim payload columns (suffixed on
+    collision with a fact name, like ``asof_join``)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in (valid_from, valid_to):
+        if c not in dim.columns:
+            raise ValueError(f"dim is missing SCD-2 column {c!r}")
+    j = asof_join(
+        facts,
+        dim,
+        on=keys,
+        left_time=fact_time,
+        right_time=valid_from,
+        tiebreak=valid_from,
+        suffix=suffix,
+    )
+    payload = [c for c in dim.columns if c not in keys]
+    out = {c: (c + suffix) if c in facts.columns else c for c in payload}
+    vt = F.col(out[valid_to])
+    in_range = vt.isNull() | (F.col(fact_time).cast("long") <= vt)
+    return j.select(
+        *[F.col(c) for c in facts.columns],
+        *[
+            F.when(in_range, F.col(out[c])).alias(out[c])
+            for c in payload
+        ],
     )

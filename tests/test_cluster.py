@@ -237,3 +237,75 @@ def test_checkpoint_truncated_resets_cost_stats(spark):
         )
     # and the data survived the stats reset
     assert labels.count() == 18
+
+
+# -- pagerank -----------------------------------------------------------------
+
+
+def _ref_pagerank(edges, k, scale=10**12):
+    """Independent integer reference of the pagerank recurrence."""
+    E = sorted(set(edges))
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    outd: dict = {}
+    for a, _ in E:
+        outd[a] = outd.get(a, 0) + 1
+    r = {n: scale for n in nodes}
+    jump = (scale * 3) // 20
+    for _ in range(k):
+        m = {n: 0 for n in nodes}
+        for a, b in E:
+            m[b] += r[a] // outd[a]
+        r = {
+            n: jump + (m[n] // 20) * 17 + ((m[n] % 20) * 17) // 20
+            for n in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from capelinker_spark.operators.cluster import pagerank
+
+    # dup edge, self-loop, dangling sink (3 has high in-degree), cycle
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 5), (6, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: (r["rank_scaled"], r["rank"])
+        for r in pagerank(df, iterations=3).collect()
+    }
+    ref = _ref_pagerank(edges, 3)
+    assert out == {n: (v, v / 1e12) for n, v in ref.items()}
+    # rank mass only leaks through damping + dangling, never grows
+    assert sum(v for v, _ in out.values()) <= len(ref) * 10**12
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from capelinker_spark.operators.cluster import pagerank
+
+    edges = [(i, (i * 7) % 23) for i in range(200)] + [
+        (i, (i * 3) % 23) for i in range(0, 200, 2)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        pagerank(df.repartition(13), iterations=4).collect(),
+        key=lambda r: r["node"],
+    )
+    b = sorted(
+        pagerank(df.repartition(2), iterations=4).collect(),
+        key=lambda r: r["node"],
+    )
+    # bit-identical across partitionings: LONG integer accumulation
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    import pytest as _pytest
+
+    from capelinker_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    out = {r["node"]: r["rank_scaled"] for r in pagerank(df, iterations=0).collect()}
+    assert out == {1: 10**12, 2: 10**12}
+    with _pytest.raises(ValueError):
+        pagerank(df, iterations=-1)
+    with _pytest.raises(ValueError):
+        pagerank(df, damping_num=21, damping_den=20)

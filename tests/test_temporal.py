@@ -339,3 +339,66 @@ def test_scd2_single_shuffle_plan(spark):
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "EvalPython" not in plan
+
+
+def test_point_in_time_join_truth_table(spark):
+    from capelinker_spark.operators.temporal import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10, 19, "a"),
+            (1, 20, 29, "b"),
+            (1, 30, None, "c"),
+            (2, 5, 9, "x"),
+        ],
+        "id long, valid_from long, valid_to long, st string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 1, 5),      # before first version → NULL
+            (2, 1, 10),     # boundary: == valid_from
+            (3, 1, 25),     # mid second version
+            (4, 1, 1000),   # open current version
+            (5, 2, 4),      # before first
+            (6, 2, 9),      # boundary: == valid_to
+            (7, 2, 50),     # past CLOSED current → nulled by bounds check
+            (8, 3, 12),     # key absent from dim
+            (9, 1, None),   # NULL fact time → no as-of point
+        ],
+        "fid long, id long, ts long",
+    )
+    out = {
+        r["fid"]: (r["valid_from"], r["valid_to"], r["st"])
+        for r in point_in_time_join(facts, dim, "id", "ts").collect()
+    }
+    assert out == {
+        1: (None, None, None),
+        2: (10, 19, "a"),
+        3: (20, 29, "b"),
+        4: (30, None, "c"),
+        5: (None, None, None),
+        6: (5, 9, "x"),
+        7: (None, None, None),
+        8: (None, None, None),
+        9: (None, None, None),
+    }
+
+
+def test_point_in_time_join_plan_and_suffix(spark):
+    from capelinker_spark.operators.temporal import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, 0, None, "a")], "id long, valid_from long, valid_to long, st string"
+    )
+    facts = spark.createDataFrame([(1, 5, "f")], "id long, ts long, st string")
+    out = point_in_time_join(facts, dim, "id", "ts")
+    # colliding dim column suffixed, fact column untouched
+    assert "st_v" in out.columns and out.columns.count("st") == 1
+    # plan read BEFORE collect: a finalized AQE plan string repeats the
+    # exchange inside its materialized ResultQueryStage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert [r["st_v"] for r in out.collect()] == ["a"]
+    # asof shape preserved: one keyed shuffle, no join node, no Python
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
