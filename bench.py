@@ -241,6 +241,9 @@ HEADLINE_QUERIES = [
     "j11_prefix_jaccard_join",
     "tm3_interval_join",
     "tm4_scd2_intervals",
+    "pr1_pagerank",
+    "tm5_point_in_time_join",
+    "pr2_hits",
 ]
 
 

@@ -4772,6 +4772,76 @@ def pr1_pagerank(spark, sf_dir):
     return pagerank(e1.unionAll(e2), iterations=3)
 
 
+def _hits_oracle_round(i: int, prev_h: str) -> str:
+    """One unrolled HITS round (authority then hub), max-normalized with
+    the same overflow-free split identity the engine uses."""
+    nrm = (
+        "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST((COALESCE(m, 0) // mx) * 1000000 "
+        "+ ((COALESCE(m, 0) % mx) * 1000000) // mx AS BIGINT) END"
+    )
+    return f"""
+       a{i}r AS MATERIALIZED (
+         SELECT e.dst AS node, CAST(sum(p.h) AS BIGINT) AS m
+         FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst),
+       a{i} AS MATERIALIZED (
+         SELECT n.node, {nrm} AS a
+         FROM nodes n LEFT JOIN a{i}r USING (node)
+         CROSS JOIN (SELECT CAST(COALESCE(max(m), 0) AS BIGINT) AS mx
+                     FROM a{i}r)),
+       h{i}r AS MATERIALIZED (
+         SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS m
+         FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),
+       h{i} AS MATERIALIZED (
+         SELECT n.node, {nrm} AS h
+         FROM nodes n LEFT JOIN h{i}r USING (node)
+         CROSS JOIN (SELECT CAST(COALESCE(max(m), 0) AS BIGINT) AS mx
+                     FROM h{i}r))"""
+
+
+@register(
+    "pr2_hits",
+    """WITH raw AS (SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
+                    FROM lineitem WHERE l_orderkey < 8000
+                    UNION ALL
+                    SELECT 1000000 + l_suppkey, l_partkey % 401
+                    FROM lineitem WHERE l_orderkey < 8000),
+       edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                              UNION SELECT dst FROM edges),
+       h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),"""
+    + _hits_oracle_round(1, "h0")
+    + ","
+    + _hits_oracle_round(2, "h1")
+    + """
+       SELECT n.node, h2.h AS hub_scaled, a2.a AS auth_scaled,
+              h2.h / 1000000.0 AS hub, a2.a / 1000000.0 AS authority
+       FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)""",
+)
+def pr2_hits(spark, sf_dir):
+    """PR2: HITS hubs & authorities (cluster.hits, Kleinberg 1999) over
+    the pr1 link graph — the directory-page/content-page split PageRank
+    can't see. Scores are LONGs in 1e-6 units; each half-step is an
+    exact LONG neighbour sum then max-normalization via the split
+    identity (raw div mx ∈ {0,1} since mx IS the max, so nothing
+    overflows below ~9×10^6 nodes); floats are one final IEEE division
+    each. The per-iteration max is a 1-row agg broadcast lazily
+    (crossJoin — the ts9/j4 lazy-scalar shape, no eager collect).
+    Oracle: the identical recurrence unrolled as 2 CTE rounds."""
+    from capelinker_spark.operators.cluster import hits
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 8000)
+    e1 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    e2 = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") % 401).alias("dst"),
+    )
+    return hits(e1.unionAll(e2), iterations=2)
+
+
 @register(
     "tm5_point_in_time_join",
     """WITH base AS (SELECT o_custkey AS id,
@@ -4885,7 +4955,8 @@ def tm5_point_in_time_join(spark, sf_dir):
 # c1/c2/ann2/ann3/a14/dd6/dd1-dd4/ts1 etc. remain in the judge's full
 # per-round check_oracle sweep). Fifth amendment: pr1/tm5 IN (never
 # checked), st1/ev1 OUT (longest remaining streak — green r1-r4; back
-# next round under the ~2-round cadence; full-sweep covered).
+# next round under the ~2-round cadence; full-sweep covered); then
+# pr2 IN, dm1 OUT (next-longest streak — green r2-r4; same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4900,13 +4971,13 @@ _DRIVER_WINDOW = [
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
     "er14_clustering_coefficient", "pr1_pagerank",
-    "tm5_point_in_time_join",
+    "tm5_point_in_time_join", "pr2_hits",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
     "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
     # the 33-query cohort whose last driver row is round 4
-    "dd7_decontaminate", "dm1_stratified_sample",
+    "dd7_decontaminate",
     "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",

@@ -417,3 +417,102 @@ def pagerank(
         "rank_scaled",
         (F.col("rank_scaled") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = 10**6,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed link
+    graph — the complementary importance signal to :func:`pagerank`
+    (a page can be a weak authority but a strong hub: link directories,
+    seed lists; both are standard crawl-frontier / curation features).
+
+    Exactness: scores are LONGs in units of ``1/scale``. Each half-step
+    is (1) an exact LONG sum over in/out neighbours, then (2) max-
+    normalization ``floor(raw·scale/mx)`` via the split identity
+    ``(raw div mx)·scale + ((raw mod mx)·scale) div mx`` — and since
+    ``mx`` is the maximum, ``raw div mx ∈ {0, 1}`` and
+    ``(raw mod mx)·scale < mx·scale``, so with the default
+    ``scale = 10^6`` nothing overflows LONG below ~9×10^6 nodes (drop
+    ``scale`` for bigger graphs). Max-normalization (not L2) keeps the
+    whole recurrence in integer arithmetic; the top hub/authority is
+    exactly ``scale`` each iteration. The float columns are ONE final
+    IEEE division each.
+
+    Plan per iteration: two shuffle joins (edge⋈score) + two hash aggs
+    + two 1-row max aggs broadcast lazily (crossJoin of a 1-row frame —
+    the ts9/j4 lazy-scalar shape, no eager collect); lineage cut with
+    ``checkpoint_truncated``. Returns
+    ``(node, hub_scaled, auth_scaled, hub, authority)``."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return checkpoint_truncated(df, reliable=reliable_checkpoint)
+
+    e = _ckpt(
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    nodes = _ckpt(
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        """nodes left-joined to raw sums, max-normalized to scale."""
+        mx = raw.agg(
+            F.coalesce(F.max("_raw"), F.lit(0)).cast("long").alias("_mx")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_raw"), F.lit(0))
+                .cast("long")
+                .alias("_raw"),
+            )
+            .crossJoin(F.broadcast(mx))
+            .selectExpr(
+                "node",
+                # mx = 0 ⇔ the graph contributed nothing this half-step
+                # (Spark's div would yield NULL, DuckDB would error)
+                "CASE WHEN _mx = 0 THEN CAST(0 AS LONG) ELSE "
+                f"(_raw div _mx) * {int(scale)}L"
+                f" + ((_raw % _mx) * {int(scale)}L) div _mx END AS {col}",
+            )
+        )
+
+    scores = nodes.withColumn("hub_scaled", F.lit(int(scale)).cast("long"))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(
+                scores.select(F.col("node").alias("_s"), "hub_scaled"), "_s"
+            )
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("hub_scaled").alias("_raw"))
+        )
+        auth = _ckpt(_normalized(a_raw, "auth_scaled"))
+        h_raw = (
+            e.join(
+                auth.select(F.col("node").alias("_d"), "auth_scaled"), "_d"
+            )
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum("auth_scaled").alias("_raw"))
+        )
+        hub = _ckpt(_normalized(h_raw, "hub_scaled"))
+        scores = hub.join(auth, "node")
+    return scores.select(
+        "node",
+        "hub_scaled",
+        "auth_scaled",
+        (F.col("hub_scaled") / F.lit(float(scale))).alias("hub"),
+        (F.col("auth_scaled") / F.lit(float(scale))).alias("authority"),
+    )

@@ -309,3 +309,79 @@ def test_pagerank_zero_iterations_and_validation(spark):
         pagerank(df, iterations=-1)
     with _pytest.raises(ValueError):
         pagerank(df, damping_num=21, damping_den=20)
+
+
+def _ref_hits(edges, k, scale=10**6):
+    """Independent integer reference of the hits recurrence."""
+    E = sorted(set(edges))
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+
+    def norm(raw):
+        mx = max(raw.values()) if raw else 0
+        if mx == 0:
+            return {n: 0 for n in nodes}
+        return {
+            n: (raw.get(n, 0) // mx) * scale
+            + ((raw.get(n, 0) % mx) * scale) // mx
+            for n in nodes
+        }
+
+    h = {n: scale for n in nodes}
+    a = {n: 0 for n in nodes}
+    for _ in range(k):
+        a_raw: dict = {}
+        for u, v in E:
+            a_raw[v] = a_raw.get(v, 0) + h[u]
+        a = norm(a_raw)
+        h_raw: dict = {}
+        for u, v in E:
+            h_raw[u] = h_raw.get(u, 0) + a[v]
+        h = norm(h_raw)
+    return h, a
+
+
+def test_hits_matches_integer_reference(spark):
+    from capelinker_spark.operators.cluster import hits
+
+    # dup edge, self-loop, isolated pair, pure-sink 3, pure-source 4/6
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (5, 5), (6, 1), (1, 2), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: (r["hub_scaled"], r["auth_scaled"], r["hub"], r["authority"])
+        for r in hits(df, iterations=2).collect()
+    }
+    h, a = _ref_hits(edges, 2)
+    assert out == {
+        n: (h[n], a[n], h[n] / 1e6, a[n] / 1e6) for n in h
+    }
+    # max-normalization: the top hub and top authority are exactly scale
+    assert max(v[0] for v in out.values()) == 10**6
+    assert max(v[1] for v in out.values()) == 10**6
+
+
+def test_hits_deterministic_under_repartition(spark):
+    from capelinker_spark.operators.cluster import hits
+
+    edges = [(i, (i * 7) % 23) for i in range(200)] + [
+        (i, (i * 3) % 23) for i in range(0, 200, 2)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        hits(df.repartition(13), iterations=3).collect(),
+        key=lambda r: r["node"],
+    )
+    b = sorted(
+        hits(df.repartition(2), iterations=3).collect(),
+        key=lambda r: r["node"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_hits_validation(spark):
+    import pytest as _pytest
+
+    from capelinker_spark.operators.cluster import hits
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        hits(df, iterations=0)
