@@ -244,6 +244,7 @@ HEADLINE_QUERIES = [
     "pr1_pagerank",
     "tm5_point_in_time_join",
     "pr2_hits",
+    "cu8_domain_rollup",
 ]
 
 

@@ -482,3 +482,56 @@ class CurationPipeline(StageRunner):
         if span_deduped is not None:
             out["span_deduped"] = span_deduped
         return out
+
+
+def domain_rollup(
+    df: DataFrame,
+    domain_col: str = "domain",
+    quality_col: str = "quality_prob",
+    text_col: str = "text",
+    low_quality: float = 0.5,
+) -> DataFrame:
+    """Per-domain corpus report — THE table a curation run hands back to
+    its operators (which hosts dominate the corpus, which are low
+    quality, where the bytes are; FineWeb/C4-style per-source triage):
+    one row per registrable domain with document count, total characters,
+    low-quality count, and mean model quality.
+
+    Exactness: ``quality_col`` values are the 6-decimal-rounded model
+    probabilities (cu3 convention), re-quantized to LONG micro-units via
+    ``floor(q·1e6 + 0.5)`` — the floor form, NOT round(,6), per the f16
+    half-boundary rule — so the per-domain sum is exact integer
+    arithmetic under any aggregation order, and ``mean_quality`` is ONE
+    final IEEE division ``sum_q6 / (n_docs · 1e6)``. The low-quality
+    threshold filters on the ROUNDED value (repo convention). NULL
+    quality counts as neither low nor into the mean's numerator (but is
+    in ``n_docs``); NULL text contributes 0 chars.
+
+    Plan: a single map-side-combinable hash aggregation — one shuffle of
+    #domains-sized partials, no joins, no Python."""
+    q = F.col(quality_col)
+    q6 = F.floor(q * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        df.groupBy(domain_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.coalesce(F.length(F.col(text_col)), F.lit(0)).cast("long")
+            ).alias("total_chars"),
+            F.sum(
+                F.when(q < F.lit(float(low_quality)), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_low_quality"),
+            F.sum(q6).alias("_q6"),
+        )
+        .select(
+            domain_col,
+            "n_docs",
+            "total_chars",
+            "n_low_quality",
+            (
+                F.col("_q6") / (F.col("n_docs") * F.lit(1000000.0))
+            ).alias("mean_quality"),
+        )
+    )

@@ -3126,6 +3126,71 @@ def _register_cu5_oracle() -> None:
 _register_cu5_oracle()
 
 
+@register("cu8_domain_rollup", None)
+def cu8_domain_rollup(spark, sf_dir):
+    """Per-domain corpus report (curation.domain_rollup): doc count,
+    total characters, low-quality count, and mean model quality per
+    registrable domain — the per-source triage table a curation run
+    reports (which hosts dominate, which are junk). Same planted URLs
+    as cu5; quality via the cu3 native-sigmoid model. The mean is an
+    exact LONG micro-unit sum (floor(q·1e6+0.5) — f16 floor rule) with
+    ONE final IEEE division; ONE map-side-combinable hash agg, no
+    Python."""
+    from capelinker_spark.curation import domain_rollup, model_quality_scores
+    from capelinker_spark.operators.urls import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    i = F.col("doc_id")
+    # compact url form (the cu5 janino-64KB lesson): registrable_domain
+    # re-references its input ~10x, so keep the planted expression small
+    url = F.when(
+        i % 5 == 4, F.concat(F.lit("not a url "), i.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.lit(["www.Example.COM", "News.Site", "plain.org", "cdn.Net"]),
+                (i % 5).cast("int") + 1,
+            ),
+            F.lit("/p/"),
+            i.cast("string"),
+        )
+    )
+    scored = model_quality_scores(
+        d.withColumn("url", url), passthrough=("url", "text")
+    )
+    withdom = scored.withColumn("domain", registrable_domain(F.col("url")))
+    return domain_rollup(withdom)
+
+
+def _register_cu8_oracle() -> None:
+    from capelinker_spark.operators.urls import registrable_domain_sql
+
+    cu8_url = (
+        "CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id::VARCHAR "
+        "ELSE 'https://' || (['www.Example.COM', 'News.Site', 'plain.org', "
+        "'cdn.Net'])[(doc_id % 5)::INT + 1] || '/p/' || doc_id::VARCHAR END"
+    )
+    ORACLES["cu8_domain_rollup"] = f"""WITH q AS ({_cu3_sql()}),
+        u AS (SELECT doc_id, {cu8_url} AS url FROM documents),
+        j AS (SELECT {registrable_domain_sql('u.url')} AS domain,
+                     t.text, q.quality_prob
+              FROM u JOIN documents t USING (doc_id)
+                     JOIN q USING (doc_id))
+       SELECT domain,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(COALESCE(length(text), 0)) AS BIGINT) AS total_chars,
+              CAST(sum(CASE WHEN quality_prob < 0.5 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low_quality,
+              CAST(sum(CAST(floor(quality_prob * 1000000.0 + 0.5)
+                            AS BIGINT)) AS BIGINT)
+                / (count(*) * 1000000.0) AS mean_quality
+       FROM j GROUP BY domain"""
+
+
+_register_cu8_oracle()
+
+
 @register(
     "dm3_bpe_packing",
     f"""WITH all_docs AS MATERIALIZED (SELECT doc_id, text, lang FROM documents),
@@ -4956,7 +5021,8 @@ def tm5_point_in_time_join(spark, sf_dir):
 # per-round check_oracle sweep). Fifth amendment: pr1/tm5 IN (never
 # checked), st1/ev1 OUT (longest remaining streak — green r1-r4; back
 # next round under the ~2-round cadence; full-sweep covered); then
-# pr2 IN, dm1 OUT (next-longest streak — green r2-r4; same rule).
+# pr2 IN, dm1 OUT (next-longest streak — green r2-r4; same rule);
+# then cu8 IN, u4 OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -4971,14 +5037,14 @@ _DRIVER_WINDOW = [
     "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
     "er14_clustering_coefficient", "pr1_pagerank",
-    "tm5_point_in_time_join", "pr2_hits",
+    "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
     "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
     # the 33-query cohort whose last driver row is round 4
     "dd7_decontaminate",
-    "ts5_pii_counts", "ts6_line_repetition", "u4_uniformise_strings",
+    "ts5_pii_counts", "ts6_line_repetition",
     "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

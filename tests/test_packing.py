@@ -392,3 +392,41 @@ def test_curation_rewrite_stages_and_invalidation(spark, tmp_path):
     texts3 = {r["doc_id"]: r["text"] for r in res3["span_deduped"].collect()}
     # without the paragraph tier, span dedup does the boilerplate removal
     assert all(boiler not in t for t in texts3.values())
+
+
+def test_domain_rollup_semantics_and_plan(spark):
+    from capelinker_spark.curation import domain_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a.com", "hello", 0.9),
+            ("a.com", "hi", 0.3),
+            ("a.com", None, 0.123456),   # NULL text → 0 chars
+            ("b.org", "xyz", 0.5),       # boundary: not < 0.5
+            (None, "nn", 0.2),           # non-URL rows group under NULL
+        ],
+        "domain string, text string, quality_prob double",
+    )
+    out = {
+        r["domain"]: (
+            r["n_docs"],
+            r["total_chars"],
+            r["n_low_quality"],
+            r["mean_quality"],
+        )
+        for r in domain_rollup(df).collect()
+    }
+    assert out == {
+        "a.com": (3, 7, 2, (900000 + 300000 + 123456) / 3e6),
+        "b.org": (1, 3, 0, 0.5),
+        None: (1, 2, 1, 0.2),
+    }
+    plan = (
+        domain_rollup(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash aggregation pair around one exchange; no join, no Python
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
