@@ -312,10 +312,21 @@ def pagerank(
     damping_num: int = 17,
     damping_den: int = 20,
     reliable_checkpoint: bool = False,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed link graph — the canonical
     web-corpus importance score (per-host/per-url rank is a standard
     curation quality signal alongside the cu3 model score).
+
+    ``seeds``: personalized PageRank — teleport mass restarts ONLY at
+    the seed nodes (initial rank ``scale`` at seeds, 0 elsewhere; the
+    per-iteration jump term applies at seeds only), so rank measures
+    link proximity TO the seed set: the entity-disambiguation /
+    related-page signal (which candidate records sit close to this
+    entity's neighbourhood). The seed list is a driver-side literal
+    (bounded — the query's entity of interest), compiled into an
+    ``isin`` predicate; everything else about the recurrence, its
+    integer exactness, and the plan is unchanged.
 
     Exactness design (the repo-wide oracle contract): ranks are LONGs in
     units of ``1/scale`` and every update is integer arithmetic —
@@ -354,6 +365,8 @@ def pagerank(
         raise ValueError("iterations must be >= 0")
     if not (0 < damping_num < damping_den):
         raise ValueError("damping must satisfy 0 < num < den")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None (global) or non-empty")
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return checkpoint_truncated(df, reliable=reliable_checkpoint)
@@ -373,7 +386,22 @@ def pagerank(
     )
 
     jump = (scale * (damping_den - damping_num)) // damping_den
-    ranks = nodes.withColumn("rank_scaled", F.lit(int(scale)).cast("long"))
+    if seeds is None:
+        jump_col = F.lit(int(jump)).cast("long")
+        init_col = F.lit(int(scale)).cast("long")
+    else:
+        is_seed = F.col("node").isin(list(seeds))
+        jump_col = (
+            F.when(is_seed, F.lit(int(jump)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        init_col = (
+            F.when(is_seed, F.lit(int(scale)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    ranks = nodes.withColumn("rank_scaled", init_col)
     for _ in range(iterations):
         in_sum = (
             e.join(
@@ -407,9 +435,7 @@ def pagerank(
             )
             .select(
                 "node",
-                (F.lit(int(jump)).cast("long") + damped).alias(
-                    "rank_scaled"
-                ),
+                (jump_col + damped).alias("rank_scaled"),
             )
         )
     return ranks.select(

@@ -385,3 +385,58 @@ def test_hits_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         hits(df, iterations=0)
+
+
+def test_personalized_pagerank_seeds(spark):
+    import pytest as _pytest
+
+    from capelinker_spark.operators.cluster import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=3, seeds=[1]).collect()
+    }
+
+    # independent reference: init scale at seeds only, jump at seeds only
+    S = 10**12
+    E = sorted(set(edges))
+    nodes = sorted({a for a, _ in E} | {b for _, b in E})
+    outd: dict = {}
+    for a, _ in E:
+        outd[a] = outd.get(a, 0) + 1
+    r = {n: (S if n == 1 else 0) for n in nodes}
+    jump = (S * 3) // 20
+    for _ in range(3):
+        m = {n: 0 for n in nodes}
+        for a, b in E:
+            m[b] += r[a] // outd[a]
+        r = {
+            n: (jump if n == 1 else 0)
+            + (m[n] // 20) * 17
+            + ((m[n] % 20) * 17) // 20
+            for n in nodes
+        }
+    assert out == r
+    # proximity semantics: nodes upstream-only of the seed (5 → 4 → 1)
+    # receive nothing; the seed's cycle carries mass
+    assert out[5] == 0 and out[2] > 0 and out[3] > 0
+    with _pytest.raises(ValueError):
+        pagerank(df, seeds=[])
+
+
+def test_global_pagerank_unchanged_by_seeds_default(spark):
+    from capelinker_spark.operators.cluster import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(df, iterations=2).collect()
+    }
+    # symmetric 2-cycle: both nodes identical, mass preserved exactly
+    # (no dangling nodes): jump + 0.85·scale each iteration
+    S = 10**12
+    v = (S * 3) // 20 + (S // 20) * 17
+    v = (S * 3) // 20 + (v // 20) * 17 + ((v % 20) * 17) // 20
+    assert out == {1: v, 2: v}
