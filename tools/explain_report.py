@@ -313,6 +313,44 @@ def main():
         _fmt(er12),
     ))
 
+    pr1 = QUERIES["pr1_pagerank"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Fixed-iteration PageRank (pr1)",
+        "Look for: per iteration exactly one `SortMergeJoin`/shuffled "
+        "hash join of the outdeg-annotated edge table against the rank "
+        "`Scan ExistingRDD` (the truncated checkpoint), one partial→"
+        "final `HashAggregate` on dst, and one left join back onto the "
+        "node table — all integer expressions (`div`), no Python, no "
+        "cartesian. The `Scan ExistingRDD` leaves are "
+        "`checkpoint_truncated` lineage cuts, so plan depth stays "
+        "constant per iteration instead of compounding.",
+        _fmt(pr1),
+    ))
+
+    tm5 = QUERIES["tm5_point_in_time_join"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Point-in-time SCD-2 lookup (tm5)",
+        "Look for: the SCD-2 builder and the as-of lookup riding ONE "
+        "`Exchange hashpartitioning(id)` each — facts and versions "
+        "union into a single keyed window (`last(_payload, true)`), "
+        "NO join node and no inequality-join "
+        "`BroadcastNestedLoopJoin`; the closed-interval bounds check "
+        "is a post-hoc CASE, not a second pass.",
+        _fmt(tm5),
+    ))
+
+    cu8 = QUERIES["cu8_domain_rollup"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Per-domain corpus rollup (cu8)",
+        "Look for: the registrable-domain parse and quality sigmoid "
+        "fused into the scan-side project, then ONE partial→final "
+        "`HashAggregate` pair around a single "
+        "`Exchange hashpartitioning(domain)` — the LONG micro-unit "
+        "quality sums combine map-side, so the shuffle carries only "
+        "#domains-sized partials.",
+        _fmt(cu8),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
