@@ -3056,6 +3056,38 @@ _CU5_POLICIES = {
 }
 
 
+def _planted_domain_url() -> "Column":
+    """The cu5/cu8 planted-URL column: 4 registrable domains + a non-URL
+    arm, keyed off doc_id. Deliberately COMPACT: registrable_domain
+    references its input ~10x through nested regexp_extracts, and
+    CollapseProject inlines the url expression into every one — the
+    round-4 u11-style long CASE here pushed the fused stage past
+    janino's 64 KB method limit and dropped whole-stage codegen. ONE
+    shared definition (engine + SQL mirror below) so the two consumers
+    can't drift."""
+    i = F.col("doc_id")
+    return F.when(
+        i % 5 == 4, F.concat(F.lit("not a url "), i.cast("string"))
+    ).otherwise(
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.lit(["www.Example.COM", "News.Site", "plain.org", "cdn.Net"]),
+                (i % 5).cast("int") + 1,
+            ),
+            F.lit("/p/"),
+            i.cast("string"),
+        )
+    )
+
+
+_PLANTED_DOMAIN_URL_SQL = (
+    "CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id::VARCHAR "
+    "ELSE 'https://' || (['www.Example.COM', 'News.Site', 'plain.org', "
+    "'cdn.Net'])[(doc_id % 5)::INT + 1] || '/p/' || doc_id::VARCHAR END"
+)
+
+
 @register("cu5_domain_policy_curation", None)
 def cu5_domain_policy_curation(spark, sf_dir):
     """Per-domain curation policies (round-4 verdict item 8, the FineWeb
@@ -3073,27 +3105,8 @@ def cu5_domain_policy_curation(spark, sf_dir):
     from capelinker_spark.operators.urls import registrable_domain
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    i = F.col("doc_id")
-    # deliberately COMPACT url expression: registrable_domain references its
-    # input ~10x through nested regexp_extracts, and CollapseProject inlines
-    # the url expression into every one — the round-4 u11-style long CASE
-    # here pushed the fused stage past janino's 64 KB method limit and
-    # dropped the whole query out of whole-stage codegen
-    url = F.when(
-        i % 5 == 4, F.concat(F.lit("not a url "), i.cast("string"))
-    ).otherwise(
-        F.concat(
-            F.lit("https://"),
-            F.element_at(
-                F.lit(["www.Example.COM", "News.Site", "plain.org", "cdn.Net"]),
-                (i % 5).cast("int") + 1,
-            ),
-            F.lit("/p/"),
-            i.cast("string"),
-        )
-    )
     scored = model_quality_scores(
-        d.withColumn("url", url), passthrough=("url",)
+        d.withColumn("url", _planted_domain_url()), passthrough=("url",)
     )
     withdom = scored.withColumn("domain", registrable_domain(F.col("url")))
     kept = apply_domain_policies(
@@ -3106,11 +3119,7 @@ def _register_cu5_oracle() -> None:
     from capelinker_spark.curation import domain_policies_sql
     from capelinker_spark.operators.urls import registrable_domain_sql
 
-    cu5_url = (
-        "CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id::VARCHAR "
-        "ELSE 'https://' || (['www.Example.COM', 'News.Site', 'plain.org', "
-        "'cdn.Net'])[(doc_id % 5)::INT + 1] || '/p/' || doc_id::VARCHAR END"
-    )
+    cu5_url = _PLANTED_DOMAIN_URL_SQL
     ORACLES["cu5_domain_policy_curation"] = f"""WITH q AS ({_cu3_sql()}),
         u AS (SELECT doc_id, {cu5_url} AS url FROM documents),
         j AS (SELECT q.doc_id,
@@ -3140,24 +3149,9 @@ def cu8_domain_rollup(spark, sf_dir):
     from capelinker_spark.operators.urls import registrable_domain
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    i = F.col("doc_id")
-    # compact url form (the cu5 janino-64KB lesson): registrable_domain
-    # re-references its input ~10x, so keep the planted expression small
-    url = F.when(
-        i % 5 == 4, F.concat(F.lit("not a url "), i.cast("string"))
-    ).otherwise(
-        F.concat(
-            F.lit("https://"),
-            F.element_at(
-                F.lit(["www.Example.COM", "News.Site", "plain.org", "cdn.Net"]),
-                (i % 5).cast("int") + 1,
-            ),
-            F.lit("/p/"),
-            i.cast("string"),
-        )
-    )
     scored = model_quality_scores(
-        d.withColumn("url", url), passthrough=("url", "text")
+        d.withColumn("url", _planted_domain_url()),
+        passthrough=("url", "text"),
     )
     withdom = scored.withColumn("domain", registrable_domain(F.col("url")))
     return domain_rollup(withdom)
@@ -3166,11 +3160,7 @@ def cu8_domain_rollup(spark, sf_dir):
 def _register_cu8_oracle() -> None:
     from capelinker_spark.operators.urls import registrable_domain_sql
 
-    cu8_url = (
-        "CASE WHEN doc_id % 5 = 4 THEN 'not a url ' || doc_id::VARCHAR "
-        "ELSE 'https://' || (['www.Example.COM', 'News.Site', 'plain.org', "
-        "'cdn.Net'])[(doc_id % 5)::INT + 1] || '/p/' || doc_id::VARCHAR END"
-    )
+    cu8_url = _PLANTED_DOMAIN_URL_SQL
     ORACLES["cu8_domain_rollup"] = f"""WITH q AS ({_cu3_sql()}),
         u AS (SELECT doc_id, {cu8_url} AS url FROM documents),
         j AS (SELECT {registrable_domain_sql('u.url')} AS domain,

@@ -516,11 +516,15 @@ def hits(
             )
         )
 
-    scores = nodes.withColumn("hub_scaled", F.lit(int(scale)).cast("long"))
+    # hub is the only loop-carried state (iteration i+1 reads hubs alone);
+    # joining auth inside the loop would drag an unprunable |V|⋈|V| join
+    # into every next iteration's plan — join the final auth ONCE after
+    hub = nodes.withColumn("hub_scaled", F.lit(int(scale)).cast("long"))
+    auth = None
     for _ in range(iterations):
         a_raw = (
             e.join(
-                scores.select(F.col("node").alias("_s"), "hub_scaled"), "_s"
+                hub.select(F.col("node").alias("_s"), "hub_scaled"), "_s"
             )
             .groupBy(F.col("_d").alias("node"))
             .agg(F.sum("hub_scaled").alias("_raw"))
@@ -534,8 +538,7 @@ def hits(
             .agg(F.sum("auth_scaled").alias("_raw"))
         )
         hub = _ckpt(_normalized(h_raw, "hub_scaled"))
-        scores = hub.join(auth, "node")
-    return scores.select(
+    return hub.join(auth, "node").select(
         "node",
         "hub_scaled",
         "auth_scaled",

@@ -357,7 +357,13 @@ def point_in_time_join(
         suffix=suffix,
     )
     payload = [c for c in dim.columns if c not in keys]
-    out = {c: (c + suffix) if c in facts.columns else c for c in payload}
+    # derive output names from the JOINED frame (asof_join appends its
+    # payload after the left columns, in payload order) instead of
+    # re-implementing its collision/suffix rule here
+    fact_names = set(facts.columns)
+    out = dict(
+        zip(payload, [c for c in j.columns if c not in fact_names])
+    )
     vt = F.col(out[valid_to])
     in_range = vt.isNull() | (F.col(fact_time).cast("long") <= vt)
     return j.select(
