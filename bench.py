@@ -245,6 +245,7 @@ HEADLINE_QUERIES = [
     "tm5_point_in_time_join",
     "pr2_hits",
     "cu8_domain_rollup",
+    "er15_label_propagation",
 ]
 
 

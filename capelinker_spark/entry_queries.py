@@ -4759,13 +4759,35 @@ def m8_mutual_best_match(spark, sf_dir):
     return mutual_best_match(pairs, score_col="score")
 
 
+def _link_graph_edges(spark, sf_dir):
+    """The pr1/pr2/er15 cyclic part↔supplier link graph: forward edges
+    part → supplier, back edges supplier → (part mod 401) so rank/label
+    mass cycles. ONE shared definition (engine + SQL mirror below) so
+    the graph consumers can't drift."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 8000)
+    e1 = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    e2 = li.select(
+        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
+        (F.col("l_partkey") % 401).alias("dst"),
+    )
+    return e1.unionAll(e2)
+
+
+_LINK_GRAPH_SQL = """raw AS (
+         SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
+         FROM lineitem WHERE l_orderkey < 8000
+         UNION ALL
+         SELECT 1000000 + l_suppkey, l_partkey % 401
+         FROM lineitem WHERE l_orderkey < 8000)"""
+
+
+
 @register(
     "pr1_pagerank",
-    """WITH raw AS (SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
-                    FROM lineitem WHERE l_orderkey < 8000
-                    UNION ALL
-                    SELECT 1000000 + l_suppkey, l_partkey % 401
-                    FROM lineitem WHERE l_orderkey < 8000),
+    f"""WITH {_LINK_GRAPH_SQL},
        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
        nodes AS MATERIALIZED (SELECT src AS node FROM edges
                               UNION SELECT dst FROM edges),
@@ -4815,16 +4837,7 @@ def pr1_pagerank(spark, sf_dir):
     left join, lineage cut with checkpoint_truncated."""
     from capelinker_spark.operators.cluster import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 8000)
-    e1 = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
-    )
-    e2 = li.select(
-        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
-        (F.col("l_partkey") % 401).alias("dst"),
-    )
-    return pagerank(e1.unionAll(e2), iterations=3)
+    return pagerank(_link_graph_edges(spark, sf_dir), iterations=3)
 
 
 def _hits_oracle_round(i: int, prev_h: str) -> str:
@@ -4856,11 +4869,7 @@ def _hits_oracle_round(i: int, prev_h: str) -> str:
 
 @register(
     "pr2_hits",
-    """WITH raw AS (SELECT l_partkey AS src, 1000000 + l_suppkey AS dst
-                    FROM lineitem WHERE l_orderkey < 8000
-                    UNION ALL
-                    SELECT 1000000 + l_suppkey, l_partkey % 401
-                    FROM lineitem WHERE l_orderkey < 8000),
+    f"""WITH {_LINK_GRAPH_SQL},
        edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
        nodes AS MATERIALIZED (SELECT src AS node FROM edges
                               UNION SELECT dst FROM edges),
@@ -4885,16 +4894,53 @@ def pr2_hits(spark, sf_dir):
     Oracle: the identical recurrence unrolled as 2 CTE rounds."""
     from capelinker_spark.operators.cluster import hits
 
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 8000)
-    e1 = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
-    )
-    e2 = li.select(
-        (F.lit(1000000) + F.col("l_suppkey")).alias("src"),
-        (F.col("l_partkey") % 401).alias("dst"),
-    )
-    return hits(e1.unionAll(e2), iterations=2)
+    return hits(_link_graph_edges(spark, sf_dir), iterations=2)
+
+
+def _lpa_oracle_round(i: int) -> str:
+    """One unrolled synchronous-LPA round: neighbour-label frequency
+    count then deterministic argmax (count DESC, label ASC)."""
+    return f"""
+       c{i} AS (SELECT s.a AS node, p.label, CAST(count(*) AS BIGINT) AS c
+                FROM sym s JOIN l{i - 1} p ON p.node = s.b
+                GROUP BY s.a, p.label),
+       l{i} AS (SELECT node, label FROM (
+                  SELECT node, label,
+                         row_number() OVER (PARTITION BY node
+                           ORDER BY c DESC, label ASC) AS rn
+                  FROM c{i}) r WHERE rn = 1)"""
+
+
+@register(
+    "er15_label_propagation",
+    f"""WITH {_LINK_GRAPH_SQL},
+       e AS MATERIALIZED (SELECT DISTINCT src AS a, dst AS b FROM raw
+                          WHERE src <> dst),
+       sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       l0 AS (SELECT node, node AS label FROM
+                (SELECT DISTINCT a AS node FROM sym) n),"""
+    + _lpa_oracle_round(1)
+    + ","
+    + _lpa_oracle_round(2)
+    + ","
+    + _lpa_oracle_round(3)
+    + """
+       SELECT node, label FROM l3""",
+)
+def er15_label_propagation(spark, sf_dir):
+    """ER15: synchronous label-propagation community detection
+    (cluster.label_propagation, Raghavan 2007) over the pr1 link graph
+    — the cheap community tier between connected components (which
+    over-merge through any bridge) and k-truss (which needs triangle
+    support). Fully deterministic: every node simultaneously adopts its
+    neighbourhood's most frequent label, ties broken by smallest label
+    (a total order), fixed 3 rounds — so the result is a pure function
+    of the edge set and the oracle is the identical recurrence unrolled
+    as 3 CTE rounds. All-integer (LONG counts, id labels); per round
+    one shuffle join + one hash count + one keyed argmax window."""
+    from capelinker_spark.operators.cluster import label_propagation
+
+    return label_propagation(_link_graph_edges(spark, sf_dir), rounds=3)
 
 
 @register(
@@ -5012,7 +5058,7 @@ def tm5_point_in_time_join(spark, sf_dir):
 # checked), st1/ev1 OUT (longest remaining streak — green r1-r4; back
 # next round under the ~2-round cadence; full-sweep covered); then
 # pr2 IN, dm1 OUT (next-longest streak — green r2-r4; same rule);
-# then cu8 IN, u4 OUT (same rule).
+# then cu8 IN, u4 OUT; er15 IN, j3 OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -5028,6 +5074,7 @@ _DRIVER_WINDOW = [
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
     "er14_clustering_coefficient", "pr1_pagerank",
     "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
+    "er15_label_propagation",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
@@ -5035,7 +5082,7 @@ _DRIVER_WINDOW = [
     # the 33-query cohort whose last driver row is round 4
     "dd7_decontaminate",
     "ts5_pii_counts", "ts6_line_repetition",
-    "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
+    "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",
 ]

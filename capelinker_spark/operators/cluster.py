@@ -545,3 +545,71 @@ def hits(
         (F.col("hub_scaled") / F.lit(float(scale))).alias("hub"),
         (F.col("auth_scaled") / F.lit(float(scale))).alias("authority"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA, Raghavan
+    2007) over an undirected graph — the cheap community signal between
+    connected components (which over-merge through any bridge) and
+    k-truss (which needs triangle support): near-clique candidate
+    blocks, link-farm clusters, template families.
+
+    Determinism (the oracle contract): every node starts labeled with
+    its own id; each round EVERY node simultaneously adopts the
+    neighbour label with the highest frequency, ties broken by SMALLEST
+    label — a total order, so the result is a pure function of the edge
+    set, independent of partitioning. Fixed ``rounds`` (not
+    to-convergence): synchronous LPA can 2-cycle on bipartite
+    structures, so a fixpoint loop is not well-defined; callers pick
+    the horizon (3 reaches most community structure). All counts are
+    LONGs; no floats anywhere.
+
+    Self-loops are dropped (a node's own label must not vote); the node
+    set is the edge endpoints, so every node has ≥1 neighbour and each
+    round relabels every node. Plan per round: one shuffle join of the
+    symmetrized edge table against labels, one (node, label) hash
+    count, one keyed argmax window on the SAME node partitioning;
+    lineage cut with ``checkpoint_truncated``. Returns
+    ``(node, label)``."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return checkpoint_truncated(df, reliable=reliable_checkpoint)
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+        F.col("a").isNotNull()
+        & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    sym = _ckpt(
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = _ckpt(labels)
+    w = Window.partitionBy("node").orderBy(
+        F.col("_c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        counts = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = _ckpt(
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -440,3 +440,53 @@ def test_global_pagerank_unchanged_by_seeds_default(spark):
     v = (S * 3) // 20 + (S // 20) * 17
     v = (S * 3) // 20 + (v // 20) * 17 + ((v % 20) * 17) // 20
     assert out == {1: v, 2: v}
+
+
+def test_label_propagation_matches_reference(spark):
+    from capelinker_spark.operators.cluster import label_propagation
+
+    # two triangles joined by one bridge + a self-loop + a dup edge
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4), (7, 7), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+
+    E = sorted({(a, b) for a, b in edges if a != b})
+    sym = sorted({(a, b) for a, b in E} | {(b, a) for a, b in E})
+    nodes = sorted({a for a, _ in sym})
+    lab = {n: n for n in nodes}
+    for _ in range(3):
+        new = {}
+        for n in nodes:
+            cnt: dict = {}
+            for a, b in sym:
+                if a == n:
+                    cnt[lab[b]] = cnt.get(lab[b], 0) + 1
+            new[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        lab = new
+    assert out == lab
+    # the self-loop-only node has no neighbours and is not a graph node
+    assert 7 not in out
+    # the two triangles resolve to separate communities
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from capelinker_spark.operators.cluster import label_propagation
+
+    edges = [(i, (i * 7) % 23) for i in range(120)] + [
+        (i, (i * 3) % 23) for i in range(0, 120, 2)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(
+        label_propagation(df.repartition(13), rounds=3).collect(),
+        key=lambda r: r["node"],
+    )
+    b = sorted(
+        label_propagation(df.repartition(2), rounds=3).collect(),
+        key=lambda r: r["node"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
