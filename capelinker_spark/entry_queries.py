@@ -5009,6 +5009,64 @@ def tm5_point_in_time_join(spark, sf_dir):
     return point_in_time_join(facts, dim, "id", "ts")
 
 
+@register(
+    "er16_adamic_adar",
+    """WITH e0 AS (SELECT c_custkey AS a, c_custkey + 100 AS b
+                   FROM customer WHERE c_custkey % 7 <> 0
+                   UNION ALL
+                   SELECT c_custkey, c_custkey + 200
+                   FROM customer WHERE c_custkey % 3 <> 0),
+       e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a,
+                                 greatest(a, b) AS b
+                          FROM e0 WHERE a <> b),
+       adj AS (SELECT a AS w, b AS n FROM e
+               UNION ALL SELECT b, a FROM e),
+       deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d
+               FROM adj GROUP BY w),
+       ctr AS (SELECT w,
+                      CAST(1000000000000 //
+                           CAST(floor(ln(d::DOUBLE) * 1000000.0 + 0.5)
+                                AS BIGINT) AS BIGINT) AS tw
+               FROM deg WHERE d >= 2),
+       wedge AS (SELECT x.n AS ia, y.n AS ib, ctr.tw
+                 FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n
+                 JOIN ctr ON ctr.w = x.w),
+       s AS (SELECT ia, ib,
+                    CAST(count(*) AS BIGINT) AS common_neighbors,
+                    CAST(sum(tw) AS BIGINT) AS aa_micro
+             FROM wedge GROUP BY ia, ib)
+       SELECT ia AS id_from, ib AS id_to, common_neighbors, aa_micro,
+              aa_micro::DOUBLE / 1000000000000.0 AS aa_score
+       FROM s
+       WHERE NOT EXISTS (SELECT 1 FROM e
+                         WHERE e.a = s.ia AND e.b = s.ib)
+       ORDER BY id_from, id_to""",
+)
+def er16_adamic_adar(spark, sf_dir):
+    """ER16: link prediction by neighbourhood evidence
+    (er_eval.link_prediction_scores, Adamic-Adar) over the er13
+    two-stride customer graph — for every NON-adjacent distance-2 pair,
+    the common-neighbour count and Σ 1/ln(deg(w)) over shared
+    neighbours: the under-merge recovery pass that proposes pairs the
+    blocking never generated, ranked by how selective the shared
+    evidence is. All-integer until one final division: per-center
+    weight is 10¹² div floor(ln(deg)·10⁶ + 0.5) (logs of integers only
+    — the er12 probed-parity recipe), summed as BIGINTs. The oracle
+    enumerates the same wedges relationally and anti-joins existing
+    edges with NOT EXISTS. No cartesian product, zero Python."""
+    from capelinker_spark.operators.er_eval import link_prediction_scores
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = c.where(k % 7 != 0).select(
+        k.alias("id_from"), (k + 100).alias("id_to")
+    )
+    e2 = c.where(k % 3 != 0).select(
+        k.alias("id_from"), (k + 200).alias("id_to")
+    )
+    return link_prediction_scores(e1.unionAll(e2))
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ __all__ = [
     "edge_triangle_support",
     "node_clustering_coefficient",
     "ktruss",
+    "link_prediction_scores",
 ]
 
 
@@ -885,3 +886,102 @@ def ktruss(
     else:
         raise RuntimeError(f"ktruss did not converge in {max_iter} waves")
     return e.where(F.col("support") >= k - 2)
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "id_from",
+    dst: str = "id_to",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Missed-match suggestion by neighbourhood evidence — for every
+    NON-adjacent pair (a, b) at distance 2, the common-neighbour count
+    and the Adamic-Adar score Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w))
+    (Adamic & Adar 2003; the LP baseline of Liben-Nowell & Kleinberg
+    2003). This is the forward-looking companion to
+    ``edge_triangle_support``: er13 audits links you HAVE (support 0 =
+    bridge, review for over-merge); this one proposes links you DON'T
+    (two records sharing well-connected evidence nodes but never paired
+    by blocking — the classic under-merge recovery pass, e.g. two
+    profile records both linked to the same rare household/address
+    nodes).
+
+    Semantics: wedges enumerate from each CENTER node w (one row per
+    unordered neighbour pair of w), aggregate per pair, and pairs that
+    are already edges are anti-joined away. Centers of degree < 2 form
+    no wedge; every surviving center has deg ≥ 2, so ln(deg) ≥ ln 2 > 0
+    and the reciprocal is well-defined — no division guard needed by
+    construction.
+
+    Exactness (the er12 ln recipe + the er7 integer-division identity):
+    per-center weight is the INTEGER ``10¹² div q`` with
+    ``q = floor(ln(deg)·10⁶ + 0.5)`` — logs of integers only, the
+    JVM-vs-libm round6(ln n) parity probed exhaustively over
+    n ∈ 1..3·10⁶ with zero mismatches (er_eval.nmi_metrics docstring) —
+    summed as exact BIGINTs; ``aa_score`` is ONE final cast/division of
+    that integer. No float crosses an engine boundary unrounded.
+
+    Scale: distance-2 pair enumeration is inherently Σ_w C(deg(w), 2)
+    output rows — a power-law hub generates deg² wedges, and unlike the
+    triangle path (er13) there is no closing-edge orientation to prune
+    it, because the OUTPUT is the open wedge itself. The standard
+    mitigation is ``max_center_degree``: centers above the cap are
+    excluded entirely (their wedges AND their weight terms — a
+    consistent "ignore super-hub evidence" semantics, documented
+    APPROXIMATE, the LSH ``max_bucket_size`` convention from
+    dedup.py). Hubs contribute the least per-wedge weight anyway
+    (1/ln d → 0), so the cap discards the flattest scores first.
+    Default ``None`` is exact.
+
+    Returns ``(src, dst, common_neighbors, aa_micro, aa_score)`` with
+    src < dst; ``aa_micro`` is the exact BIGINT score in 10⁻¹² units.
+
+    Plan shape: one distinct over normalized edges, one degree
+    hash-aggregate, one wedge self-equi-join on the center, one pair
+    hash-aggregate, one left-anti join against the edge list. No
+    cartesian product, zero Python.
+
+    Reference seam: the reference stops at scored candidate pairs
+    (R/pred.R:43-45); neighbourhood-evidence recovery of pairs its
+    blocking never generated (R/candidates.R:30-60) has no counterpart
+    there."""
+    e = _normalized_edges(edges, src, dst)
+    adj = e.select(F.col("_a").alias("_w"), F.col("_b").alias("_n")).unionAll(
+        e.select(F.col("_b").alias("_w"), F.col("_a").alias("_n"))
+    )
+    deg = adj.groupBy("_w").agg(F.count("*").cast("long").alias("_d"))
+    centers = deg.where(F.col("_d") >= 2)
+    if max_center_degree is not None:
+        centers = centers.where(F.col("_d") <= int(max_center_degree))
+    # integer per-center weight: q = floor(ln(d)*1e6 + 0.5); t = 1e12 div q
+    centers = centers.withColumn(
+        "_t",
+        F.expr(
+            "1000000000000L div "
+            "cast(floor(ln(cast(_d as double)) * 1000000.0 + 0.5) as long)"
+        ),
+    )
+    fan = adj.join(centers, "_w")
+    x = fan.select("_w", F.col("_n").alias("_x"), "_t")
+    y = fan.select("_w", F.col("_n").alias("_y"))
+    wedges = x.join(y, "_w").where(F.col("_x") < F.col("_y"))
+    scored = wedges.groupBy("_x", "_y").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum("_t").cast("long").alias("aa_micro"),
+    )
+    return (
+        scored.join(
+            e,
+            (scored["_x"] == e["_a"]) & (scored["_y"] == e["_b"]),
+            "left_anti",
+        )
+        .select(
+            F.col("_x").alias(src),
+            F.col("_y").alias(dst),
+            "common_neighbors",
+            "aa_micro",
+            (F.col("aa_micro").cast("double") / F.lit(1000000000000.0)).alias(
+                "aa_score"
+            ),
+        )
+    )

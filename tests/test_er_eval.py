@@ -479,3 +479,77 @@ def test_ktruss_peel_and_cascade(spark):
     assert ktruss(tc, 4).count() == 0
     with pytest.raises(ValueError):
         ktruss(df, 1)
+
+
+def test_link_prediction_scores_brute_force(spark):
+    """Distance-2 pairs (non-edges only) with exact common-neighbour
+    counts and integer-quantized Adamic-Adar vs an itertools reference;
+    the center cap drops hub-centered wedges consistently."""
+    import itertools
+    import math
+
+    from capelinker_spark.operators.er_eval import link_prediction_scores
+
+    und = (
+        list(itertools.combinations([1, 2, 3, 4], 2))  # K4
+        + [(4, 5), (5, 6)]                             # tail
+        + [(10, i) for i in range(11, 16)]             # star hub deg 5
+        + [(11, 12)]                                   # one closure
+    )
+    rows = und + [(b, a) for a, b in und[:4]] + [(2, 2)]  # noise
+    df = spark.createDataFrame(rows, "id_from long, id_to long")
+
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def weight(w):
+        q = int(math.floor(math.log(len(adj[w])) * 1e6 + 0.5))
+        return 10**12 // q
+
+    eset = {tuple(sorted(p)) for p in und}
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if (a, b) in eset:
+            continue
+        common = adj[a] & adj[b]
+        if common:
+            want[(a, b)] = (
+                len(common),
+                sum(weight(w) for w in common),
+            )
+    out = link_prediction_scores(df).collect()
+    got = {
+        (r["id_from"], r["id_to"]): (r["common_neighbors"], r["aa_micro"])
+        for r in out
+    }
+    assert got == want
+    # K4: (1,2) is an edge -> absent even though they share {3,4}
+    assert (1, 2) not in got
+    # tail: 4 and 6 share center 5 (deg 2) -> weight 1e12 // round6(ln 2)
+    assert got[(4, 6)] == (1, 10**12 // 693147)
+    # star leaves share only the hub (deg 5)
+    assert got[(13, 14)] == (1, 10**12 // 1609438)
+    # 11 and 13 share hub 10 AND nothing else (12 adj 11 but not 13)
+    assert got[(11, 13)][0] == 1
+    # aa_score is the single de-scaling division
+    s = {
+        (r["id_from"], r["id_to"]): r["aa_score"] for r in out
+    }
+    assert s[(4, 6)] == (10**12 // 693147) / 1e12
+
+    # cap: hub (deg 5) excluded -> star-leaf pairs vanish, tail pair stays
+    capped = {
+        (r["id_from"], r["id_to"]): r["common_neighbors"]
+        for r in link_prediction_scores(df, max_center_degree=4).collect()
+    }
+    assert (13, 14) not in capped and (4, 6) in capped
+
+    plan = (
+        link_prediction_scores(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "EvalPython" not in plan
