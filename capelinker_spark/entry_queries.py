@@ -5067,6 +5067,121 @@ def er16_adamic_adar(spark, sf_dir):
     return link_prediction_scores(e1.unionAll(e2))
 
 
+@register(
+    "ir2_rrf_fusion",
+    """WITH toks AS (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents),
+       post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term),
+       dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+       stats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+                        sum(tf)::DOUBLE / count(DISTINCT doc_id)::DOUBLE
+                          AS avgdl
+                 FROM post),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM post GROUP BY term),
+       idf AS (SELECT term,
+                      CAST(floor(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0)
+                           * 1000000.0 + 0.5) AS BIGINT) AS q,
+                      stats.avgdl AS avgdl
+               FROM dfreq, stats),
+       qt AS (SELECT * FROM (VALUES
+                ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
+                ('q2', 'window'), ('q2', 'agg'),
+                ('q3', 'customer'), ('q3', 'stream'), ('q3', 'vector'))
+              AS t(query_id, term)),
+       m AS (SELECT qt.query_id, post.doc_id, post.tf, dl.dl,
+                    idf.q, idf.avgdl
+             FROM post JOIN qt USING (term) JOIN idf USING (term)
+             JOIN dl USING (doc_id)),
+       sc AS (SELECT query_id, doc_id,
+                CAST(sum(CAST(round(q::DOUBLE
+                  * (tf::DOUBLE * 2.2
+                     / (tf::DOUBLE
+                        + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / avgdl))),
+                  6) AS DECIMAL(38,6))) AS DOUBLE) / 1000000.0 AS score
+              FROM m GROUP BY query_id, doc_id),
+       lexr AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc),
+       ev AS (SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+       dq AS (SELECT * FROM ev WHERE vec_id IN (1, 2, 3)),
+       den AS (SELECT a.vec_id AS qv, b.vec_id AS doc_id,
+                      round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) AS cs
+               FROM dq a JOIN ev b ON a.vec_id <> b.vec_id),
+       denr AS (SELECT 'q' || qv::VARCHAR AS query_id, doc_id,
+                       row_number() OVER (PARTITION BY qv
+                         ORDER BY cs DESC, doc_id ASC) AS rank
+                FROM den),
+       u AS (SELECT query_id, doc_id, rank FROM lexr WHERE rank <= 20
+             UNION ALL
+             SELECT query_id, doc_id, rank FROM denr WHERE rank <= 20),
+       s AS (SELECT query_id, doc_id,
+                    CAST(sum(1000000000000 // (rank + 60)) AS BIGINT)
+                      AS rrf_micro,
+                    CAST(count(*) AS INT) AS n_systems
+             FROM u GROUP BY query_id, doc_id),
+       r AS (SELECT query_id, doc_id, rrf_micro, n_systems,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+             FROM s)
+       SELECT query_id, doc_id, rrf_micro, n_systems,
+              CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 10
+       ORDER BY query_id, rank""",
+)
+def ir2_rrf_fusion(spark, sf_dir):
+    """IR2: hybrid retrieval by reciprocal-rank fusion (ir.rrf_fuse,
+    Cormack et al. SIGIR'09) — the ir1 BM25 lexical ranking and an
+    ann1-style dense cosine ranking (query embeddings = vectors 1-3,
+    ranked on the 6-decimal-rounded similarity so both engines order
+    identically) fused as Σ 10¹² div (60 + rank) over each system's
+    top-20, re-ranked per query. All-integer fusion (BIGINT sums of
+    integer divisions — no score calibration, the reason RRF is the
+    standard hybrid combiner), ties by ascending doc id. Plan: the two
+    retrievers prune independently; the fuser is one union + one
+    hash-aggregate + one window over ≤ 40 rows per query — the corpus
+    never re-shuffles for fusion. Zero Python outside the ir1 oracle
+    idf quantizer."""
+    from capelinker_spark.operators.ir import bm25_topk, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"), ("q1", "fast"),
+         ("q2", "window"), ("q2", "agg"),
+         ("q3", "customer"), ("q3", "stream"), ("q3", "vector")],
+        "query_id string, term string",
+    )
+    lex = bm25_topk(d, qt, k=20, idf_quant=1_000_000).select(
+        "query_id", "doc_id", "rank"
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    dq = e.where(F.col("vec_id").isin(1, 2, 3))
+    den = SS.brute_force_topk(dq, e, k=500_000)
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim_r"), F.asc("neighbor_id")
+    )
+    denr = (
+        den.withColumn("cos_sim_r", F.round("cos_sim", 6))
+        .withColumn("rank", F.row_number().over(wd))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.concat(F.lit("q"), F.col("query_id").cast("string")).alias(
+                "query_id"
+            ),
+            F.col("neighbor_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return rrf_fuse([lex, denr], k0=60, k=10)
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -167,3 +167,71 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher SIGIR'09) of
+    N per-query rankings — the standard hybrid-retrieval combiner
+    (lexical BM25 + dense ANN) because it needs NO score calibration:
+    each system contributes 1/(k0 + rank), so only rank positions
+    matter and differently-scaled scores fuse safely.
+
+    Each input carries ``(query_col, id_col, rank)``; a document absent
+    from a system's list simply contributes nothing (the union-then-
+    aggregate form IS the N-way full-outer join, without join nodes).
+
+    Exactness: the fused score is accumulated as the exact BIGINT
+    ``Σ 10¹² div (k0 + rank)`` (``rrf_micro``) — integer division of
+    integers, order-independent under any partitioning — and the
+    convenience double is ONE final de-scaling division. Ties in the
+    fused score break by ascending document id (a total order, so both
+    engines rank identically).
+
+    Returns ``(query_col, id_col, rrf_micro, n_systems, rank)`` with
+    rank ≤ k per query.
+
+    Plan shape: one union of the (already top-k-sized) ranking tables,
+    ONE hash-aggregate on (query, doc), one per-query window over ≤
+    N·k rows per query. The corpus is never touched — fusion cost is
+    bounded by the candidate lists, which is what makes RRF the right
+    shape at 100 TB (each retriever prunes independently; the fuser
+    sees only winners)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    tagged = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("_doc"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionAll(t)
+    scored = u.groupBy("query_id", "_doc").agg(
+        F.sum(F.expr(f"1000000000000L div (rank + {int(k0)}L)"))
+        .cast("long")
+        .alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("_doc")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_doc").alias(id_col),
+            "rrf_micro",
+            "n_systems",
+            "rank",
+        )
+    )

@@ -94,3 +94,40 @@ def test_postings_and_tokens(spark):
     rows = {(r["doc_id"], r["term"]): (r["tf"], r["dl"])
             for r in postings(docs).collect()}
     assert rows == {(1, "a"): (2, 5), (1, "b"): (2, 5), (1, "7seven"): (1, 5)}
+
+
+def test_rrf_fuse_integer_exact(spark):
+    """Fused score is the exact integer sum of 10^12 div (k0+rank);
+    docs in one system only still score; ties break by ascending id."""
+    from capelinker_spark.operators.ir import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q1", 100, 1), ("q1", 200, 2), ("q1", 300, 3)],
+        "query_id string, doc_id long, rank int",
+    )
+    den = spark.createDataFrame(
+        [("q1", 200, 1), ("q1", 400, 2)],
+        "query_id string, doc_id long, rank int",
+    )
+    out = {
+        r["doc_id"]: (r["rrf_micro"], r["n_systems"], r["rank"])
+        for r in rrf_fuse([lex, den], k0=60, k=10).collect()
+    }
+    t = lambda r: 10**12 // (60 + r)
+    assert out[200] == (t(2) + t(1), 2, 1)      # both systems -> top
+    assert out[100] == (t(1), 1, 2)
+    assert out[400] == (t(2), 1, 3)             # tie with 300 on t(2)?
+    assert out[300] == (t(3), 1, 4)
+    # tie check: craft equal scores, smaller id wins
+    a = spark.createDataFrame(
+        [("q", 9, 5), ("q", 7, 5)], "query_id string, doc_id long, rank int"
+    )
+    ranked = {
+        r["doc_id"]: r["rank"] for r in rrf_fuse([a], k=10).collect()
+    }
+    assert ranked[7] == 1 and ranked[9] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
