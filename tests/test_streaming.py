@@ -641,3 +641,65 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path):
     again = {r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
              for r in spark.read.parquet(out).collect()}
     assert again == want
+
+
+def test_stream_point_in_time_enrich_matches_batch(spark, tmp_path):
+    """Streaming point-in-time enrichment ≡ batch point_in_time_join
+    over the union, across 3 micro-batches: late-arriving facts attach
+    the HISTORICAL version valid at their own timestamp (not the
+    current one), uncovered facts keep NULLs, and a restart replays
+    idempotently."""
+    from capelinker_spark.operators.temporal import point_in_time_join
+    from capelinker_spark.streaming import stream_point_in_time_enrich
+
+    # SCD-2 dim: key 1 has versions [0,9] 'old', [10,null) 'new';
+    # key 2 has one CLOSED version [5,8] 'only'
+    dim = spark.createDataFrame(
+        [(1, 0, 9, "old"), (1, 10, None, "new"), (2, 5, 8, "only")],
+        "id long, valid_from long, valid_to long, attr string",
+    )
+    batches = [
+        [(100, 1, 12)],                  # current version
+        [(101, 1, 3), (102, 2, 9)],      # late fact -> 'old'; past closed
+        [(103, 2, 7), (104, 3, 1)],      # covered; unknown key
+    ]
+    src = str(tmp_path / "pit_src")
+    for b in batches:
+        spark.createDataFrame(
+            b, "fact_id long, id long, ts long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "pit_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema("fact_id long, id long, ts long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_point_in_time_enrich(
+            stream, dim, str(tmp_path / "pit_ckpt"), out,
+            on="id", fact_time="ts",
+        )
+        q.awaitTermination()
+
+    run()
+    cols = ("fact_id", "id", "ts", "valid_from", "valid_to", "attr")
+    got = {r["fact_id"]: tuple(r[c] for c in cols)
+           for r in spark.read.parquet(out).collect()}
+    all_facts = spark.createDataFrame(
+        [r for b in batches for r in b], "fact_id long, id long, ts long"
+    )
+    want = {r["fact_id"]: tuple(r[c] for c in cols)
+            for r in point_in_time_join(all_facts, dim, "id", "ts").collect()}
+    assert got == want and len(got) == 5
+    assert got[100][5] == "new"          # current version attached
+    assert got[101][5] == "old"          # late fact -> historical version
+    assert got[102][5] is None           # t past the closed version
+    assert got[103][5] == "only"
+    assert got[104][5] is None           # unknown key
+
+    run()                                # idempotent replay
+    again = {r["fact_id"]: tuple(r[c] for c in cols)
+             for r in spark.read.parquet(out).collect()}
+    assert again == want
