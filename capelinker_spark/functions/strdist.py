@@ -134,6 +134,73 @@ def osa_norm_dist(s, t) -> float | None:
     return d / m if m else 0.0
 
 
+def smith_waterman(
+    s,
+    t,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> float | None:
+    """Smith-Waterman local-alignment score (Smith & Waterman 1981) —
+    the best-scoring LOCAL alignment between two strings, the classic
+    record-linkage comparator for fields where one value embeds the
+    other with noise (addresses, business names with legal suffixes:
+    'ACME CORP' inside 'THE ACME CORPORATION LTD') where global edit
+    distance (OSA) over-penalizes the unmatched tails.
+
+    Integer DP with affine-free linear gap penalty; the score is an
+    exact small integer returned as float (the strdist family's column
+    dtype). Disjoint strings score 0; None/NaN propagate NULL."""
+    if s is None or t is None or isinstance(s, float) or isinstance(t, float):
+        return None
+    ls, lt = len(s), len(t)
+    if ls == 0 or lt == 0:
+        return 0.0
+    prev = [0] * (lt + 1)
+    best = 0
+    for i in range(1, ls + 1):
+        cur = [0] * (lt + 1)
+        si = s[i - 1]
+        for j in range(1, lt + 1):
+            d = prev[j - 1] + (match if si == t[j - 1] else mismatch)
+            v = max(0, d, prev[j] + gap, cur[j - 1] + gap)
+            cur[j] = v
+            if v > best:
+                best = v
+        prev = cur
+    return float(best)
+
+
+def sw_norm_sim(
+    s,
+    t,
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> float | None:
+    """Smith-Waterman similarity normalized to [0, 1]:
+    score / (match · min(len s, len t)) — 1.0 iff the shorter string
+    aligns perfectly inside the longer (the containment-style
+    complement of ``osa_norm_dist``). Either side empty → 0.0. The
+    quotient is one IEEE division of small exact integers."""
+    sc = smith_waterman(s, t, match, mismatch, gap)
+    if sc is None:
+        return None
+    m = min(len(s), len(t))
+    return sc / (match * m) if m else 0.0
+
+
+_sw_cache: dict = {}
+
+
+@pandas_udf(DoubleType())
+def sw_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Normalized Smith-Waterman similarity (Arrow-batched, distinct
+    pairs computed once per batch — the ``_pairwise_unique``
+    discipline)."""
+    return _pairwise_unique(a, b, sw_norm_sim, _sw_cache)
+
+
 _SOUNDEX_MAP = {
     **{c: "1" for c in "BFPV"},
     **{c: "2" for c in "CGJKQSXZ"},

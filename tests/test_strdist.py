@@ -202,3 +202,52 @@ def test_c_kernel_bitwise():
     cv = _native.osa_batch(ss[:5000], ts[:5000], normalize=True)
     for i in range(5000):
         assert cv[i] == osa_norm_dist(ss[i], ts[i])
+
+
+def test_smith_waterman_golden_vectors():
+    """Classic published SW scores plus edge cases."""
+    from capelinker_spark.functions.strdist import (
+        smith_waterman,
+        sw_norm_sim,
+    )
+
+    # Wikipedia worked example: match=3, mismatch=-3, gap=-2 -> 13
+    assert smith_waterman("TGTTACGG", "GGTTGACTA", 3, -3, -2) == 13.0
+    # Gotoh-style textbook example at 2/-1/-1 -> 12
+    assert smith_waterman("ACACACTA", "AGCACACA", 2, -1, -1) == 12.0
+    assert smith_waterman("abc", "abc") == 6.0       # 2 * len
+    assert smith_waterman("abc", "xyz") == 0.0       # disjoint -> 0
+    assert smith_waterman(None, "a") is None
+    assert smith_waterman("", "abc") == 0.0
+    # local alignment ignores unmatched tails: full containment -> 1.0
+    assert sw_norm_sim("ACME CORP", "THE ACME CORPORATION LTD") == 1.0
+    # global OSA would see these as far apart; SW sees the shared core
+    assert sw_norm_sim("", "") == 0.0
+    assert sw_norm_sim("ab", "ab") == 1.0
+
+
+def test_sw_sim_udf_matches_python(spark):
+    """Arrow-batched SW similarity equals the scalar reference and
+    handles NULLs; plan carries ArrowEvalPython (never row-Python)."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.functions.strdist import sw_norm_sim, sw_sim_udf
+
+    rows = [
+        ("acme corp", "the acme corporation ltd"),
+        ("jan van der berg", "j. vandenberg"),
+        ("smith", "schmidt"),
+        (None, "x"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = df.withColumn("s", sw_sim_udf(F.col("a"), F.col("b"))).collect()
+    for r in out:
+        assert r["s"] == sw_norm_sim(r["a"], r["b"])
+    plan = (
+        df.withColumn("s", sw_sim_udf(F.col("a"), F.col("b")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
