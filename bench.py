@@ -246,6 +246,8 @@ HEADLINE_QUERIES = [
     "pr2_hits",
     "cu8_domain_rollup",
     "er15_label_propagation",
+    "er16_adamic_adar",
+    "ir2_rrf_fusion",
 ]
 
 

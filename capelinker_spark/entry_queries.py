@@ -5231,7 +5231,10 @@ def ir2_rrf_fusion(spark, sf_dir):
 # checked), st1/ev1 OUT (longest remaining streak — green r1-r4; back
 # next round under the ~2-round cadence; full-sweep covered); then
 # pr2 IN, dm1 OUT (next-longest streak — green r2-r4; same rule);
-# then cu8 IN, u4 OUT; er15 IN, j3 OUT (same rule).
+# then cu8 IN, u4 OUT; er15 IN, j3 OUT (same rule). Sixth
+# amendment: er16/ir2 IN (never checked), dd7/ts5 OUT (longest
+# remaining streak in the window — r4-green cohort, full-sweep
+# covered, back next round under the ~2-round cadence).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -5247,14 +5250,13 @@ _DRIVER_WINDOW = [
     "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
     "er14_clustering_coefficient", "pr1_pagerank",
     "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
-    "er15_label_propagation",
+    "er15_label_propagation", "er16_adamic_adar", "ir2_rrf_fusion",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
     "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
     # the 33-query cohort whose last driver row is round 4
-    "dd7_decontaminate",
-    "ts5_pii_counts", "ts6_line_repetition",
+    "ts6_line_repetition",
     "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

@@ -351,6 +351,33 @@ def main():
         _fmt(cu8),
     ))
 
+    er16 = QUERIES["er16_adamic_adar"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Adamic-Adar link prediction (er16)",
+        "Look for: one degree `HashAggregate` over the doubled "
+        "adjacency, the integer weight `1000000000000 div cast(floor("
+        "LN(...)))` fused into the center project, ONE wedge "
+        "self-equi-join on the center key, one partial→final pair "
+        "aggregate, and a final `LeftAnti` join dropping existing "
+        "edges. No cartesian product; the only float is the last "
+        "de-scaling division.",
+        _fmt(er16),
+    ))
+
+    ir2 = QUERIES["ir2_rrf_fusion"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Reciprocal-rank fusion (ir2)",
+        "Look for: the BM25 branch (postings shuffle + broadcast query "
+        "terms + per-query rank window) and the dense branch "
+        "(`BroadcastNestedLoopJoin` of the 3 QUERY vectors against the "
+        "corpus — the documented exact-baseline cross join, query-side "
+        "only) feeding a `Union`, then ONE `HashAggregate` on "
+        "(query, doc) summing the integer `div` terms and one final "
+        "top-k window. Fusion never re-touches the corpus: its inputs "
+        "are the two top-20 lists.",
+        _fmt(ir2),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
