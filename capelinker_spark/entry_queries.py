@@ -5036,7 +5036,7 @@ def tm5_point_in_time_join(spark, sf_dir):
                     CAST(sum(tw) AS BIGINT) AS aa_micro
              FROM wedge GROUP BY ia, ib)
        SELECT ia AS id_from, ib AS id_to, common_neighbors, aa_micro,
-              aa_micro::DOUBLE / 1000000000000.0 AS aa_score
+              aa_micro::DOUBLE / 1000000.0 AS aa_score
        FROM s
        WHERE NOT EXISTS (SELECT 1 FROM e
                          WHERE e.a = s.ia AND e.b = s.ib)

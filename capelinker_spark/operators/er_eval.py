@@ -915,7 +915,8 @@ def link_prediction_scores(
 
     Exactness (the er12 ln recipe + the er7 integer-division identity):
     per-center weight is the INTEGER ``10¹² div q`` with
-    ``q = floor(ln(deg)·10⁶ + 0.5)`` — logs of integers only, the
+    ``q = floor(ln(deg)·10⁶ + 0.5)`` — i.e. ≈ 10⁶/ln(deg), the
+    Adamic-Adar term in 10⁻⁶ units — logs of integers only, the
     JVM-vs-libm round6(ln n) parity probed exhaustively over
     n ∈ 1..3·10⁶ with zero mismatches (er_eval.nmi_metrics docstring) —
     summed as exact BIGINTs; ``aa_score`` is ONE final cast/division of
@@ -934,7 +935,8 @@ def link_prediction_scores(
     Default ``None`` is exact.
 
     Returns ``(src, dst, common_neighbors, aa_micro, aa_score)`` with
-    src < dst; ``aa_micro`` is the exact BIGINT score in 10⁻¹² units.
+    src < dst; ``aa_micro`` is the exact BIGINT score in 10⁻⁶ units
+    and ``aa_score`` its ONE-division literature-scale double.
 
     Plan shape: one distinct over normalized edges, one degree
     hash-aggregate, one wedge self-equi-join on the center, one pair
@@ -980,7 +982,7 @@ def link_prediction_scores(
             F.col("_y").alias(dst),
             "common_neighbors",
             "aa_micro",
-            (F.col("aa_micro").cast("double") / F.lit(1000000000000.0)).alias(
+            (F.col("aa_micro").cast("double") / F.lit(1000000.0)).alias(
                 "aa_score"
             ),
         )

@@ -228,7 +228,7 @@ def rrf_fuse(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
-            "query_id",
+            F.col("query_id").alias(query_col),
             F.col("_doc").alias(id_col),
             "rrf_micro",
             "n_systems",

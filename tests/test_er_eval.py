@@ -537,7 +537,8 @@ def test_link_prediction_scores_brute_force(spark):
     s = {
         (r["id_from"], r["id_to"]): r["aa_score"] for r in out
     }
-    assert s[(4, 6)] == (10**12 // 693147) / 1e12
+    # literature scale: one shared deg-2 neighbor -> ~1/ln 2 = 1.4427
+    assert s[(4, 6)] == (10**12 // 693147) / 1e6
 
     # cap: hub (deg 5) excluded -> star-leaf pairs vanish, tail pair stays
     capped = {

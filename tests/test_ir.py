@@ -116,7 +116,7 @@ def test_rrf_fuse_integer_exact(spark):
     t = lambda r: 10**12 // (60 + r)
     assert out[200] == (t(2) + t(1), 2, 1)      # both systems -> top
     assert out[100] == (t(1), 1, 2)
-    assert out[400] == (t(2), 1, 3)             # tie with 300 on t(2)?
+    assert out[400] == (t(2), 1, 3)             # t(2) > t(3): plain order
     assert out[300] == (t(3), 1, 4)
     # tie check: craft equal scores, smaller id wins
     a = spark.createDataFrame(
