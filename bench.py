@@ -248,6 +248,8 @@ HEADLINE_QUERIES = [
     "er15_label_propagation",
     "er16_adamic_adar",
     "ir2_rrf_fusion",
+    "m9_pr_sweep",
+    "tm6_scd2_merge",
 ]
 
 

@@ -5182,6 +5182,173 @@ def ir2_rrf_fusion(spark, sf_dir):
     return rrf_fuse([lex, denr], k0=60, k=10)
 
 
+@register(
+    "m9_pr_sweep",
+    """WITH dat AS (SELECT ((o_orderkey * 7) % 700
+                            + CASE WHEN o_orderkey % 3 = 0
+                                   THEN 300 ELSE 0 END)::DOUBLE / 1000.0
+                             AS score,
+                           (o_orderkey % 3 = 0) AS y
+                    FROM orders),
+       hist AS (SELECT least(CAST(floor(score * 1000) AS INT), 999) AS b,
+                       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                         AS pos,
+                       CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT)
+                         AS neg
+                FROM dat GROUP BY 1),
+       tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tot FROM hist),
+       grid AS (SELECT i::DOUBLE / 20.0 AS threshold,
+                       CAST((i * 1000) // 20 AS INT) AS tb
+                FROM range(20) t(i)),
+       c AS (SELECT threshold,
+                    CAST(sum(CASE WHEN b > tb THEN pos ELSE 0 END)
+                         AS BIGINT) AS tp,
+                    CAST(sum(CASE WHEN b > tb THEN neg ELSE 0 END)
+                         AS BIGINT) AS fp
+             FROM grid CROSS JOIN hist GROUP BY threshold)
+       SELECT threshold, tp, fp, tot - tp AS fn,
+              CASE WHEN tp + fp > 0 THEN
+                floor(tp::DOUBLE / (tp + fp)::DOUBLE * 1000000.0 + 0.5)
+                  / 1000000.0 ELSE 0.0 END AS precision,
+              CASE WHEN tot > 0 THEN
+                floor(tp::DOUBLE / tot::DOUBLE * 1000000.0 + 0.5)
+                  / 1000000.0 ELSE 0.0 END AS recall,
+              CASE WHEN 2 * tp + fp + (tot - tp) > 0 THEN
+                floor((2 * tp)::DOUBLE
+                      / (2 * tp + fp + (tot - tp))::DOUBLE
+                      * 1000000.0 + 0.5) / 1000000.0
+              ELSE 0.0 END AS f1
+       FROM c CROSS JOIN tot
+       ORDER BY threshold""",
+)
+def m9_pr_sweep(spark, sf_dir):
+    """M9: distributed precision-recall threshold sweep
+    (predict.pr_sweep) — the DataFrame promotion of the M6 driver-side
+    pr_curve, giving the evaluation family its first driver-checked
+    row. Scores are synthetic-but-correlated ((k·7)%700 + 300·y over
+    orders, so the curve actually moves); 20 thresholds i/20 on the
+    documented 1e-3 bucket grid. ONE corpus hash-aggregate (≤ 1000
+    bucket rows) + a broadcast 20-row grid join + one tiny aggregate —
+    the corpus is scanned once for the whole sweep. All counts BIGINT;
+    P/R/F1 are single divisions quantized floor(x·1e6+0.5)/1e6 (the
+    f16 rule — integer-ratio quotients CAN terminate at ≤ 7 decimals),
+    with f1 = 2tp/(2tp+fp+fn), the single-division identity."""
+    from capelinker_spark.operators.predict import pr_sweep
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    dat = o.select(
+        (
+            ((k * 7) % 700
+             + F.when(k % 3 == 0, F.lit(300)).otherwise(F.lit(0)))
+            .cast("double")
+            / F.lit(1000.0)
+        ).alias("predicted"),
+        (k % 3 == 0).alias("correct"),
+    )
+    return pr_sweep(dat, 20)
+
+
+@register(
+    "tm6_scd2_merge",
+    """WITH baseA AS (SELECT o_custkey AS id,
+                             CAST(o_orderkey % 256 AS BIGINT) AS ts,
+                             o_orderstatus AS st
+                      FROM orders),
+       dedA AS (SELECT id, ts, st FROM (
+                  SELECT id, ts, st,
+                         lag(ts) OVER (PARTITION BY id ORDER BY ts ASC,
+                           st DESC NULLS LAST) AS pts
+                  FROM baseA) d
+                WHERE pts IS NULL OR pts <> ts),
+       chgA AS (SELECT id, ts, st,
+                       (row_number() OVER w = 1
+                        OR st IS DISTINCT FROM lag(st) OVER w) AS keep
+                FROM dedA WINDOW w AS (PARTITION BY id ORDER BY ts)),
+       dimA AS (SELECT id, ts AS valid_from,
+                       lead(ts) OVER (PARTITION BY id ORDER BY ts) - 1
+                         AS valid_to,
+                       st
+                FROM (SELECT id, ts, st FROM chgA WHERE keep) v),
+       baseB AS (SELECT o_custkey AS id,
+                        CAST((o_orderkey * 3) % 128 AS BIGINT) AS ts,
+                        o_orderpriority AS pri
+                 FROM orders),
+       dedB AS (SELECT id, ts, pri FROM (
+                  SELECT id, ts, pri,
+                         lag(ts) OVER (PARTITION BY id ORDER BY ts ASC,
+                           pri DESC NULLS LAST) AS pts
+                  FROM baseB) d
+                WHERE pts IS NULL OR pts <> ts),
+       chgB AS (SELECT id, ts, pri,
+                       (row_number() OVER w = 1
+                        OR pri IS DISTINCT FROM lag(pri) OVER w) AS keep
+                FROM dedB WINDOW w AS (PARTITION BY id ORDER BY ts)),
+       dimB AS (SELECT id, ts AS valid_from,
+                       COALESCE(lead(ts) OVER (PARTITION BY id
+                         ORDER BY ts) - 1, CAST(300 AS BIGINT))
+                         AS valid_to,
+                       pri
+                FROM (SELECT id, ts, pri FROM chgB WHERE keep) v),
+       bounds AS (SELECT DISTINCT id, p FROM (
+                    SELECT id, valid_from AS p FROM dimA
+                    UNION ALL
+                    SELECT id, valid_to + 1 FROM dimA
+                    WHERE valid_to IS NOT NULL
+                    UNION ALL
+                    SELECT id, valid_from FROM dimB
+                    UNION ALL
+                    SELECT id, valid_to + 1 FROM dimB
+                    WHERE valid_to IS NOT NULL) u),
+       cand AS (SELECT id, p,
+                       lead(p) OVER (PARTITION BY id ORDER BY p) - 1 AS q
+                FROM bounds),
+       m AS (SELECT c.id, c.p AS valid_from, c.q AS valid_to,
+                    a.st AS st_a, b.pri AS pri_b,
+                    a.valid_from AS avf, b.valid_from AS bvf
+             FROM cand c
+             LEFT JOIN dimA a ON a.id = c.id AND c.p >= a.valid_from
+               AND (a.valid_to IS NULL OR c.p <= a.valid_to)
+             LEFT JOIN dimB b ON b.id = c.id AND c.p >= b.valid_from
+               AND (b.valid_to IS NULL OR c.p <= b.valid_to))
+       SELECT id, valid_from, valid_to, st_a, pri_b
+       FROM m WHERE avf IS NOT NULL OR bvf IS NOT NULL
+       ORDER BY id, valid_from""",
+)
+def tm6_scd2_merge(spark, sf_dir):
+    """TM6: SCD-2 timeline stitching (temporal.scd2_merge) — the
+    status history (open current version) and the priority history
+    (closed at 300, on a DIFFERENT clock fold) of each customer merged
+    onto one boundary-refined timeline: every output interval has
+    constant attributes from BOTH sides, NULL where a side has no
+    coverage, gaps covered by neither dropped, open exactly where the
+    open side extends alone. Engine plan: boundary union + per-key
+    lead window + TWO point-in-time lookups (each ONE keyed shuffle,
+    no join node, no inequality join, no interval explosion) — every
+    exchange hashes the same entity key. The oracle builds both
+    dimensions with the tm4 CTE chain and merges with DuckDB's generic
+    inequality joins — an independent implementation."""
+    from capelinker_spark.operators.temporal import (
+        scd2_intervals,
+        scd2_merge,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    log_a = orders.select(
+        F.col("o_custkey").alias("id"),
+        (F.col("o_orderkey") % 256).cast("long").alias("ts"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    log_b = orders.select(
+        F.col("o_custkey").alias("id"),
+        ((F.col("o_orderkey") * 3) % 128).cast("long").alias("ts"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    dim_a = scd2_intervals(log_a, "id", "ts", ["st"])
+    dim_b = scd2_intervals(log_b, "id", "ts", ["pri"], current_to=300)
+    return scd2_merge(dim_a, dim_b, "id")
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------
@@ -5234,7 +5401,8 @@ def ir2_rrf_fusion(spark, sf_dir):
 # then cu8 IN, u4 OUT; er15 IN, j3 OUT (same rule). Sixth
 # amendment: er16/ir2 IN (never checked), dd7/ts5 OUT (longest
 # remaining streak in the window — r4-green cohort, full-sweep
-# covered, back next round under the ~2-round cadence).
+# covered, back next round under the ~2-round cadence); then m9/tm6 IN
+# (never checked), ts6/j3b OUT (same rule).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -5251,13 +5419,12 @@ _DRIVER_WINDOW = [
     "er14_clustering_coefficient", "pr1_pagerank",
     "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
     "er15_label_propagation", "er16_adamic_adar", "ir2_rrf_fusion",
+    "m9_pr_sweep", "tm6_scd2_merge",
     # round-6-touched implementations
     "dd9_remove_dup_spans", "dd10_paragraph_dedup",
     "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
     "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
     # the 33-query cohort whose last driver row is round 4
-    "ts6_line_repetition",
-    "j3b_bigram_cosine_join",
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",
 ]

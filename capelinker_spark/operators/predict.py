@@ -254,3 +254,102 @@ def greedy_match(
     if out is None:
         return pairs.select(id_from, id_to, score_col).limit(0)
     return out
+
+
+def pr_sweep(
+    dat: DataFrame,
+    n_thresholds: int = 20,
+    label_col: str = "correct",
+    score_col: str = "predicted",
+) -> DataFrame:
+    """Fully distributed precision-recall threshold sweep — the
+    DataFrame promotion of :func:`pr_curve` (which collects the bucket
+    histogram and sweeps driver-side): one row per threshold
+    ``t_i = i / n_thresholds`` with exact integer confusion counts and
+    quantized P/R/F1, suitable as a pipeline stage instead of a
+    driver-side report.
+
+    Threshold semantics match ``pr_curve``: scores bucket to
+    ``least(floor(score·1000), 999)`` and "score > t" counts buckets
+    strictly above t's bucket ``(i·1000) div n`` — the documented
+    1e-3-grid quantization, all-integer on both engines.
+
+    Exactness: TP/FP/FN are BIGINT sums of BIGINT bucket counts;
+    precision = tp/(tp+fp), recall = tp/total_pos, and
+    f1 = 2·tp/(2·tp+fp+fn) (the single-division identity — NOT
+    2PR/(P+R), which would chain three divisions) are each ONE IEEE
+    division, quantized ``floor(x·10⁶ + 0.5)/10⁶`` per the f16
+    half-boundary rule (integer-ratio quotients can terminate at ≤ 7
+    decimals, where ``round`` diverges between engines). Empty
+    denominators report 0.0 (the :func:`confusion` convention).
+
+    Plan shape: ONE corpus-wide hash-aggregate (≤ 1000 bucket rows,
+    map-side combinable), a broadcast join against the
+    ``n_thresholds``-row grid (≤ 20k intermediate rows), one tiny
+    hash-aggregate on the threshold, one 1-row lazy total. The corpus
+    is scanned once regardless of how many thresholds are swept."""
+    if n_thresholds < 1:
+        raise ValueError("n_thresholds must be >= 1")
+    n = int(n_thresholds)
+    b = F.least(
+        F.floor(F.col(score_col) * 1000).cast("int"), F.lit(999)
+    )
+    y = F.col(label_col).cast("boolean")
+    hist = dat.groupBy(b.alias("_b")).agg(
+        F.sum(y.cast("long")).alias("_pos"),
+        F.sum((~y).cast("long")).alias("_neg"),
+    )
+    total = F.broadcast(
+        hist.agg(F.sum("_pos").cast("long").alias("_tot"))
+    )
+    spark = dat.sparkSession
+    grid = spark.range(n).select(
+        (F.col("id").cast("double") / F.lit(float(n))).alias("threshold"),
+        F.expr(f"cast((id * 1000) div {n} as int)").alias("_tb"),
+    )
+    c = (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(F.col("_b") > F.col("_tb"), F.col("_pos")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(F.col("_b") > F.col("_tb"), F.col("_neg")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("fp"),
+        )
+        .crossJoin(total)
+    )
+
+    def q6(x: Column) -> Column:
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = (F.col("_tot") - tp).alias("fn")
+    prec = F.when(
+        tp + fp > 0, q6(tp.cast("double") / (tp + fp).cast("double"))
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("_tot") > 0, q6(tp.cast("double") / F.col("_tot").cast("double"))
+    ).otherwise(F.lit(0.0))
+    f1d = F.lit(2) * tp + fp + (F.col("_tot") - tp)
+    f1 = F.when(
+        f1d > 0, q6((F.lit(2) * tp).cast("double") / f1d.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        fn,
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

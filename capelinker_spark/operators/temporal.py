@@ -38,6 +38,7 @@ __all__ = [
     "interval_overlap_join",
     "scd2_intervals",
     "point_in_time_join",
+    "scd2_merge",
 ]
 
 
@@ -372,4 +373,98 @@ def point_in_time_join(
             F.when(in_range, F.col(out[c])).alias(out[c])
             for c in payload
         ],
+    )
+
+
+def scd2_merge(
+    a: DataFrame,
+    b: DataFrame,
+    on: str | list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffixes: tuple[str, str] = ("_a", "_b"),
+) -> DataFrame:
+    """Align two SCD-2 histories of the same entities onto ONE refined
+    timeline — per key, the minimal set of intervals on which BOTH
+    sides' attributes are constant, each interval carrying side A's and
+    side B's version attributes (NULL where a side has no coverage).
+    The warehouse "timeline stitching" op: combine a host's crawl
+    policy history with its ownership history into one
+    attribute-complete chronology, temporal-join two entity attribute
+    logs, or diff two independently-maintained dimensions.
+
+    Semantics: closed integer intervals (the :func:`scd2_intervals`
+    contract, NULL ``valid_to`` = open current version). Output
+    intervals are [boundary, next boundary − 1] over the per-key union
+    of both sides' ``valid_from`` and ``valid_to + 1`` points — every
+    attribute change on either side starts a new output interval, and
+    no output interval straddles a change. Intervals covered by
+    NEITHER side (gaps before/after/between coverage) are dropped; the
+    final interval is open (NULL) iff some side is open there. Output
+    attribute columns are suffixed per side; ``valid_from`` /
+    ``valid_to`` name the refined interval.
+
+    Plan shape (Spark-first — NO inequality join): one distinct over
+    the boundary union, one per-key lead window, then TWO
+    :func:`point_in_time_join` lookups (each the asof union-tag-window
+    — one keyed shuffle, no join node, no interval explosion). Every
+    exchange hashes the same entity key. The oracle mirror uses
+    DuckDB's generic inequality joins — an independent implementation,
+    not a transcription.
+
+    Within an output interval the version valid at its START is valid
+    THROUGHOUT: a version ending at e puts boundary e+1 in the set, so
+    e+1 > start implies e ≥ end for every candidate interval."""
+    keys = [on] if isinstance(on, str) else list(on)
+    sa, sb = suffixes
+    if sa == sb:
+        raise ValueError("suffixes must differ")
+
+    def prep(df: DataFrame, sfx: str):
+        attrs = [
+            c for c in df.columns
+            if c not in keys and c not in (valid_from, valid_to)
+        ]
+        ren = df.select(
+            *keys,
+            F.col(valid_from).alias(f"_vf{sfx}"),
+            F.col(valid_to).alias(f"_vt{sfx}"),
+            *[F.col(c).alias(f"{c}{sfx}") for c in attrs],
+        )
+        return ren, [f"{c}{sfx}" for c in attrs]
+
+    ra, attrs_a = prep(a, sa)
+    rb, attrs_b = prep(b, sb)
+
+    def bounds_of(df: DataFrame) -> DataFrame:
+        lo = df.select(*keys, F.col(valid_from).alias("_p"))
+        hi = df.where(F.col(valid_to).isNotNull()).select(
+            *keys, (F.col(valid_to) + F.lit(1)).alias("_p")
+        )
+        return lo.unionAll(hi)
+
+    bounds = bounds_of(a).unionAll(bounds_of(b)).distinct()
+    w = Window.partitionBy(*keys).orderBy(F.col("_p"))
+    cand = bounds.select(
+        *keys,
+        F.col("_p"),
+        (F.lead("_p").over(w) - F.lit(1)).alias("_q"),
+    )
+    j = point_in_time_join(
+        cand, ra, on, "_p",
+        valid_from=f"_vf{sa}", valid_to=f"_vt{sa}",
+    )
+    j = point_in_time_join(
+        j, rb, on, "_p",
+        valid_from=f"_vf{sb}", valid_to=f"_vt{sb}",
+    )
+    covered = (
+        F.col(f"_vf{sa}").isNotNull() | F.col(f"_vf{sb}").isNotNull()
+    )
+    return j.where(covered).select(
+        *keys,
+        F.col("_p").alias(valid_from),
+        F.col("_q").alias(valid_to),
+        *attrs_a,
+        *attrs_b,
     )

@@ -180,3 +180,48 @@ def test_mutual_best_match_tie_determinism(spark):
         for r in mutual_best_match(pairs.repartition(7, "id_to")).collect()
     }
     assert got_rp == expect
+
+
+def test_pr_sweep_matches_pr_curve(spark):
+    """Distributed pr_sweep equals the driver-side pr_curve on the
+    same 1e-3 bucket grid; confusion integers are exact; empty
+    denominators report 0.0; validation rejects n<1."""
+    import pytest
+
+    from capelinker_spark.operators.predict import pr_curve, pr_sweep
+
+    rows = [
+        (k, ((k * 7) % 700 + (300 if k % 3 == 0 else 0)) / 1000.0,
+         k % 3 == 0)
+        for k in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, predicted double, correct boolean"
+    )
+    n = 20
+    got = {
+        r["threshold"]: (r["tp"], r["fp"], r["fn"],
+                         r["precision"], r["recall"], r["f1"])
+        for r in pr_sweep(df, n).collect()
+    }
+    want = pr_curve(df, thresholds=[i / n for i in range(n)])
+    assert len(got) == n
+    for w in want:
+        g = got[w["threshold"]]
+        # integer cells define the floats; compare on the quantized grid
+        import math
+
+        def q6(x):
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        assert g[3] == q6(w["precision"]) and g[4] == q6(w["recall"])
+        assert g[5] == q6(
+            2 * g[0] / (2 * g[0] + g[1] + g[2]) if (g[0] or g[1] or g[2])
+            else 0.0
+        )
+    # threshold 0.95: only scores > 0.95 counted (all positives there)
+    assert got[0.95][1] == 0 or got[0.95][3] > 0.9
+    with pytest.raises(ValueError):
+        pr_sweep(df, 0)
+    plan = pr_sweep(df, n)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

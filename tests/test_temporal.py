@@ -402,3 +402,47 @@ def test_point_in_time_join_plan_and_suffix(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_scd2_merge_refined_timeline(spark):
+    """Two histories stitch onto the boundary-refined timeline:
+    one-side-only segments carry NULLs for the absent side, gaps
+    covered by neither vanish, the open current version yields an
+    open final interval, and a key present on only one side works."""
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.operators.temporal import scd2_merge
+
+    dim_a = spark.createDataFrame(
+        [(1, 0, 4, "x"), (1, 5, None, "y"), (3, 10, 12, "z")],
+        "id long, valid_from long, valid_to long, st string",
+    )
+    dim_b = spark.createDataFrame(
+        [(1, 2, 7, "p"), (2, 0, 1, "q")],
+        "id long, valid_from long, valid_to long, pri string",
+    )
+    got = {
+        (r["id"], r["valid_from"]): (
+            r["valid_to"], r["st_a"], r["pri_b"]
+        )
+        for r in scd2_merge(dim_a, dim_b, "id").collect()
+    }
+    want = {
+        (1, 0): (1, "x", None),     # A only
+        (1, 2): (4, "x", "p"),      # both
+        (1, 5): (7, "y", "p"),      # A's new version, B still valid
+        (1, 8): (None, "y", None),  # open current, B expired
+        (2, 0): (1, None, "q"),     # key only in B
+        (3, 10): (12, "z", None),   # key only in A, closed
+    }
+    assert got == want
+    # boundary 13 (= 12+1) starts a covered-by-neither interval: absent
+    assert (3, 13) not in got
+
+    plan = (
+        scd2_merge(dim_a, dim_b, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

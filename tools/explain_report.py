@@ -378,6 +378,30 @@ def main():
         _fmt(ir2),
     ))
 
+    tm6 = QUERIES["tm6_scd2_merge"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "SCD-2 timeline stitching (tm6)",
+        "Look for: the boundary-union distinct and lead window, then "
+        "TWO as-of union-tag-window blocks (`last(_payload, true)`) — "
+        "one per input history — each riding a hashpartitioning(id) "
+        "exchange, with NO join node, no `BroadcastNestedLoopJoin` "
+        "(what a naive interval-containment join would plan), and no "
+        "interval explosion.",
+        _fmt(tm6),
+    ))
+
+    m9 = QUERIES["m9_pr_sweep"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Distributed PR threshold sweep (m9)",
+        "Look for: ONE partial→final `HashAggregate` pair over the "
+        "scored corpus (<=1000 bucket rows), a `BroadcastExchange` of "
+        "the 20-row threshold grid feeding a nested-loop join that is "
+        "bounded by buckets x thresholds (not the corpus), and one "
+        "tiny final aggregate — the corpus is scanned once for the "
+        "whole sweep.",
+        _fmt(m9),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
