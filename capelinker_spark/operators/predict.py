@@ -353,3 +353,107 @@ def pr_sweep(
         rec.alias("recall"),
         f1.alias("f1"),
     )
+
+
+def isotonic_calibration_table(
+    dat: DataFrame,
+    label_col: str = "correct",
+    score_col: str = "predicted",
+    n_bins: int = 1000,
+) -> "list[dict]":
+    """Isotonic score calibration by pool-adjacent-violators (PAV,
+    Zadrozny & Elkan KDD'02) — turn a classifier's raw scores into
+    calibrated match PROBABILITIES, the step between m1-style scoring
+    and any pipeline that thresholds on "P(match) ≥ 0.9" or feeds
+    posterior-weighted review queues. Isotonic (vs Platt) assumes only
+    monotonicity, which is the right fit for rank-style linkage scores.
+
+    Scale split (the FS-EM / BPE-trainer discipline): the ONE
+    distributed stage is a score-bucket histogram — a single map-side-
+    combinable hash-aggregate collapsing any corpus into ≤ ``n_bins``
+    (positives, total) rows; PAV then runs driver-side over that
+    bounded histogram in O(n_bins). Calibrated probabilities are exact
+    block rationals pos/total quantized floor(p·10⁶ + 0.5)/10⁶ (the
+    f16 rule — integer ratios CAN terminate at decimal
+    half-boundaries).
+
+    Returns the calibration table as a list of dicts
+    ``{bucket_lo, bucket_hi, prob}`` (stepwise-constant blocks, POOLED
+    until monotone non-decreasing, block probability = pooled
+    positives / pooled total). Apply with :func:`apply_calibration`.
+
+    Buckets follow the module convention ``least(floor(score·1000),
+    999)`` when ``n_bins=1000`` — generally ``least(floor(score·n),
+    n−1)`` for scores in [0, 1]."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    y = F.col(label_col).cast("boolean")
+    rows = (
+        dat.groupBy(b.alias("_b"))
+        .agg(
+            F.sum(y.cast("long")).alias("_pos"),
+            F.count("*").cast("long").alias("_n"),
+        )
+        .orderBy("_b")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty input — nothing to calibrate")
+    # PAV: merge adjacent blocks while a block's rate drops below its
+    # predecessor's; exact integer pooling (no float averaging drift)
+    blocks: list[list[int]] = []  # [lo, hi, pos, n]
+    for r in rows:
+        blocks.append([r["_b"], r["_b"], r["_pos"], r["_n"]])
+        while (
+            len(blocks) > 1
+            and blocks[-2][2] * blocks[-1][3]
+            >= blocks[-1][2] * blocks[-2][3]  # rate[-2] >= rate[-1]
+        ):
+            lo, _, p1, n1 = blocks.pop(-2)
+            blocks[-1][0] = lo
+            blocks[-1][2] += p1
+            blocks[-1][3] += n1
+    import math
+
+    return [
+        {
+            "bucket_lo": lo,
+            "bucket_hi": hi,
+            "prob": math.floor(pos / n * 1e6 + 0.5) / 1e6,
+        }
+        for lo, hi, pos, n in blocks
+    ]
+
+
+def apply_calibration(
+    dat: DataFrame,
+    table: "list[dict]",
+    score_col: str = "predicted",
+    out_col: str = "calibrated",
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Attach calibrated probabilities from an
+    :func:`isotonic_calibration_table` — the block bounds and
+    probabilities become ONE literal CASE chain over the score bucket
+    (blocks after PAV are few — typically 10-100 — so this stays far
+    below the janino 64 KB codegen cliff that killed the cu5 CASE
+    form; a 1000-arm chain would not, and would need the broadcast-
+    table join instead). Scores outside every block (possible when
+    applying to NEW data whose buckets were empty in training) clamp
+    to the nearest block's probability — the standard isotonic
+    extension."""
+    if not table:
+        raise ValueError("empty calibration table")
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    expr = F.lit(float(table[-1]["prob"]))  # above all blocks -> last
+    for blk in reversed(table):
+        expr = F.when(
+            b <= F.lit(int(blk["bucket_hi"])), F.lit(float(blk["prob"]))
+        ).otherwise(expr)
+    # below the first block the first WHEN already catches (b <= hi_0)
+    return dat.withColumn(out_col, expr)

@@ -225,3 +225,48 @@ def test_pr_sweep_matches_pr_curve(spark):
         pr_sweep(df, 0)
     plan = pr_sweep(df, n)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_isotonic_calibration_pav(spark):
+    """PAV pools the violating middle buckets (0, .75, .25, 1 ->
+    0, .5, .5, 1), probabilities are monotone, the weighted mean
+    equals the global positive rate, and apply_calibration clamps
+    unseen buckets to the nearest block."""
+    import pytest
+
+    from capelinker_spark.operators.predict import (
+        apply_calibration,
+        isotonic_calibration_table,
+    )
+
+    rows = []
+    for b, pos in [(0, 0), (1, 3), (2, 1), (3, 4)]:
+        for i in range(4):
+            rows.append((b / 10 + 0.05, i < pos))
+    df = spark.createDataFrame(rows, "predicted double, correct boolean")
+    table = isotonic_calibration_table(df, n_bins=10)
+    assert [
+        (t["bucket_lo"], t["bucket_hi"], t["prob"]) for t in table
+    ] == [(0, 0, 0.0), (1, 2, 0.5), (3, 3, 1.0)]
+    probs = [t["prob"] for t in table]
+    assert probs == sorted(probs)                      # isotonic
+    # weighted mean preserved: (0*4 + .5*8 + 1*4)/16 = 8/16
+    assert sum(
+        p * w for p, w in zip(probs, [4, 8, 4])
+    ) / 16 == pytest.approx(8 / 16)
+
+    applied = apply_calibration(
+        spark.createDataFrame(
+            [(0.05,), (0.15,), (0.25,), (0.35,), (0.95,)], "predicted double"
+        ),
+        table,
+        n_bins=10,
+    ).collect()
+    got = {round(r["predicted"], 2): r["calibrated"] for r in applied}
+    assert got == {0.05: 0.0, 0.15: 0.5, 0.25: 0.5, 0.35: 1.0,
+                   0.95: 1.0}  # 0.95: unseen bucket clamps to last block
+
+    with pytest.raises(ValueError):
+        isotonic_calibration_table(df.limit(0))
+    with pytest.raises(ValueError):
+        apply_calibration(df, [])
