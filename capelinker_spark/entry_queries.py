@@ -24,6 +24,7 @@ from capelinker_spark.functions.strdist import gk, jw_udf, soundex_dist
 from capelinker_spark.operators import dedup as DD
 from capelinker_spark.operators import simsearch as SS
 from capelinker_spark.operators import textstats as TS
+from capelinker_spark.operators import webtext as WT
 from capelinker_spark.operators.cluster import connected_components, expand_index
 
 # ---------------------------------------------------------------------------
@@ -1218,6 +1219,107 @@ def ts10_collapse_repeated_lines(spark, sf_dir):
     )
     return lined.select(
         "doc_id", TS.collapse_repeated_lines(F.col("t")).alias("collapsed")
+    )
+
+
+# ts11 planted HTML: fragments shared verbatim by the Spark builder and
+# the SQL mirror so the two constructions are byte-identical. The style
+# and script bodies contain bare '<' / '>' / braces — the extraction is
+# only correct if block-drop runs BEFORE the generic tag strip.
+_TS11_STYLE = '<style type="text/css">p > em {color:#fff; content:"a<b"}</style>'
+_TS11_SCRIPT = '<script>if (1 < 2 && x > 0) { nav("menu"); }</script>'
+_TS11_COMMENT = '<!-- boilerplate\nnav menu -->'
+_TS11_ENT = ' &amp; more &lt;tags&gt; &quot;quoted&quot; &#39;s&#39;&nbsp;end</p>'
+
+_TS11_HTML_SQL = (
+    "'<html><head><title>' || substr(coalesce(text, ''), 1, 60) || '</title>' || "
+    f"CASE WHEN doc_id % 4 = 0 THEN '{_TS11_STYLE}' ELSE '' END || "
+    f"CASE WHEN doc_id % 3 = 0 THEN '{_TS11_SCRIPT}' ELSE '' END || "
+    "'</head><body>' || "
+    f"CASE WHEN doc_id % 5 = 0 THEN '{_TS11_COMMENT}' ELSE '' END || "
+    "'<h1 id=\"t\">' || substr(coalesce(text, ''), 1, 60) || "
+    "'</h1><p class=\"lead\">' || substr(coalesce(text, ''), 61, 80) || "
+    f"'{_TS11_ENT}' || "
+    "'<div><ul><li>item one</li><li>' || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'even<br>row' ELSE 'odd<br />row' END || "
+    "'</li></ul></div><p>' || substr(coalesce(text, ''), 141, 2000) || "
+    "'</p><footer>fin</footer></body></html>'"
+)
+
+
+def _ts11_html_spark(text, doc_id):
+    t = F.coalesce(text, F.lit(""))
+    a = F.substring(t, 1, 60)
+    b = F.substring(t, 61, 80)
+    tail = F.substring(t, 141, 2000)
+    return F.concat(
+        F.lit("<html><head><title>"), a, F.lit("</title>"),
+        F.when(doc_id % 4 == 0, F.lit(_TS11_STYLE)).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.lit(_TS11_SCRIPT)).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(doc_id % 5 == 0, F.lit(_TS11_COMMENT)).otherwise(F.lit("")),
+        F.lit('<h1 id="t">'), a, F.lit('</h1><p class="lead">'), b,
+        F.lit(_TS11_ENT),
+        F.lit("<div><ul><li>item one</li><li>"),
+        F.when(doc_id % 2 == 0, F.lit("even<br>row")).otherwise(
+            F.lit("odd<br />row")
+        ),
+        F.lit("</li></ul></div><p>"), tail,
+        F.lit("</p><footer>fin</footer></body></html>"),
+    )
+
+
+@register(
+    "ts11_html_extract",
+    f"""WITH h AS (SELECT doc_id, {_TS11_HTML_SQL} AS html FROM documents),
+        s1 AS (SELECT doc_id,
+                 regexp_replace(html, '{WT.HTML_DROP_BLOCKS}', '', 'g') AS t
+               FROM h),
+        s2 AS (SELECT doc_id,
+                 regexp_replace(t, '{WT.HTML_COMMENT}', '', 'g') AS t
+               FROM s1),
+        s3 AS (SELECT doc_id,
+                 regexp_replace(t, '{WT.HTML_BREAKS}', chr(10), 'g') AS t
+               FROM s2),
+        s4 AS (SELECT doc_id,
+                 regexp_replace(t, '{WT.HTML_TAG}', '', 'g') AS t
+               FROM s3),
+        s5 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
+               FROM s4),
+        s6 AS (SELECT doc_id,
+                 regexp_replace(t, '[ \\t]+', ' ', 'g') AS t
+               FROM s5)
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 list_filter(
+                   list_transform(string_split_regex(t, '\\r*\\n'),
+                                  x -> trim(x)),
+                   x -> x != ''),
+                 chr(10)), '') AS extracted
+        FROM s6""",
+)
+def ts11_html_extract(spark, sf_dir):
+    """HTML → text extraction (webtext.html_to_text) — the webtext front
+    end that produces the ``documents`` table every downstream operator
+    consumes. Planted HTML wraps each doc's text in head/title/h1/p/list
+    structure with id-dependent script, style and multi-line comment
+    blocks (whose bodies contain bare '<'/'>' — extraction is only
+    byte-correct if block-drop precedes the generic tag strip), the full
+    entity table, and both <br> spellings. Zero Python in the plan:
+    4 regexp_replace + 6 replace + one higher-order trim/filter/join.
+    Oracle runs the SAME patterns (dialect-portable: no \\s, no
+    backreferences, inline (?is) only) step-by-step in DuckDB; EXTRACTED
+    TEXT compared byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        _ts11_html_spark(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    return h.select(
+        "doc_id", WT.html_to_text(F.col("html")).alias("extracted")
     )
 
 

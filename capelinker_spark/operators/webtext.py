@@ -1,0 +1,259 @@
+"""Webtext ingestion: HTML-to-text extraction and WARC record parsing.
+
+The reference package links person records (rijpma/capelinker R/*.R); a
+web-scale corpus pipeline additionally has to get from crawled bytes to
+the ``documents``-shaped text table every downstream operator (dedup,
+quality, curation) consumes.  This module supplies that front end:
+
+* :func:`html_to_text` — tag/script/comment stripping, a fixed entity
+  table, and line-structure normalization, ALL native column expressions
+  (regexp_replace / replace / split / higher-order lambdas), portable to
+  an ANSI-SQL oracle byte-for-byte.  It is a regexp extractor, not an
+  HTML5 parser: attribute values containing a literal ``>`` and CDATA
+  sections are out of scope (documented), which matches the
+  boilerplate-strip tier of public corpus recipes (C4 strips tags the
+  same way before line filtering).
+* WARC: :func:`split_warc_records` / :func:`build_warc` — a pure-bytes
+  splitter/writer pair for the ISO 28500 record framing used by Common
+  Crawl, plus :func:`warc_to_documents`, the distributed Arrow tier
+  (``mapInPandas`` over a binary column, one pass, no driver collect).
+  Same two-tier shape as ``media_avi.py`` (RIFF walker → codec): the
+  byte-format walker is plain Python verified by round-trip pytest, the
+  Spark seam is schema-stable and batch-shaped for 100-TB scan fan-out.
+
+Regex-dialect rules honored (engine-wide conventions, see
+``textstats.WS_SPLIT``): no ``\\s``, no backreferences (RE2 lacks them —
+script/style alternation is spelled out), no bare ``$`` after content
+that can end in ``\\r``; inline ``(?is)`` flags only, which Java regex
+and RE2 share.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+# script/style elements drop with their CONTENT (their bodies are code,
+# and legitimately contain bare '<' / '>' that the generic tag strip
+# must never see).  RE2 has no backreferences, so the close tag is
+# spelled per element instead of </\1>.
+HTML_DROP_BLOCKS = (
+    "(?is)<script\\b[^>]*>.*?</script[ \\t]*>"
+    "|<style\\b[^>]*>.*?</style[ \\t]*>"
+)
+HTML_COMMENT = "(?s)<!--.*?-->"
+# Block-level closers and <br> become newlines BEFORE the generic strip,
+# so paragraph structure survives as line structure.
+HTML_BREAKS = "(?i)<br[ \\t]*/?[ \\t]*>|</(p|div|h[1-6]|li|tr|ul|ol|table|blockquote)[ \\t]*>"
+HTML_TAG = "<[^>]*>"
+# Fixed entity table, decoded AFTER tag stripping (the '<' produced by
+# &lt; is text, never re-parsed as markup).  '&amp;' decodes LAST so
+# double-encoded '&amp;lt;' yields the literal text '&lt;'.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract readable text from an HTML string column.
+
+    Pipeline (each step a native expression; zero Python in the plan):
+    drop script/style with content → drop comments → block closers and
+    <br> to '\\n' → strip remaining tags → decode the fixed entity
+    table ('&amp;' last) → collapse space/tab runs → trim every line,
+    drop empty lines, rejoin with '\\n' (LF-normalized).  NULL html →
+    NULL out.  Mirrored token-for-token by the ts11 DuckDB oracle."""
+    t = F.regexp_replace(col, HTML_DROP_BLOCKS, "")
+    t = F.regexp_replace(t, HTML_COMMENT, "")
+    t = F.regexp_replace(t, HTML_BREAKS, "\n")
+    t = F.regexp_replace(t, HTML_TAG, "")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    lines = F.split(t, "\r*\n")
+    kept = F.filter(
+        F.transform(lines, lambda x: F.trim(x)), lambda x: x != ""
+    )
+    return F.array_join(kept, "\n")
+
+
+def extract_html(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """Column-level convenience wrapper: df + ``out_col`` extracted from
+    ``html_col``.  Narrow (no shuffle); composes with CurationPipeline's
+    cleaned stage as the step before quality scoring."""
+    return df.withColumn(out_col, html_to_text(F.col(html_col)))
+
+
+# ---------------------------------------------------------------------------
+# WARC record framing (ISO 28500; the Common Crawl container)
+# ---------------------------------------------------------------------------
+
+_CRLF = b"\r\n"
+_SEP = b"\r\n\r\n"
+
+
+def build_warc(records: Iterable[dict]) -> bytes:
+    """Serialize records to WARC/1.0 bytes.  Each record dict:
+    ``{"type": "response", "uri": str|None, "record_id": str,
+    "date": str, "payload": bytes, "extra": dict[str,str]|None}``.
+    Framing per the spec: named headers + Content-Length, blank line,
+    payload, TWO CRLFs between records.  The writer exists so the
+    splitter can be round-trip-tested without fixture files on disk."""
+    out = bytearray()
+    for r in records:
+        payload = r["payload"]
+        headers = [
+            b"WARC/1.0",
+            b"WARC-Type: " + r.get("type", "response").encode(),
+            b"WARC-Record-ID: <" + r["record_id"].encode() + b">",
+            b"WARC-Date: " + r.get("date", "2025-01-01T00:00:00Z").encode(),
+        ]
+        if r.get("uri") is not None:
+            headers.append(b"WARC-Target-URI: " + r["uri"].encode())
+        for k, v in (r.get("extra") or {}).items():
+            headers.append(k.encode() + b": " + v.encode())
+        headers.append(b"Content-Length: " + str(len(payload)).encode())
+        out += _CRLF.join(headers) + _SEP + payload + _SEP
+    return bytes(out)
+
+
+def split_warc_records(data: bytes) -> list[dict]:
+    """Walk WARC bytes into records: ``{"type", "uri", "record_id",
+    "date", "headers": dict, "payload": bytes}``.  Content-Length-driven
+    (payload may contain 'WARC/1.0' bytes — never split by marker
+    scanning), tolerant of trailing garbage shorter than a header;
+    raises ValueError on a malformed header block or a truncated
+    payload, mirroring the media_avi error contract."""
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"expected WARC version marker at byte {pos}"
+            )
+        head_end = data.find(_SEP, pos)
+        if head_end < 0:
+            raise ValueError("unterminated WARC header block")
+        head_lines = data[pos:head_end].split(_CRLF)
+        headers: dict[str, str] = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            if not _:
+                raise ValueError(f"malformed WARC header line: {line!r}")
+            headers[k.strip().decode()] = v.strip().decode()
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC record missing valid Content-Length")
+        body_start = head_end + len(_SEP)
+        if body_start + length > n:
+            raise ValueError("truncated WARC payload")
+        rid = headers.get("WARC-Record-ID", "").strip("<>")
+        records.append(
+            {
+                "type": headers.get("WARC-Type", ""),
+                "uri": headers.get("WARC-Target-URI"),
+                "record_id": rid,
+                "date": headers.get("WARC-Date", ""),
+                "headers": headers,
+                "payload": data[body_start : body_start + length],
+            }
+        )
+        pos = body_start + length
+    return records
+
+
+def split_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """Split an HTTP/1.x response payload (the body of a WARC *response*
+    record) into (status, headers, body).  Raises ValueError when the
+    payload is not HTTP-shaped — callers route non-response records
+    around it."""
+    sep = payload.find(_SEP)
+    if sep < 0 or not payload.startswith(b"HTTP/"):
+        raise ValueError("payload is not an HTTP/1.x response")
+    lines = payload[:sep].split(_CRLF)
+    parts = lines[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError(f"malformed HTTP status line: {lines[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        if _:
+            headers[k.strip().decode().lower()] = v.strip().decode()
+    return status, headers, payload[sep + len(_SEP) :]
+
+
+_WARC_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("record_id", T.StringType()),
+        T.StructField("uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("html", T.StringType()),
+    ]
+)
+
+
+def warc_to_documents(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Distributed WARC → document rows: ``mapInPandas`` over a binary
+    column of WARC files (e.g. ``spark.read.format('binaryFile')``),
+    one Arrow batch pass per file, emitting one row per *response*
+    record with an HTTP payload (status, content-type, decoded body;
+    non-response records and non-HTTP payloads are skipped — request /
+    metadata records carry no document text).  Bodies decode as UTF-8
+    with replacement (crawl reality).  The splitter is Content-Length-
+    driven, so a 1-GiB WARC costs one linear walk; at 100 TB the unit of
+    parallelism is the WARC file, exactly how Common Crawl shards."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[content_col]:
+                for rec in split_warc_records(bytes(blob)):
+                    if rec["type"] != "response":
+                        continue
+                    try:
+                        status, hdrs, body = split_http_response(
+                            rec["payload"]
+                        )
+                    except ValueError:
+                        continue
+                    rows.append(
+                        (
+                            rec["record_id"],
+                            rec["uri"],
+                            rec["date"],
+                            status,
+                            hdrs.get("content-type", ""),
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WARC_DOC_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(gen, _WARC_DOC_SCHEMA)

@@ -1,0 +1,201 @@
+"""webtext: HTML→text extraction vectors and WARC record framing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capelinker_spark.operators.webtext import (
+    build_warc,
+    html_to_text,
+    split_http_response,
+    split_warc_records,
+    warc_to_documents,
+)
+
+
+def _extract(spark, html: str | None) -> str | None:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text(F.col("html")).alias("t")).first()["t"]
+
+
+class TestHtmlToText:
+    def test_basic_structure(self, spark):
+        html = "<html><body><h1>Title</h1><p>One two.</p><p>Three.</p></body></html>"
+        assert _extract(spark, html) == "Title\nOne two.\nThree."
+
+    def test_script_and_style_dropped_with_content(self, spark):
+        # script/style bodies contain bare < and > — they must vanish
+        # BEFORE the generic tag strip ever sees them
+        html = (
+            '<head><style>p > a {x:"a<b"}</style>'
+            "<script>if (1 < 2 && x > 0) { go(); }</script></head>"
+            "<body><p>kept</p></body>"
+        )
+        assert _extract(spark, html) == "kept"
+
+    def test_multiline_comment_dropped(self, spark):
+        html = "<p>a</p><!-- nav\nmenu\nfooter --><p>b</p>"
+        assert _extract(spark, html) == "a\nb"
+
+    def test_br_variants_break_lines(self, spark):
+        assert _extract(spark, "x<br>y<br/>z<br />w") == "x\ny\nz\nw"
+
+    def test_entities_decode_after_strip(self, spark):
+        # &lt;em&gt; decodes to literal <em> text, never re-parsed as a tag;
+        # double-encoded &amp;lt; yields the literal string &lt;
+        html = "<p>Fish &amp; chips &lt;em&gt; &quot;q&quot; &#39;s&#39;&nbsp;end &amp;lt;</p>"
+        assert (
+            _extract(spark, html) == "Fish & chips <em> \"q\" 's' end &lt;"
+        )
+
+    def test_whitespace_collapse_and_empty_lines(self, spark):
+        html = "<p>  a\t\tb  </p><p>   </p><p>c</p>"
+        assert _extract(spark, html) == "a b\nc"
+
+    def test_null_and_empty(self, spark):
+        assert _extract(spark, None) is None
+        assert _extract(spark, "") == ""
+        assert _extract(spark, "<p></p><div></div>") == ""
+
+    def test_plan_is_native(self, spark):
+        df = spark.createDataFrame([("<p>x</p>",)], "html string")
+        plan = (
+            df.select(html_to_text(F.col("html")))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def _http(body: bytes, ctype: str = "text/html") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + ctype.encode()
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+
+
+def _recs():
+    return [
+        {
+            "type": "warcinfo",
+            "uri": None,
+            "record_id": "uuid:info",
+            "date": "2025-01-01T00:00:00Z",
+            "payload": b"software: test",
+        },
+        {
+            "type": "request",
+            "uri": "http://a.example/p",
+            "record_id": "uuid:req1",
+            "date": "2025-01-01T00:00:01Z",
+            "payload": b"GET /p HTTP/1.1\r\nHost: a.example\r\n\r\n",
+        },
+        {
+            "type": "response",
+            "uri": "http://a.example/p",
+            "record_id": "uuid:resp1",
+            "date": "2025-01-01T00:00:01Z",
+            # payload deliberately contains the record marker bytes:
+            # a marker-scanning splitter would cut this record in half
+            "payload": _http(b"<p>body with WARC/1.0\r\n\r\nmarker</p>"),
+        },
+        {
+            "type": "response",
+            "uri": "http://b.example/q",
+            "record_id": "uuid:resp2",
+            "date": "2025-01-01T00:00:02Z",
+            "payload": _http("<h1>Título</h1>".encode(), "text/html; charset=utf-8"),
+        },
+        {
+            "type": "response",
+            "uri": "http://c.example/r",
+            "record_id": "uuid:resp3",
+            "date": "2025-01-01T00:00:03Z",
+            # non-HTTP payload: skipped by warc_to_documents
+            "payload": b"not an http response",
+        },
+    ]
+
+
+class TestWarcFraming:
+    def test_round_trip(self):
+        recs = _recs()
+        parsed = split_warc_records(build_warc(recs))
+        assert len(parsed) == len(recs)
+        for want, got in zip(recs, parsed):
+            assert got["type"] == want["type"]
+            assert got["uri"] == want["uri"]
+            assert got["record_id"] == want["record_id"]
+            assert got["payload"] == want["payload"]
+
+    def test_content_length_driven_not_marker_scanned(self):
+        parsed = split_warc_records(build_warc(_recs()))
+        assert b"WARC/1.0\r\n\r\nmarker" in parsed[2]["payload"]
+
+    def test_truncated_payload_raises(self):
+        data = build_warc(_recs())
+        with pytest.raises(ValueError, match="truncated"):
+            split_warc_records(data[:-20])
+
+    def test_bad_marker_raises(self):
+        with pytest.raises(ValueError, match="version marker"):
+            split_warc_records(b"NOT-A-WARC\r\n\r\n")
+
+    def test_missing_content_length_raises(self):
+        blob = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nxx"
+        with pytest.raises(ValueError, match="Content-Length"):
+            split_warc_records(blob)
+
+    def test_http_split(self):
+        status, headers, body = split_http_response(_http(b"<p>x</p>"))
+        assert status == 200
+        assert headers["content-type"] == "text/html"
+        assert body == b"<p>x</p>"
+        with pytest.raises(ValueError):
+            split_http_response(b"junk")
+        with pytest.raises(ValueError, match="status line"):
+            split_http_response(b"HTTP/1.1 abc\r\n\r\n")
+
+
+class TestWarcToDocuments:
+    def test_e2e_with_extraction(self, spark):
+        # two WARC "files", several records each → documents → html_to_text:
+        # the full crawl-bytes → text-table front end in one plan
+        f1 = build_warc(_recs())
+        f2 = build_warc(
+            [
+                {
+                    "type": "response",
+                    "uri": "http://d.example/s",
+                    "record_id": "uuid:resp4",
+                    "date": "2025-01-02T00:00:00Z",
+                    "payload": _http(
+                        b"<html><body><h1>Doc4</h1><p>alpha beta</p></body></html>"
+                    ),
+                }
+            ]
+        )
+        df = spark.createDataFrame(
+            [(bytearray(f1),), (bytearray(f2),)], "content binary"
+        )
+        docs = warc_to_documents(df)
+        out = {
+            r["record_id"]: r
+            for r in docs.withColumn(
+                "text", html_to_text(F.col("html"))
+            ).collect()
+        }
+        # warcinfo/request/non-HTTP records skipped; 3 documents survive
+        assert set(out) == {"uuid:resp1", "uuid:resp2", "uuid:resp4"}
+        assert out["uuid:resp2"]["uri"] == "http://b.example/q"
+        assert out["uuid:resp2"]["http_status"] == 200
+        assert out["uuid:resp2"]["text"] == "Título"
+        assert out["uuid:resp4"]["text"] == "Doc4\nalpha beta"
+        assert out["uuid:resp1"]["content_type"] == "text/html"
