@@ -5451,6 +5451,251 @@ def tm6_scd2_merge(spark, sf_dir):
     return scd2_merge(dim_a, dim_b, "id")
 
 
+# wt2/wt3 planted pages: a deterministic base URL plus HTML whose anchors
+# cover every resolve_href arm — absolute http(s), root-relative (single-
+# quoted href), path-relative with a query, protocol-relative, fragment-only,
+# mailto:, ftp: (even ids), and an href-less <a>. Fragments shared verbatim
+# by the Spark builder and the SQL mirror so the constructions are
+# byte-identical.
+
+_WT2_BASE_SQL = (
+    "'https://w' || (doc_id % 13)::VARCHAR || '.example/d' || "
+    "(doc_id % 5)::VARCHAR || '/page' || doc_id::VARCHAR || '.html'"
+)
+
+_WT2_HTML_SQL = (
+    "'<html><body><p>See <a href=\"https://site' || "
+    "((doc_id * 7) % 23)::VARCHAR || '.example/p/' || "
+    "(doc_id % 97)::VARCHAR || '.html\">Partner ' || "
+    "substr(coalesce(text, ''), 1, 16) || "
+    "' &amp; <b>Co</b></a> here.</p>' || "
+    "'<a href=''/idx/' || (doc_id % 10)::VARCHAR || '.html''>home</a>' || "
+    "'<a href=\"rel/' || (doc_id % 4)::VARCHAR || '.html?q=' || "
+    "(doc_id % 3)::VARCHAR || '\">next  page</a>' || "
+    "'<a href=\"//cdn' || (doc_id % 4)::VARCHAR || "
+    "'.example/lib.js\">cdn</a>' || "
+    "'<a href=\"#top\">top</a><a href=\"mailto:x@y.example\">mail</a>' || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN '<a href=\"ftp://files.example/f\">ftp</a>' ELSE '' END || "
+    "'<a name=\"noref\">skip</a></body></html>'"
+)
+
+
+def _wt2_base_spark(i):
+    return F.concat(
+        F.lit("https://w"), (i % 13).cast("string"), F.lit(".example/d"),
+        (i % 5).cast("string"), F.lit("/page"), i.cast("string"),
+        F.lit(".html"),
+    )
+
+
+def _wt2_html_spark(text, i):
+    t = F.coalesce(text, F.lit(""))
+    return F.concat(
+        F.lit('<html><body><p>See <a href="https://site'),
+        ((i * 7) % 23).cast("string"), F.lit(".example/p/"),
+        (i % 97).cast("string"), F.lit('.html">Partner '),
+        F.substring(t, 1, 16), F.lit(" &amp; <b>Co</b></a> here.</p>"),
+        F.lit("<a href='/idx/"), (i % 10).cast("string"),
+        F.lit(".html'>home</a>"),
+        F.lit('<a href="rel/'), (i % 4).cast("string"), F.lit(".html?q="),
+        (i % 3).cast("string"), F.lit('">next  page</a>'),
+        F.lit('<a href="//cdn'), (i % 4).cast("string"),
+        F.lit('.example/lib.js">cdn</a>'),
+        F.lit('<a href="#top">top</a><a href="mailto:x@y.example">mail</a>'),
+        F.when(i % 2 == 0, F.lit('<a href="ftp://files.example/f">ftp</a>'))
+        .otherwise(F.lit("")),
+        F.lit('<a name="noref">skip</a></body></html>'),
+    )
+
+
+def _wt2_pages(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        _wt2_base_spark(i).alias("url"),
+        _wt2_html_spark(F.col("text"), i).alias("html"),
+    )
+
+
+@register("wt2_extract_links", None)
+def wt2_extract_links(spark, sf_dir):
+    """WT2: link extraction (webtext.links_from_html) — the web-graph
+    front end: one anchor scan per page → one row per out-link with the
+    href as written, the RFC 3986-lite RESOLVED absolute URL (absolute /
+    root-relative / path-relative / protocol-relative arms; fragment,
+    mailto:, javascript: and ftp: links dropped), and the markup-stripped
+    entity-decoded anchor text (the classic ER naming signal: anchor
+    text names the TARGET entity). Entirely narrow — regexp_extract_all
+    twice over one pattern, arrays_zip + explode, scalar resolve/strip
+    expressions; zero Python, zero shuffles: at 100 TB this is a
+    map-only pass over the crawl partitioning. Oracle mirrors every
+    step (list_zip + unnest; shared pattern/fragment constants)."""
+    links = WT.links_from_html(
+        _wt2_pages(spark, sf_dir), html_col="html", base_col="url"
+    )
+    return links.select("doc_id", "href", "link_url", "anchor")
+
+
+def _register_wt2_oracle() -> None:
+    pat = WT.HTML_ANCHOR.replace("'", "''")
+    ORACLES["wt2_extract_links"] = f"""WITH h AS (
+          SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT2_HTML_SQL} AS html
+          FROM documents),
+        arrs AS (SELECT doc_id, base,
+                   regexp_extract_all(html, '{pat}', 1) AS hs,
+                   regexp_extract_all(html, '{pat}', 2) AS bs
+                 FROM h),
+        ex AS (SELECT doc_id, base, unnest(list_zip(hs, bs)) AS z FROM arrs),
+        lk AS (SELECT doc_id, base,
+                 substr(z[1], 2, length(z[1]) - 2) AS href, z[2] AS body
+               FROM ex),
+        rs AS (SELECT doc_id, href,
+                 {WT.resolve_href_sql('base', 'href')} AS link_url,
+                 {WT.strip_markup_sql('body')} AS anchor
+               FROM lk)
+       SELECT doc_id, href, link_url, anchor FROM rs
+       WHERE link_url IS NOT NULL"""
+
+
+_register_wt2_oracle()
+
+
+def _wt3_pr_round(i: int, prev: str) -> str:
+    """One unrolled integer-PageRank oracle round (pr1's split-identity
+    recurrence, string-typed nodes)."""
+    return f"""s{i} AS (SELECT e.dst AS node,
+                     CAST(sum(r.r // o.deg) AS BIGINT) AS m
+              FROM edges e JOIN r{i - 1} r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+       r{i} AS (SELECT n.node,
+                     CAST(150000000000 + (COALESCE(m, 0) // 20) * 17
+                          + ((COALESCE(m, 0) % 20) * 17) // 20
+                          AS BIGINT) AS r
+              FROM nodes n LEFT JOIN s{i} USING (node))"""
+
+
+@register(
+    "wt3_host_pagerank",
+    f"""WITH raw AS (
+         SELECT 'w' || (doc_id % 13)::VARCHAR || '.example' AS src,
+                'site' || ((doc_id * 7) % 23)::VARCHAR || '.example' AS dst
+         FROM documents
+         UNION ALL
+         SELECT 'w' || (doc_id % 13)::VARCHAR || '.example',
+                'cdn' || (doc_id % 4)::VARCHAR || '.example'
+         FROM documents),
+       edges AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM raw WHERE src != dst),
+       nodes AS MATERIALIZED (SELECT src AS node FROM edges
+                              UNION SELECT dst FROM edges),
+       outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                               FROM edges GROUP BY src),
+       r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       {_wt3_pr_round(1, 'r0')},
+       {_wt3_pr_round(2, 'r1')}
+       SELECT node, r AS rank_scaled, r / 1000000000000.0 AS rank
+       FROM r2""",
+)
+def wt3_host_pagerank(spark, sf_dir):
+    """WT3: the end-to-end web-graph composition — planted crawl pages →
+    link extraction (wt2's exact path) → cross-host distinct edges
+    (webtext.host_edges; same-host navigation links dropped) →
+    integer-exact PageRank (cluster.pagerank, 2 iterations, string host
+    nodes). This is the crawl-prioritization / domain-authority signal
+    of a Common-Crawl-style pipeline, and the oracle is genuinely
+    independent: it constructs the EXPECTED host edges from doc_id
+    arithmetic (never running the extraction), so a single mis-resolved
+    or mis-hosted link anywhere in the wt2 path breaks the hash. Plan:
+    map-only extraction → one distinct hash-agg → pr1's
+    one-shuffle-per-iteration recurrence."""
+    from capelinker_spark.operators.cluster import pagerank
+
+    links = WT.links_from_html(
+        _wt2_pages(spark, sf_dir), html_col="html", base_col="url"
+    )
+    edges = WT.host_edges(links, base_col="base_url")
+    return pagerank(edges, src="src_host", dst="dst_host", iterations=2)
+
+
+@register("dd13_url_dedup_keep_latest", None)
+def dd13_url_dedup_keep_latest(spark, sf_dir):
+    """DD13: crawl-snapshot URL dedup (urls.dedup_urls_keep_latest) —
+    the multi-crawl collapse every Common-Crawl-style corpus starts
+    with: canonical key = normalize_url (case/port/utm/fragment/param-
+    order noise all planted), keep the NEWEST snapshot per canonical
+    URL (max capture time, deterministic min-doc_id tie-break), carry
+    the snapshot count. ONE shuffle: the count window and the
+    row_number window stack on the same hashpartitioning(canon_url)
+    exchange (dd12's stacked-window discipline). Capture times are
+    epoch-second LONGs (timestamp semantics without cross-engine
+    timezone hash risk)."""
+    from capelinker_spark.operators.urls import dedup_urls_keep_latest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    h = (i % 5).cast("string")
+    k = (i % 150).cast("string")
+    url = (
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("HTTP://H"), h, F.lit(".Example.COM:80/art/"),
+                     k, F.lit("?b=2&a=1#x")),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(F.lit("http://h"), h, F.lit(".example.com/art/"),
+                     k, F.lit("?utm_source=feed&a=1&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://H"), h, F.lit(".EXAMPLE.com/art/"),
+                     k, F.lit("?a=1&b=2")),
+        )
+    )
+    ts = (F.lit(1700000000) + (i * 37) % 100000).cast("long")
+    pages = d.select("doc_id", url.alias("url"), ts.alias("warc_ts_s"))
+    out = dedup_urls_keep_latest(
+        pages, url_col="url", ts_col="warc_ts_s", tie_col="doc_id"
+    )
+    return out.select(
+        "doc_id", "url", "canon_url", "warc_ts_s", "n_snapshots"
+    )
+
+
+def _register_dd13_oracle() -> None:
+    from capelinker_spark.operators.urls import normalize_url_sql
+
+    ORACLES["dd13_url_dedup_keep_latest"] = f"""WITH p AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                 THEN 'HTTP://H' || (doc_id % 5)::VARCHAR
+                      || '.Example.COM:80/art/' || (doc_id % 150)::VARCHAR
+                      || '?b=2&a=1#x'
+                 WHEN doc_id % 3 = 1
+                 THEN 'http://h' || (doc_id % 5)::VARCHAR
+                      || '.example.com/art/' || (doc_id % 150)::VARCHAR
+                      || '?utm_source=feed&a=1&b=2'
+                 ELSE 'http://H' || (doc_id % 5)::VARCHAR
+                      || '.EXAMPLE.com/art/' || (doc_id % 150)::VARCHAR
+                      || '?a=1&b=2' END AS url,
+            CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS warc_ts_s
+          FROM documents),
+        c AS (SELECT doc_id, url, {normalize_url_sql('url')} AS canon_url,
+                     warc_ts_s FROM p),
+        w AS (SELECT *,
+                CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT)
+                  AS n_snapshots,
+                row_number() OVER (PARTITION BY canon_url
+                  ORDER BY warc_ts_s DESC, doc_id ASC) AS rn
+              FROM c)
+       SELECT doc_id, url, canon_url, warc_ts_s, n_snapshots
+       FROM w WHERE rn = 1"""
+
+
+_register_dd13_oracle()
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

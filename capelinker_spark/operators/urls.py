@@ -171,3 +171,39 @@ def registrable_domain_sql(c: str) -> str:
              THEN ({labels})[-3] || '.' || ({last2})
         WHEN len({labels}) >= 2 THEN {last2}
         ELSE {host} END"""
+
+
+def dedup_urls_keep_latest(
+    df,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str = "doc_id",
+):
+    """Crawl-snapshot dedup — the multi-crawl collapse a Common-Crawl-
+    style corpus runs BEFORE content dedup: re-crawls of one resource
+    (same resource identity, noisy spelling) collapse to the NEWEST
+    snapshot.
+
+    Canonical key = :func:`normalize_url` of ``url_col``; within a key
+    the row with max ``ts_col`` wins, ties broken by min ``tie_col``
+    (deterministic under any partitioning).  The output carries
+    ``canon_url`` and ``n_snapshots`` (how many captures collapsed —
+    the re-crawl-frequency signal).
+
+    Plan: ONE shuffle — the count window and the row_number window
+    stack on the same ``hashpartitioning(canon_url)`` exchange.  At
+    100 TB the canonical key is the natural crawl-partition key, so
+    this exchange co-locates with everything downstream that joins or
+    groups on URL.
+    """
+    from pyspark.sql import Window
+
+    part = Window.partitionBy("canon_url")
+    w = part.orderBy(F.col(ts_col).desc(), F.col(tie_col).asc())
+    return (
+        df.withColumn("canon_url", normalize_url(F.col(url_col)))
+        .withColumn("n_snapshots", F.count(F.lit(1)).over(part))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -99,6 +99,183 @@ def extract_html(
 
 
 # ---------------------------------------------------------------------------
+# Link extraction (HTML anchors → resolved URLs + anchor text)
+# ---------------------------------------------------------------------------
+
+# One pattern, two capture groups: (1) the QUOTED href value (either
+# quote style; the quotes are stripped afterwards so a single
+# regexp_extract_all group index suffices on both engines), (2) the
+# anchor body up to the close tag (non-greedy; RE2 and Java agree).
+# <a> elements without an href (pure anchors) never match.
+HTML_ANCHOR = (
+    "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*"
+    "(\"[^\"]*\"|'[^']*')[^>]*>(.*?)</a[ \\t]*>"
+)
+# Absolute http(s) reference / any-scheme reference classifiers for
+# RFC 3986-lite resolution (see resolve_href).
+_ABS_HTTP = "(?i)^https?://"
+_ANY_SCHEME = "(?i)^[a-z][a-z0-9+.-]*:"
+_ORIGIN_RE = "(?i)^(https?://[^/?#]*)"
+_BASE_SCHEME_RE = "(?i)^(https?):"
+_BASE_DIR_RE = "^(.*/)"
+_HOST_OF_URL_RE = "(?i)^https?://([^/:?#]*)"
+
+
+def anchor_parts(col: Column) -> tuple[Column, Column]:
+    """(hrefs, bodies) — two equal-length arrays from one anchor scan.
+    Quotes are still on the hrefs; strip with ``_unquote``."""
+    return (
+        F.regexp_extract_all(col, F.lit(HTML_ANCHOR), F.lit(1)),
+        F.regexp_extract_all(col, F.lit(HTML_ANCHOR), F.lit(2)),
+    )
+
+
+def _unquote(h: Column) -> Column:
+    """Drop the surrounding quote pair captured by HTML_ANCHOR."""
+    return h.substr(F.lit(2), F.length(h) - 2)
+
+
+def strip_markup(col: Column) -> Column:
+    """Anchor-text cleanup: strip nested tags, decode the fixed entity
+    table, collapse ALL whitespace runs (including line breaks — anchor
+    text is single-line by definition) to one space, trim.  Mirrored
+    step-for-step by strip_markup_sql."""
+    t = F.regexp_replace(col, HTML_TAG, "")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, "[ \\t\\r\\n]+", " "))
+
+
+def strip_markup_sql(c: str) -> str:
+    """ANSI/DuckDB mirror of strip_markup over expression ``c``."""
+    t = f"regexp_replace({c}, '{HTML_TAG}', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({t}, '[ \\t\\r\\n]+', ' ', 'g'))"
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """RFC 3986-lite reference resolution of ``href`` against absolute
+    http(s) base URL ``base``, returning NULL for links a corpus
+    pipeline drops (fragments, empty hrefs, non-http(s) schemes such as
+    mailto:/javascript:/ftp:):
+
+    * absolute ``http(s)://…`` — kept verbatim;
+    * any OTHER scheme — NULL (the crawl frontier is http(s)-only);
+    * protocol-relative ``//host/…`` — base scheme prepended;
+    * root-relative ``/path`` — base origin prepended;
+    * fragment-only / empty — NULL (same document);
+    * everything else — relative: base directory (text up to the last
+      ``/``) prepended.
+
+    Documented deviations from full RFC 3986 (extraction-tier scope,
+    same stance as html_to_text vs an HTML5 parser): dot-segments
+    (``../``) are NOT collapsed — downstream URL normalization owns
+    canonical form — and a query-only reference (``?q=…``) resolves
+    against the base DIRECTORY rather than the full base path.
+    Precondition: ``base`` is absolute http(s) with a path (a crawl
+    record's WARC-Target-URI always is)."""
+    scheme = F.lower(F.regexp_extract(base, _BASE_SCHEME_RE, 1))
+    origin = F.regexp_extract(base, _ORIGIN_RE, 1)
+    basedir = F.regexp_extract(base, _BASE_DIR_RE, 1)
+    return (
+        F.when(href.rlike(_ABS_HTTP), href)
+        .when(href.rlike(_ANY_SCHEME), F.lit(None).cast("string"))
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(
+            href.startswith("#") | (F.length(href) == 0),
+            F.lit(None).cast("string"),
+        )
+        .otherwise(F.concat(basedir, href))
+    )
+
+
+def resolve_href_sql(base: str, href: str) -> str:
+    """ANSI/DuckDB mirror of resolve_href (expressions, not columns)."""
+    return f"""CASE
+        WHEN regexp_matches({href}, '{_ABS_HTTP}') THEN {href}
+        WHEN regexp_matches({href}, '{_ANY_SCHEME}') THEN NULL
+        WHEN {href} LIKE '//%'
+          THEN lower(regexp_extract({base}, '{_BASE_SCHEME_RE}', 1))
+               || ':' || {href}
+        WHEN {href} LIKE '/%'
+          THEN regexp_extract({base}, '{_ORIGIN_RE}', 1) || {href}
+        WHEN {href} LIKE '#%' OR {href} = '' THEN NULL
+        ELSE regexp_extract({base}, '{_BASE_DIR_RE}', 1) || {href}
+      END"""
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host (no port) of an absolute http(s) URL — the node
+    id of the host-level web graph.  Empty string for non-URL input."""
+    return F.lower(F.regexp_extract(col, _HOST_OF_URL_RE, 1))
+
+
+def url_host_sql(c: str) -> str:
+    return f"lower(regexp_extract({c}, '{_HOST_OF_URL_RE}', 1))"
+
+
+def links_from_html(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """The web-graph front end: one anchor scan per document → one row
+    per out-link with (href as written, resolved absolute link_url,
+    cleaned anchor text).  Dropped links (fragments, mailto:/javascript:
+    etc.) are filtered out.
+
+    Plan shape: entirely narrow — regexp_extract_all twice over the same
+    pattern (one logical scan; the optimizer CSEs the two calls),
+    arrays_zip + explode, then per-link scalar expressions.  Zero
+    Python, zero shuffles: at 100 TB link extraction is a map-only pass
+    over the crawl partitioning, and the host-graph aggregation
+    downstream is the first exchange."""
+    hrefs, bodies = anchor_parts(F.col(html_col))
+    z = df.select(
+        *keep_cols,
+        F.col(base_col).alias("_base"),
+        F.explode(F.arrays_zip(hrefs.alias("h"), bodies.alias("b"))).alias(
+            "_a"
+        ),
+    )
+    href = _unquote(F.col("_a.h"))
+    return (
+        z.select(
+            *keep_cols,
+            F.col("_base").alias("base_url"),
+            href.alias("href"),
+            resolve_href(F.col("_base"), href).alias("link_url"),
+            strip_markup(F.col("_a.b")).alias("anchor"),
+        )
+        .where(F.col("link_url").isNotNull())
+    )
+
+
+def host_edges(links: DataFrame, base_col: str = "base_url") -> DataFrame:
+    """Distinct cross-host (src_host, dst_host) edges from a link table
+    carrying the source page URL — the host-level web graph consumed by
+    pagerank/hits (the classic crawl-prioritization signal).  Same-host
+    navigation links are dropped (they are site structure, not
+    endorsement).  ONE hash-agg shuffle (distinct) over the narrow
+    2-column projection."""
+    return (
+        links.select(
+            url_host(F.col(base_col)).alias("src_host"),
+            url_host(F.col("link_url")).alias("dst_host"),
+        )
+        .where(
+            (F.col("src_host") != F.col("dst_host"))
+            & (F.col("dst_host") != "")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # WARC record framing (ISO 28500; the Common Crawl container)
 # ---------------------------------------------------------------------------
 

@@ -199,3 +199,113 @@ class TestWarcToDocuments:
         assert out["uuid:resp2"]["text"] == "Título"
         assert out["uuid:resp4"]["text"] == "Doc4\nalpha beta"
         assert out["uuid:resp1"]["content_type"] == "text/html"
+
+
+class TestLinkExtraction:
+    BASE = "https://w1.example/d2/page7.html"
+
+    def _links(self, spark, html: str, base: str | None = None):
+        from capelinker_spark.operators.webtext import links_from_html
+
+        df = spark.createDataFrame(
+            [(1, base or self.BASE, html)], "doc_id long, url string, html string"
+        )
+        out = links_from_html(df, html_col="html", base_col="url")
+        return [r.asDict() for r in out.orderBy("href").collect()]
+
+    def test_resolution_arms(self, spark):
+        html = (
+            '<a href="https://other.example/x">abs</a>'
+            "<a href='/root.html'>root</a>"
+            '<a href="rel.html">rel</a>'
+            '<a href="//cdn.example/l.js">proto</a>'
+            '<a href="#frag">frag</a>'
+            '<a href="mailto:a@b.example">mail</a>'
+            '<a href="javascript:void(0)">js</a>'
+            '<a href="ftp://f.example/a">ftp</a>'
+            "<a name=skip>no href</a>"
+        )
+        rows = {r["href"]: r["link_url"] for r in self._links(spark, html)}
+        # fragment/mailto/javascript/ftp dropped; no-href never matched
+        assert rows == {
+            "https://other.example/x": "https://other.example/x",
+            "/root.html": "https://w1.example/root.html",
+            "rel.html": "https://w1.example/d2/rel.html",
+            "//cdn.example/l.js": "https://cdn.example/l.js",
+        }
+
+    def test_anchor_text_markup_stripped(self, spark):
+        html = '<a href="/x">A <b>bold</b>\n &amp; &lt;tag&gt;  text</a>'
+        (row,) = self._links(spark, html)
+        assert row["anchor"] == "A bold & <tag> text"
+
+    def test_relative_against_base_dir_not_full_path(self, spark):
+        (row,) = self._links(spark, '<a href="n.html">n</a>')
+        assert row["link_url"] == "https://w1.example/d2/n.html"
+
+    def test_no_python_no_shuffle_in_plan(self, spark):
+        from capelinker_spark.operators.webtext import links_from_html
+
+        df = spark.createDataFrame(
+            [(1, self.BASE, "<a href='/x'>t</a>")],
+            "doc_id long, url string, html string",
+        )
+        plan = links_from_html(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # map-only: extraction never shuffles
+
+    def test_host_edges_cross_host_distinct(self, spark):
+        from capelinker_spark.operators.webtext import host_edges
+
+        links = spark.createDataFrame(
+            [
+                ("https://a.example/p", "https://b.example/x"),
+                ("https://a.example/q", "https://b.example/y"),  # same hosts
+                ("https://a.example/p", "https://A.example/self"),  # same host
+                ("https://b.example/p", "https://c.example/z"),
+            ],
+            "base_url string, link_url string",
+        )
+        edges = {
+            (r.src_host, r.dst_host) for r in host_edges(links).collect()
+        }
+        assert edges == {("a.example", "b.example"), ("b.example", "c.example")}
+
+
+class TestUrlDedupKeepLatest:
+    def test_keep_latest_with_tiebreak_and_count(self, spark):
+        from capelinker_spark.operators.urls import dedup_urls_keep_latest
+
+        rows = [
+            # one resource, three noisy spellings; newest ts=30 wins
+            (1, "HTTP://A.Example.COM:80/p?b=2&a=1#f", 10),
+            (2, "http://a.example.com/p?a=1&b=2", 30),
+            (3, "http://a.example.com/p?utm_source=x&a=1&b=2", 20),
+            # ts tie: min doc_id (4) wins
+            (4, "https://b.example/q", 50),
+            (5, "https://b.example/q", 50),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+        out = {
+            r.doc_id: (r.canon_url, r.n_snapshots)
+            for r in dedup_urls_keep_latest(df).collect()
+        }
+        assert out == {
+            2: ("http://a.example.com/p?a=1&b=2", 3),
+            4: ("https://b.example/q", 2),
+        }
+
+    def test_single_exchange(self, spark):
+        from capelinker_spark.operators.urls import dedup_urls_keep_latest
+
+        df = spark.createDataFrame(
+            [(1, "https://a.example/p", 10)],
+            "doc_id long, url string, warc_ts long",
+        )
+        plan = (
+            dedup_urls_keep_latest(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
