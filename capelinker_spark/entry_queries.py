@@ -5619,6 +5619,74 @@ def wt3_host_pagerank(spark, sf_dir):
     return pagerank(edges, src="src_host", dst="dst_host", iterations=2)
 
 
+def _register_wt4_oracle() -> None:
+    pat = WT.HTML_ANCHOR.replace("'", "''")
+    ORACLES["wt4_anchor_agg"] = f"""WITH h AS (
+          SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT2_HTML_SQL} AS html
+          FROM documents),
+        arrs AS (SELECT doc_id, base,
+                   regexp_extract_all(html, '{pat}', 1) AS hs,
+                   regexp_extract_all(html, '{pat}', 2) AS bs
+                 FROM h),
+        ex AS (SELECT doc_id, base, unnest(list_zip(hs, bs)) AS z FROM arrs),
+        lk AS (SELECT doc_id, base,
+                 substr(z[1], 2, length(z[1]) - 2) AS href, z[2] AS body
+               FROM ex),
+        rs AS (SELECT doc_id,
+                 {WT.resolve_href_sql('base', 'href')} AS link_url,
+                 {WT.strip_markup_sql('body')} AS anchor
+               FROM lk),
+        g AS (SELECT link_url, anchor, CAST(count(*) AS BIGINT) AS c
+              FROM rs WHERE link_url IS NOT NULL
+              GROUP BY link_url, anchor),
+        w AS (SELECT link_url, anchor, c,
+                CAST(sum(c) OVER (PARTITION BY link_url) AS BIGINT)
+                  AS n_refs,
+                CAST(count(*) OVER (PARTITION BY link_url) AS BIGINT)
+                  AS n_anchors,
+                row_number() OVER (PARTITION BY link_url
+                  ORDER BY c DESC, anchor ASC) AS rn
+              FROM g)
+       SELECT link_url, n_refs, n_anchors,
+              anchor AS top_anchor, c AS top_anchor_refs
+       FROM w WHERE rn = 1"""
+
+
+@register("wt4_anchor_agg", None)
+def wt4_anchor_agg(spark, sf_dir):
+    """WT4: anchor-text aggregation per link target — the classic ER
+    naming signal of the web graph (anchor text is how OTHER pages name
+    the target entity; its consensus is a high-precision alias table).
+    Per resolved link_url: total in-references, distinct anchor
+    spellings, and the consensus (most frequent, ties broken
+    lexicographically) anchor with its count. Plan: wt2's map-only
+    extraction → ONE (link_url, anchor) hash agg → stacked windows on
+    hashpartitioning(link_url) — two exchanges total, both on the
+    target key, no driver-side anything."""
+    links = WT.links_from_html(
+        _wt2_pages(spark, sf_dir), html_col="html", base_col="url"
+    )
+    g = links.groupBy("link_url", "anchor").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    part = Window.partitionBy("link_url")
+    w = part.orderBy(F.col("c").desc(), F.col("anchor").asc())
+    return (
+        g.withColumn("n_refs", F.sum("c").over(part))
+        .withColumn("n_anchors", F.count(F.lit(1)).over(part))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "link_url", "n_refs", "n_anchors",
+            F.col("anchor").alias("top_anchor"),
+            F.col("c").alias("top_anchor_refs"),
+        )
+    )
+
+
+_register_wt4_oracle()
+
+
 @register("dd13_url_dedup_keep_latest", None)
 def dd13_url_dedup_keep_latest(spark, sf_dir):
     """DD13: crawl-snapshot URL dedup (urls.dedup_urls_keep_latest) —

@@ -721,3 +721,119 @@ def stream_point_in_time_enrich(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_url_dedup(
+    pages_stream: DataFrame,
+    checkpoint_dir: str,
+    state_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str = "doc_id",
+    keep_versions: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Streaming crawl-snapshot URL dedup — the incremental form of
+    batch ``urls.dedup_urls_keep_latest`` (dd13): as crawl waves
+    arrive, the state table always holds, per canonical URL, the
+    NEWEST snapshot seen so far plus the total snapshot count.
+
+    Stream ≡ batch holds EXACTLY, under any batch boundaries, arrival
+    order, or replays: keep-latest under the deterministic
+    (ts DESC, tie ASC) order is an associative commutative fold (the
+    per-key argmax is a semilattice — folding the running winner
+    against a new wave and re-taking the argmax IS the global argmax),
+    and the snapshot count is additive (prior count + wave count).
+    No approximation tier, unlike streaming LSH near-dup where
+    stream ≡ batch needs the candidate-generation argument.
+
+    State: ``state_dir/current/version=<batch_id>/`` parquet versions
+    (the ComponentLabelStore convention) — a replayed batch overwrites
+    its own version and folds from the newest version BELOW its batch
+    id, so restarts are idempotent; ``keep_versions`` newest versions
+    are retained. Per batch the work is ONE window shuffle of
+    |state| + |batch| rows on ``canon_url`` — at crawl scale partition
+    the state table by canonical key so the fold co-locates, and
+    compact it on the same cadence as the label store.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    from capelinker_spark.operators.urls import normalize_url
+
+    spark = pages_stream.sparkSession
+    cur_dir = os.path.join(state_dir, "current")
+
+    def _versions() -> list[int]:
+        if not os.path.isdir(cur_dir):
+            return []
+        return sorted(
+            int(d[8:])
+            for d in os.listdir(cur_dir)
+            if d.startswith("version=")
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        b = batch_df.select(tie_col, url_col, ts_col)
+        tie_t = b.schema[tie_col].dataType.simpleString()
+        ts_t = b.schema[ts_col].dataType.simpleString()
+        new = b.withColumn(
+            "canon_url", normalize_url(F.col(url_col))
+        ).withColumn("n_snapshots", F.lit(1).cast("long"))
+        prior_vs = [v for v in _versions() if v < batch_id]
+        if prior_vs:
+            prior = spark.read.parquet(
+                os.path.join(cur_dir, f"version={prior_vs[-1]}")
+            )
+        else:
+            prior = spark.createDataFrame(
+                [],
+                f"{tie_col} {tie_t}, {url_col} string, {ts_col} {ts_t}, "
+                "canon_url string, n_snapshots long",
+            )
+        merged = prior.unionByName(new)
+        part = Window.partitionBy("canon_url")
+        w = part.orderBy(F.col(ts_col).desc(), F.col(tie_col).asc())
+        folded = (
+            merged.withColumn("_n", F.sum("n_snapshots").over(part))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                tie_col, url_col, ts_col, "canon_url",
+                F.col("_n").alias("n_snapshots"),
+            )
+        )
+        out = os.path.join(cur_dir, f"version={batch_id}")
+        folded.write.mode("overwrite").parquet(out)
+        for v in _versions()[:-keep_versions]:
+            shutil.rmtree(
+                os.path.join(cur_dir, f"version={v}"), ignore_errors=True
+            )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_url_dedup_state(spark, state_dir: str) -> DataFrame:
+    """Latest keep-latest URL table written by stream_url_dedup."""
+    import os
+
+    cur_dir = os.path.join(state_dir, "current")
+    vs = sorted(
+        int(d[8:])
+        for d in (os.listdir(cur_dir) if os.path.isdir(cur_dir) else [])
+        if d.startswith("version=")
+    )
+    if not vs:
+        raise FileNotFoundError(f"no url-dedup state under {state_dir}")
+    return spark.read.parquet(os.path.join(cur_dir, f"version={vs[-1]}"))

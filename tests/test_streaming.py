@@ -703,3 +703,80 @@ def test_stream_point_in_time_enrich_matches_batch(spark, tmp_path):
     again = {r["fact_id"]: tuple(r[c] for c in cols)
              for r in spark.read.parquet(out).collect()}
     assert again == want
+
+
+def test_stream_url_dedup_matches_batch(spark, tmp_path):
+    """Streaming keep-latest URL dedup ≡ batch dedup_urls_keep_latest
+    over the union, across micro-batches where the same canonical URL
+    recurs in noisy spellings, a LATER batch carries an OLDER snapshot
+    (must bump the count without displacing the kept row), and a ts tie
+    resolves by min doc_id; plus an idempotent restart wave."""
+    from capelinker_spark.operators.urls import dedup_urls_keep_latest
+    from capelinker_spark.streaming import (
+        read_url_dedup_state,
+        stream_url_dedup,
+    )
+
+    batches = [
+        [
+            (1, "HTTP://A.Example.COM:80/p?b=2&a=1#f", 10),
+            (2, "https://b.example/q", 40),
+        ],
+        [
+            (3, "http://a.example.com/p?utm_source=x&a=1&b=2", 30),
+            (4, "https://b.example/q?utm_medium=m", 40),  # ts tie vs doc 2
+        ],
+        [
+            (5, "http://A.EXAMPLE.com/p?a=1&b=2", 20),  # older than doc 3
+            (6, "https://c.example/new", 5),
+        ],
+    ]
+    src = str(tmp_path / "pages_stream")
+    schema = "doc_id long, url string, warc_ts long"
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "state")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_url_dedup(stream, str(tmp_path / "ckpt"), state)
+        q.awaitTermination()
+
+    def stream_result():
+        return {
+            r.canon_url: (r.doc_id, r.warc_ts, r.n_snapshots)
+            for r in read_url_dedup_state(spark, state).collect()
+        }
+
+    def batch_result(waves):
+        df = spark.createDataFrame([r for b in waves for r in b], schema)
+        return {
+            r.canon_url: (r.doc_id, r.warc_ts, r.n_snapshots)
+            for r in dedup_urls_keep_latest(df).collect()
+        }
+
+    run_stream()
+    got, want = stream_result(), batch_result(batches)
+    assert got == want
+    # semantics spot-checks: newest wins (doc 3, ts 30, 3 snapshots);
+    # tie broken by min doc_id (doc 2, 2 snapshots)
+    assert got["http://a.example.com/p?a=1&b=2"] == (3, 30, 3)
+    assert got["https://b.example/q"] == (2, 40, 2)
+    assert got["https://c.example/new"] == (6, 5, 1)
+
+    # restart: a fourth wave with one newer snapshot + one new resource
+    wave4 = [(7, "http://a.example.com/p?a=1&b=2", 99), (8, "https://d.example/x", 1)]
+    spark.createDataFrame(wave4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+    got2, want2 = stream_result(), batch_result(batches + [wave4])
+    assert got2 == want2
+    assert got2["http://a.example.com/p?a=1&b=2"] == (7, 99, 4)
