@@ -250,6 +250,11 @@ HEADLINE_QUERIES = [
     "ir2_rrf_fusion",
     "m9_pr_sweep",
     "tm6_scd2_merge",
+    "ts11_html_extract",
+    "wt2_extract_links",
+    "wt3_host_pagerank",
+    "wt4_anchor_agg",
+    "dd13_url_dedup_keep_latest",
 ]
 
 

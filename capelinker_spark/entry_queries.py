@@ -5764,6 +5764,100 @@ def _register_dd13_oracle() -> None:
 _register_dd13_oracle()
 
 
+def _register_f17_oracle() -> None:
+    jwd = duckdb_jw_sql("a._w", "b._w", 0.1)
+    wsq = WORDS_SQL.format(c="name")
+    ORACLES["f17_soft_tfidf"] = f"""WITH pairs AS MATERIALIZED ({_F16_PAIRS}),
+        corpus AS MATERIALIZED (
+          SELECT name_a AS name FROM pairs
+          UNION SELECT name_b FROM pairs),
+        dfreq AS (SELECT _w, CAST(count(*) AS BIGINT) AS _df
+          FROM (SELECT name, unnest(list_distinct({wsq})) AS _w
+                FROM corpus)
+          WHERE _w <> '' GROUP BY _w),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS _N FROM corpus),
+        idf AS MATERIALIZED (SELECT _w,
+          CAST(floor((round(ln(CAST(_N AS DOUBLE)), 6)
+                      - round(ln(CAST(_df AS DOUBLE)), 6))
+                     * 1000000.0 + 0.5) AS BIGINT) AS _idfq
+          FROM dfreq, n
+          WHERE floor((round(ln(CAST(_N AS DOUBLE)), 6)
+                       - round(ln(CAST(_df AS DOUBLE)), 6))
+                      * 1000000.0 + 0.5) > 0),
+        wa AS (SELECT pid, _w, count(*) AS _tf
+          FROM (SELECT pid, unnest({WORDS_SQL.format(c='name_a')}) AS _w
+                FROM pairs)
+          WHERE _w <> '' GROUP BY pid, _w),
+        vqa AS MATERIALIZED (SELECT pid, _w,
+            CAST(_tf * _idfq AS BIGINT) AS _vq
+          FROM wa JOIN idf USING (_w)),
+        na AS MATERIALIZED (SELECT pid, CAST(sum(_vq * _vq) AS BIGINT)
+            AS _nsq FROM vqa GROUP BY pid),
+        wb AS (SELECT pid, _w, count(*) AS _tf
+          FROM (SELECT pid, unnest({WORDS_SQL.format(c='name_b')}) AS _w
+                FROM pairs)
+          WHERE _w <> '' GROUP BY pid, _w),
+        vqb AS MATERIALIZED (SELECT pid, _w,
+            CAST(_tf * _idfq AS BIGINT) AS _vq
+          FROM wb JOIN idf USING (_w)),
+        nb AS MATERIALIZED (SELECT pid, CAST(sum(_vq * _vq) AS BIGINT)
+            AS _nsq FROM vqb GROUP BY pid),
+        close AS (SELECT a.pid, a._w AS _wa, a._vq AS _vqa,
+            b._w AS _wb, b._vq AS _vqb,
+            1000000 - CAST(floor(({jwd}) * 1000000.0 + 0.5) AS BIGINT)
+              AS _simq
+          FROM vqa a JOIN vqb b USING (pid)),
+        best AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY pid, _wa
+                ORDER BY _simq DESC, _wb ASC) AS _rn
+            FROM close WHERE _simq >= 900000)
+          WHERE _rn = 1),
+        terms AS (SELECT t.pid,
+            CAST(floor(((CAST(_vqa AS DOUBLE)
+                          / sqrt(CAST(na._nsq AS DOUBLE)))
+                        * (CAST(_vqb AS DOUBLE)
+                           / sqrt(CAST(nb._nsq AS DOUBLE)))
+                        * (CAST(_simq AS DOUBLE) / 1000000.0))
+                       * 1000000000000.0 + 0.5) AS BIGINT) AS _tq
+          FROM best t JOIN na USING (pid) JOIN nb USING (pid)),
+        s AS (SELECT pid, CAST(sum(_tq) AS BIGINT) AS _sq
+              FROM terms GROUP BY pid)
+       SELECT p.pid,
+              CAST(coalesce(_sq, 0) AS DOUBLE) / 1000000000000.0 AS st_sim
+       FROM pairs p LEFT JOIN s USING (pid)"""
+
+
+@register("f17_soft_tfidf", None)
+def f17_soft_tfidf(spark, sf_dir):
+    """F17: SoftTFIDF (features.soft_tfidf; Cohen-Ravikumar-Fienberg
+    2003) over f16's paired part names — TF-IDF cosine where words may
+    match via Jaro-Winkler ≥ 0.9 instead of byte equality, the hybrid
+    measure that tops the original name-matching benchmark and the
+    corpus-weighted complement to F16 Monge-Elkan. df/N come from the
+    distinct names on both sides (the operator default). Integer tf/df,
+    probed-parity round-6 ln idf, LONG squared norms, quantized-JW
+    CLOSE gate, per-term floor quantization to 1e-12 units, ONE final
+    division — every float on both engines is the same IEEE chain from
+    the same integers."""
+    from capelinker_spark.operators.features import soft_tfidf
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.where(F.col("p_partkey") < 300).select(
+        F.col("p_partkey").alias("pid"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        (F.col("p_partkey") - 1000).alias("pid"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, "pid")
+    return soft_tfidf(pairs, "name_a", "name_b", ["pid"]).select(
+        "pid", "st_sim"
+    )
+
+
+_register_f17_oracle()
+
+
 # ---------------------------------------------------------------------------
 # driver-window curation
 # ---------------------------------------------------------------------------

@@ -437,3 +437,78 @@ def test_monge_elkan_deterministic_under_partitioning(spark):
         ).collect()
     )
     assert a == b
+
+
+class TestSoftTfidf:
+    def _sim(self, spark, rows, corpus_rows=None):
+        from capelinker_spark.operators.features import soft_tfidf
+
+        pairs = spark.createDataFrame(
+            rows, "pid long, name_a string, name_b string"
+        )
+        corpus = (
+            spark.createDataFrame(corpus_rows, "name string")
+            if corpus_rows
+            else None
+        )
+        out = soft_tfidf(pairs, "name_a", "name_b", ["pid"], corpus=corpus)
+        return {r.pid: r.st_sim for r in out.collect()}
+
+    def test_identical_and_disjoint(self, spark):
+        sims = self._sim(
+            spark,
+            [
+                (1, "maria garcia lopez", "maria garcia lopez"),
+                (2, "maria garcia lopez", "qqqq wwww zzzz"),
+            ],
+        )
+        # identical vectors: cosine 1 up to the 1e-12 per-term quantization
+        assert abs(sims[1] - 1.0) < 1e-9
+        assert sims[2] == 0.0
+
+    def test_jw_close_tokens_match(self, spark):
+        # no token matches byte-for-byte, every token clears JW >= 0.9
+        sims = self._sim(
+            spark, [(1, "jonathon smith", "jonathan smiths")]
+        )
+        assert sims[1] > 0.8
+
+    def test_idf_downweights_ubiquitous_token(self, spark):
+        # "inc" appears in every corpus name -> idf 0 -> a pair matching
+        # ONLY on "inc" scores 0; matching on a rare token scores high
+        corpus = [
+            ("acme inc",), ("zorblatt inc",), ("quuxco inc",),
+            ("wibble inc",),
+        ]
+        sims = self._sim(
+            spark,
+            [(1, "acme inc", "zorblatt inc"), (2, "acme inc", "acme inc")],
+            corpus_rows=corpus,
+        )
+        assert sims[1] == 0.0  # only the zero-idf token matches
+        assert abs(sims[2] - 1.0) < 1e-9
+
+    def test_multiplicity_in_tf_not_close_set(self, spark):
+        # repeated word raises tf (weight), not the number of CLOSE terms;
+        # corpus padded with unrelated names so the shared words keep
+        # nonzero idf (ubiquitous words are dropped by design)
+        corpus = [
+            ("rose rose lace",), ("rose lace",), ("plum navy",),
+            ("mint chiffon",), ("ivory linen",),
+        ]
+        sims = self._sim(
+            spark,
+            [
+                (1, "rose rose lace", "rose lace"),
+                (2, "rose lace", "rose lace"),
+            ],
+            corpus_rows=corpus,
+        )
+        assert 0.0 < sims[1] < 1.0
+        assert abs(sims[2] - 1.0) < 1e-9
+
+    def test_all_words_ubiquitous_scores_zero(self, spark):
+        # every word in every corpus name -> whole weight vector drops ->
+        # 0.0, not a divide-by-zero (ANSI-mode regression)
+        sims = self._sim(spark, [(1, "rose lace", "rose lace")])
+        assert sims[1] == 0.0
