@@ -5911,7 +5911,11 @@ _register_f17_oracle()
 # amendment: er16/ir2 IN (never checked), dd7/ts5 OUT (longest
 # remaining streak in the window — r4-green cohort, full-sweep
 # covered, back next round under the ~2-round cadence); then m9/tm6 IN
-# (never checked), ts6/j3b OUT (same rule).
+# (never checked), ts6/j3b OUT (same rule). Eighth amendment (session
+# 5): ts11/wt2/wt3/wt4/dd13/f17 IN (never checked — the webtext front
+# end, link graph, crawl dedup, SoftTFIDF); dd9/dd10/dd11/tok1/ann1/cu1
+# OUT (all r5-driver-green, their query paths unchanged this round and
+# green in today's 126/126 full sweep).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -5929,10 +5933,12 @@ _DRIVER_WINDOW = [
     "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
     "er15_label_propagation", "er16_adamic_adar", "ir2_rrf_fusion",
     "m9_pr_sweep", "tm6_scd2_merge",
+    # session-5 new (never driver-checked): webtext front end + link
+    # graph + crawl dedup + SoftTFIDF
+    "ts11_html_extract", "wt2_extract_links", "wt3_host_pagerank",
+    "wt4_anchor_agg", "dd13_url_dedup_keep_latest", "f17_soft_tfidf",
     # round-6-touched implementations
-    "dd9_remove_dup_spans", "dd10_paragraph_dedup",
-    "dd11_remove_contaminated_spans", "cu1_curation_pipeline",
-    "cu4_full_curation", "tok1_word_counts", "ann1_brute_force_topk",
+    "cu4_full_curation",
     # the 33-query cohort whose last driver row is round 4
     "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
     "f9_cos_uniqueness",

@@ -228,12 +228,13 @@ def links_from_html(
     cleaned anchor text).  Dropped links (fragments, mailto:/javascript:
     etc.) are filtered out.
 
-    Plan shape: entirely narrow — regexp_extract_all twice over the same
-    pattern (one logical scan; the optimizer CSEs the two calls),
-    arrays_zip + explode, then per-link scalar expressions.  Zero
-    Python, zero shuffles: at 100 TB link extraction is a map-only pass
-    over the crawl partitioning, and the host-graph aggregation
-    downstream is the first exchange."""
+    Plan shape: entirely narrow — regexp_extract_all with group 1 and
+    group 2 over the same pattern (two automaton passes per page — both
+    linear and fused into the SAME whole-stage-codegen Generate, cheaper
+    than any struct-rebuilding workaround), arrays_zip + explode, then
+    per-link scalar expressions.  Zero Python, zero shuffles: at 100 TB
+    link extraction is a map-only pass over the crawl partitioning, and
+    the host-graph aggregation downstream is the first exchange."""
     hrefs, bodies = anchor_parts(F.col(html_col))
     z = df.select(
         *keep_cols,

@@ -402,6 +402,48 @@ def main():
         _fmt(m9),
     ))
 
+    wt2 = QUERIES["wt2_extract_links"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "HTML link extraction (wt2)",
+        "Look for: a SINGLE `Project`+`Generate explode` over the scan — "
+        "no Exchange anywhere (extraction is map-only; at 100 TB it rides "
+        "the crawl partitioning), no `BatchEvalPython` (regexp_extract_all "
+        "/ arrays_zip / native resolve+strip expressions only).",
+        _fmt(wt2),
+    ))
+
+    wt3 = QUERIES["wt3_host_pagerank"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Host-graph PageRank composition (wt3)",
+        "Look for: the map-only wt2 extraction feeding ONE distinct "
+        "HashAggregate (the host-edge table), then pr1's per-iteration "
+        "shape — edge⋈rank shuffle join, hash agg on dst, node left "
+        "join — over `LogicalRDD` leaves (checkpoint_truncated lineage "
+        "cuts between iterations).",
+        _fmt(wt3),
+    ))
+
+    dd13 = QUERIES["dd13_url_dedup_keep_latest"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Crawl-snapshot URL dedup (dd13)",
+        "Look for: ONE `Exchange hashpartitioning(canon_url)` with the "
+        "snapshot-count window and the keep-latest row_number window "
+        "STACKED on it (the dd12 discipline) — canonicalization itself "
+        "is narrow regexp/array work in the same codegen stage.",
+        _fmt(dd13),
+    ))
+
+    f17 = QUERIES["f17_soft_tfidf"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "SoftTFIDF hybrid similarity (f17)",
+        "Look for: the corpus df aggregate + a 1-row `BroadcastExchange` "
+        "for N (the lazy-scalar rule), ONE `ArrowEvalPython` for the "
+        "word-pair JW kernel (the only Python, Arrow-batched), the "
+        "argmax window on (pid, word), and weight/norm joins all keyed "
+        "on the pair id — no cartesian, no per-row Python.",
+        _fmt(f17),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
