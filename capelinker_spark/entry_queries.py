@@ -5764,6 +5764,263 @@ def _register_dd13_oracle() -> None:
 _register_dd13_oracle()
 
 
+# wt5 planted sitemap XML: entry 1 full (loc + lastmod), entry 2 loc only
+# with surrounding whitespace/newlines inside <loc>, an even-id entry with
+# NO loc (must drop), entry 3 with padded lastmod. Shared fragments.
+
+_WT5_XML_SQL = (
+    "'<?xml version=\"1.0\" encoding=\"UTF-8\"?><urlset>' || "
+    "'<url><loc>https://w' || (doc_id % 13)::VARCHAR || '.example/p/' || "
+    "doc_id::VARCHAR || '.html</loc><lastmod>2024-0' || "
+    "(doc_id % 9 + 1)::VARCHAR || '-15</lastmod></url>' || "
+    "'<url><loc>' || chr(10) || '  https://w' || (doc_id % 13)::VARCHAR || "
+    "'.example/q/' || (doc_id % 50)::VARCHAR || chr(10) || '</loc></url>' || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN '<url><lastmod>2024-01-01</lastmod></url>' ELSE '' END || "
+    "'<url><loc>https://cdn' || (doc_id % 4)::VARCHAR || "
+    "'.example/s.css</loc><lastmod> 2023-12-31 </lastmod></url>' || "
+    "'</urlset>'"
+)
+
+
+def _wt5_xml_spark(i):
+    return F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+        F.lit("<url><loc>https://w"), (i % 13).cast("string"),
+        F.lit(".example/p/"), i.cast("string"),
+        F.lit(".html</loc><lastmod>2024-0"), (i % 9 + 1).cast("string"),
+        F.lit("-15</lastmod></url>"),
+        F.lit("<url><loc>\n  https://w"), (i % 13).cast("string"),
+        F.lit(".example/q/"), (i % 50).cast("string"),
+        F.lit("\n</loc></url>"),
+        F.when(i % 2 == 0, F.lit("<url><lastmod>2024-01-01</lastmod></url>"))
+        .otherwise(F.lit("")),
+        F.lit("<url><loc>https://cdn"), (i % 4).cast("string"),
+        F.lit(".example/s.css</loc><lastmod> 2023-12-31 </lastmod></url>"),
+        F.lit("</urlset>"),
+    )
+
+
+@register("wt5_sitemap_parse", None)
+def wt5_sitemap_parse(spark, sf_dir):
+    """WT5: sitemap parsing (webtext.sitemap_entries) — the crawl-
+    frontier seed list of the sitemaps.org protocol: one row per <url>
+    entry with loc (required — entries without one drop) and lastmod
+    (optional — NULL when absent; whitespace inside the elements
+    trimmed). Two-level extraction (entry blocks exploded, fields
+    extracted per block) so an optional field can never positionally
+    misalign the way a zipped two-array scan would. Map-only, zero
+    Python, zero shuffles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    x = d.select("doc_id", _wt5_xml_spark(i).alias("xml"))
+    return WT.sitemap_entries(x, xml_col="xml")
+
+
+def _register_wt5_oracle() -> None:
+    blk = WT.SITEMAP_URL_BLOCK.replace("'", "''")
+    loc = WT.SITEMAP_LOC.replace("'", "''")
+    lm = WT.SITEMAP_LASTMOD.replace("'", "''")
+    ORACLES["wt5_sitemap_parse"] = f"""WITH x AS (
+          SELECT doc_id, {_WT5_XML_SQL} AS xml FROM documents),
+        b AS (SELECT doc_id,
+                unnest(regexp_extract_all(xml, '{blk}', 1)) AS _blk
+              FROM x),
+        e AS (SELECT doc_id,
+                regexp_extract(_blk, '{loc}', 1) AS loc,
+                regexp_extract(_blk, '{lm}', 1) AS _lm
+              FROM b)
+       SELECT doc_id, loc,
+              CASE WHEN _lm = '' THEN NULL ELSE _lm END AS lastmod
+       FROM e WHERE loc <> ''"""
+
+
+_register_wt5_oracle()
+
+
+# wt6 planted robots.txt per region host: k=0 exercises agent-specific
+# group precedence + wildcard + $-anchor rules, k=1 the star group with a
+# longest-match allow carve-out, k=2 a group for a DIFFERENT agent (no
+# rules apply), k=3 multi-user-agent group lines (agent group wins, star
+# group ignored), k=4 an empty Disallow (skipped) + an anchored Allow.
+# ONE shared line-list definition; Spark joins with \n, SQL with chr(10).
+
+_WT6_ROBOTS = {
+    0: ["# capebot rules", "User-agent: capebot", "Disallow: /private/",
+        "Allow: /private/pub*", "Disallow: /*.gif$", "",
+        "User-agent: *", "Disallow: /"],
+    1: ["User-agent: *", "Disallow: /tmp/", "Allow: /tmp/ok"],
+    2: ["User-agent: otherbot", "Disallow: /"],
+    3: ["User-agent: *", "User-agent: capebot", "Disallow: /x/", "",
+        "User-agent: *", "Disallow: /y/"],
+    4: ["User-agent: capebot", "Disallow:", "Allow: /a$"],
+}
+
+_WT6_URL_ARMS = [
+    ("'/private/doc' || doc_id::VARCHAR",
+     lambda i: F.concat(F.lit("/private/doc"), i.cast("string"))),
+    ("'/private/pub' || (doc_id % 3)::VARCHAR",
+     lambda i: F.concat(F.lit("/private/pub"), (i % 3).cast("string"))),
+    ("'/img/' || (doc_id % 10)::VARCHAR || '.gif'",
+     lambda i: F.concat(F.lit("/img/"), (i % 10).cast("string"),
+                        F.lit(".gif"))),
+    ("'/tmp/a' || doc_id::VARCHAR",
+     lambda i: F.concat(F.lit("/tmp/a"), i.cast("string"))),
+    ("'/tmp/ok' || doc_id::VARCHAR",
+     lambda i: F.concat(F.lit("/tmp/ok"), i.cast("string"))),
+    ("'/x/p'", lambda i: F.lit("/x/p")),
+    ("'/y/p'", lambda i: F.lit("/y/p")),
+    ("'/a'", lambda i: F.lit("/a")),
+]
+
+
+def _wt6_tables(spark, sf_dir):
+    robots_txt = None
+    for k, ls in _WT6_ROBOTS.items():
+        arm = F.lit("\n".join(ls))
+        robots_txt = (
+            F.when(F.col("r_regionkey") == k, arm)
+            if robots_txt is None
+            else robots_txt.when(F.col("r_regionkey") == k, arm)
+        )
+    robots = _t(spark, sf_dir, "region").select(
+        F.concat(
+            F.lit("h"), F.col("r_regionkey").cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        robots_txt.alias("robots_txt"),
+    )
+    i = F.col("doc_id")
+    path = None
+    for n, (_, fn) in enumerate(_WT6_URL_ARMS):
+        if n < len(_WT6_URL_ARMS) - 1:
+            path = (
+                F.when(i % 8 == n, fn(i))
+                if path is None
+                else path.when(i % 8 == n, fn(i))
+            )
+        else:
+            path = path.otherwise(fn(i))
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (i % 5).cast("string"), F.lit(".example"),
+            path,
+        ).alias("url"),
+    )
+    return robots, urls
+
+
+def _register_wt6_oracle() -> None:
+    txt_case = "CASE r_regionkey " + " ".join(
+        "WHEN {} THEN {}".format(
+            k, " || chr(10) || ".join("'" + l.replace("'", "''") + "'"
+                                      for l in ls)
+        )
+        for k, ls in _WT6_ROBOTS.items()
+    ) + " END"
+    url_case = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {n} THEN {sql}" for n, (sql, _) in
+        enumerate(_WT6_URL_ARMS[:-1])
+    ) + f" ELSE {_WT6_URL_ARMS[-1][0]} END"
+    rule_re = "(?i)^(allow|disallow)[ \\t]*:[ \\t]*([^ \\t]*)"
+    esc = "replace(replace(replace(rpath, '!', '!!'), '%', '!%'), '_', '!_')"
+    ORACLES["wt6_robots_allowed"] = f"""WITH robots AS (
+          SELECT 'h' || r_regionkey::VARCHAR || '.example' AS host,
+                 {txt_case} AS txt
+          FROM region),
+        lines AS (SELECT host, generate_subscripts(ls, 1) AS pos,
+                         unnest(ls) AS raw
+                  FROM (SELECT host, string_split_regex(txt, '\\r*\\n')
+                          AS ls FROM robots)),
+        c AS (SELECT host, pos,
+                regexp_replace(regexp_replace(raw, '#.*', ''),
+                               '^[ \\t]+|[ \\t]+$', '', 'g') AS l
+              FROM lines),
+        t AS (SELECT host, pos, l,
+                CASE WHEN regexp_matches(l, '(?i)^user-agent[ \\t]*:')
+                     THEN 1 ELSE 0 END AS ua
+              FROM c),
+        g AS (SELECT *, CASE WHEN ua = 1 AND coalesce(
+                  lag(ua) OVER (PARTITION BY host ORDER BY pos), 0) = 0
+                THEN 1 ELSE 0 END AS newg FROM t),
+        g2 AS (SELECT *, CAST(sum(newg)
+                 OVER (PARTITION BY host ORDER BY pos) AS BIGINT) AS grp
+               FROM g),
+        f AS (SELECT *, lower(regexp_extract(l,
+                 '(?i)^user-agent[ \\t]*:[ \\t]*([^ \\t]*)', 1)) AS uav
+              FROM g2),
+        fl AS (SELECT *,
+                 CASE WHEN ua = 1 AND uav = 'capebot' THEN 1 ELSE 0 END
+                   AS ma,
+                 CASE WHEN ua = 1 AND uav = '*' THEN 1 ELSE 0 END AS ms
+               FROM f),
+        gg AS (SELECT *,
+                 max(ma) OVER (PARTITION BY host, grp) AS ga,
+                 max(ms) OVER (PARTITION BY host, grp) AS gs,
+                 max(ma) OVER (PARTITION BY host) AS ha
+               FROM fl),
+        rules AS (SELECT host,
+                    lower(regexp_extract(l, '{rule_re}', 1)) AS verb,
+                    regexp_extract(l, '{rule_re}', 2) AS rpath
+                  FROM gg
+                  WHERE (ha = 1 AND ga = 1) OR (ha = 0 AND gs = 1)),
+        r2 AS (SELECT host, (verb = 'allow') AS allow, rpath,
+                 CAST(length(rpath) AS BIGINT) AS rlen,
+                 CASE WHEN substr(rpath, length(rpath), 1) = '$'
+                      THEN replace(substr({esc}, 1, length({esc}) - 1),
+                                   '*', '%')
+                      ELSE replace({esc}, '*', '%') || '%' END AS like_pat
+               FROM rules WHERE verb <> '' AND rpath <> ''),
+        urls AS (SELECT doc_id,
+                   'https://h' || (doc_id % 5)::VARCHAR || '.example'
+                   || {url_case} AS url
+                 FROM documents),
+        up AS (SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                   '(?i)^https?://([^/:?#]*)', 1)) AS host,
+                 CASE WHEN regexp_extract(url,
+                        '(?i)^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
+                      ELSE regexp_extract(url,
+                        '(?i)^https?://[^/?#]*([^#]*)', 1) END AS path
+               FROM urls),
+        j AS (SELECT up.doc_id, up.url, r2.allow, r2.rpath,
+                CASE WHEN r2.like_pat IS NOT NULL
+                          AND up.path LIKE r2.like_pat ESCAPE '!'
+                     THEN 1 ELSE 0 END AS m,
+                coalesce(r2.rlen, -1) AS rlen0,
+                coalesce(CASE WHEN r2.allow THEN 1 ELSE 0 END, 0) AS al0
+              FROM up LEFT JOIN r2 USING (host)),
+        b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY m DESC, rlen0 DESC, al0 DESC, rpath ASC) AS rn
+              FROM j)
+       SELECT doc_id, url,
+              CASE WHEN m = 1 THEN allow ELSE TRUE END AS allowed,
+              CASE WHEN m = 1 THEN rpath END AS matched_rule
+       FROM b WHERE rn = 1"""
+
+
+@register("wt6_robots_allowed", None)
+def wt6_robots_allowed(spark, sf_dir):
+    """WT6: robots.txt politeness (webtext.parse_robots_rules +
+    robots_allowed; RFC 9309) — the crawl frontier's allow filter:
+    group formation across comment/blank/multi-user-agent lines,
+    most-specific-agent precedence with RFC group merging, longest-
+    match decision with allow-on-tie, '*' wildcards and '$' anchors
+    compiled to LIKE patterns (one linear scan per (url, rule); no
+    per-row regex compilation), empty Disallow skipped, unmatched or
+    rule-less hosts allowed. Planted robots cover all five shapes; the
+    oracle replays the ENTIRE parse + match in SQL. Plan: line windows
+    stack on hashpartitioning(host); URL side is one host equi-join +
+    per-URL argmax window."""
+    robots, urls = _wt6_tables(spark, sf_dir)
+    rules = WT.parse_robots_rules(robots, agent="capebot")
+    return WT.robots_allowed(urls, rules, id_cols=("doc_id",))
+
+
+_register_wt6_oracle()
+
+
 def _register_f17_oracle() -> None:
     jwd = duckdb_jw_sql("a._w", "b._w", 0.1)
     wsq = WORDS_SQL.format(c="name")

@@ -435,3 +435,221 @@ def warc_to_documents(df: DataFrame, content_col: str = "content") -> DataFrame:
             )
 
     return df.mapInPandas(gen, _WARC_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML (the crawl-frontier seed list)
+# ---------------------------------------------------------------------------
+
+# One <url> entry block; loc/lastmod extracted PER BLOCK so optional
+# fields can't positionally misalign (the reason this is two-level
+# instead of zipping two extract_alls like the anchor scan).
+SITEMAP_URL_BLOCK = "(?is)<url>(.*?)</url>"
+SITEMAP_LOC = "(?is)<loc>[ \\t\\r\\n]*(.*?)[ \\t\\r\\n]*</loc>"
+SITEMAP_LASTMOD = "(?is)<lastmod>[ \\t\\r\\n]*(.*?)[ \\t\\r\\n]*</lastmod>"
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "xml", keep_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol) into one row per
+    ``<url>`` entry: ``loc`` (required; entries without one are
+    dropped) and ``lastmod`` (optional; NULL when absent — the
+    freshness signal the recrawl scheduler joins against dd13's
+    snapshot history).  Regexp tier, not an XML parser (same stance as
+    html_to_text): CDATA and entity-encoded locs pass through as
+    written.  Map-only — explode the entry blocks, extract fields per
+    block, zero Python, zero shuffles."""
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(SITEMAP_URL_BLOCK), F.lit(1)
+    )
+    b = df.select(*keep_cols, F.explode(blocks).alias("_blk"))
+    loc = F.regexp_extract(F.col("_blk"), SITEMAP_LOC, 1)
+    lastmod = F.regexp_extract(F.col("_blk"), SITEMAP_LASTMOD, 1)
+    return (
+        b.select(
+            *keep_cols,
+            loc.alias("loc"),
+            F.when(lastmod == "", F.lit(None).cast("string"))
+            .otherwise(lastmod)
+            .alias("lastmod"),
+        )
+        .where(F.col("loc") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309 — crawl politeness; the frontier's allow filter)
+# ---------------------------------------------------------------------------
+
+ROBOTS_UA_RE = "(?i)^user-agent[ \\t]*:"
+ROBOTS_UA_VAL_RE = "(?i)^user-agent[ \\t]*:[ \\t]*([^ \\t]*)"
+ROBOTS_RULE_RE = "(?i)^(allow|disallow)[ \\t]*:[ \\t]*([^ \\t]*)"
+ROBOTS_COMMENT_RE = "#.*"
+ROBOTS_TRIM_RE = "^[ \\t]+|[ \\t]+$"
+_ROBOTS_PATH_RE = "(?i)^https?://[^/?#]*([^#]*)"
+
+
+def _robots_like_pattern(rpath: Column) -> Column:
+    """Translate an RFC 9309 rule path to a SQL LIKE pattern with escape
+    char ``!``: literal ``%``/``_``/``!`` escaped, REP ``*`` → ``%``, a
+    trailing ``$`` anchors (no trailing ``%``), otherwise prefix match.
+    LIKE (one linear scan, identical semantics on Spark and DuckDB with
+    an explicit ESCAPE) replaces per-row regex compilation — the cheap
+    path for a matcher that runs once per (url, rule) pair."""
+    esc = F.replace(rpath, F.lit("!"), F.lit("!!"))
+    esc = F.replace(esc, F.lit("%"), F.lit("!%"))
+    esc = F.replace(esc, F.lit("_"), F.lit("!_"))
+    anchored = rpath.endswith("$")
+    body = F.when(anchored, esc.substr(F.lit(1), F.length(esc) - 1)).otherwise(
+        esc
+    )
+    body = F.replace(body, F.lit("*"), F.lit("%"))
+    return F.when(anchored, body).otherwise(F.concat(body, F.lit("%")))
+
+
+def parse_robots_rules(
+    df: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+    agent: str = "capebot",
+) -> DataFrame:
+    """Parse robots.txt bodies into the effective rule table for
+    ``agent`` per RFC 9309: lines split CRLF-safely, comments stripped,
+    groups formed at each user-agent line that follows a non-user-agent
+    line (consecutive UA lines share a group; blank lines are
+    irrelevant), and the MOST SPECIFIC user-agent wins — if any group
+    names ``agent`` literally, exactly the groups naming it apply
+    (merged, the RFC group-combination rule); otherwise the ``*``
+    groups; otherwise no rules (everything allowed downstream).  Empty
+    rule paths are skipped (an empty Disallow allows everything).
+
+    Returns (host, allow boolean, rpath, rlen, like_pat) — ``like_pat``
+    is the precompiled LIKE translation used by :func:`robots_allowed`.
+
+    Plan: posexplode of lines, then lag + running-sum + group/host
+    flag windows ALL on the same hashpartitioning(host) ordering — one
+    exchange over the line table, no Python."""
+    from pyspark.sql import Window
+
+    agent_l = agent.lower()
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r*\n")).alias(
+            "_pos", "_raw"
+        ),
+    )
+    l = F.regexp_replace(F.col("_raw"), ROBOTS_COMMENT_RE, "")
+    l = F.regexp_replace(l, ROBOTS_TRIM_RE, "")
+    w_host = Window.partitionBy("host").orderBy("_pos")
+    t = lines.select(
+        "host",
+        "_pos",
+        l.alias("_l"),
+        l.rlike(ROBOTS_UA_RE).cast("int").alias("_ua"),
+    )
+    t = t.withColumn(
+        "_new_grp",
+        (
+            (F.col("_ua") == 1)
+            & (F.coalesce(F.lag("_ua", 1).over(w_host), F.lit(0)) == 0)
+        ).cast("int"),
+    ).withColumn("_grp", F.sum("_new_grp").over(w_host))
+    ua_val = F.lower(F.regexp_extract(F.col("_l"), ROBOTS_UA_VAL_RE, 1))
+    t = t.withColumn(
+        "_m_agent",
+        ((F.col("_ua") == 1) & (ua_val == agent_l)).cast("int"),
+    ).withColumn(
+        "_m_star", ((F.col("_ua") == 1) & (ua_val == "*")).cast("int")
+    )
+    w_grp = Window.partitionBy("host", "_grp")
+    w_all = Window.partitionBy("host")
+    t = (
+        t.withColumn("_g_agent", F.max("_m_agent").over(w_grp))
+        .withColumn("_g_star", F.max("_m_star").over(w_grp))
+        .withColumn("_h_agent", F.max("_m_agent").over(w_all))
+    )
+    selected = (
+        (F.col("_h_agent") == 1) & (F.col("_g_agent") == 1)
+    ) | ((F.col("_h_agent") == 0) & (F.col("_g_star") == 1))
+    verb = F.lower(F.regexp_extract(F.col("_l"), ROBOTS_RULE_RE, 1))
+    rpath = F.regexp_extract(F.col("_l"), ROBOTS_RULE_RE, 2)
+    return (
+        t.where(selected)
+        .select(
+            "host",
+            verb.alias("_verb"),
+            rpath.alias("rpath"),
+        )
+        .where((F.col("_verb") != "") & (F.col("rpath") != ""))
+        .select(
+            "host",
+            (F.col("_verb") == "allow").alias("allow"),
+            "rpath",
+            F.length("rpath").alias("rlen"),
+            _robots_like_pattern(F.col("rpath")).alias("like_pat"),
+        )
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Evaluate RFC 9309 access per URL against a parsed rule table
+    (:func:`parse_robots_rules`): the LONGEST matching rule path wins,
+    ties prefer Allow (the least-restrictive RFC rule, final tie-break
+    lexicographic on the path for full determinism under any
+    partitioning); a URL with no matching rule — or a host with no
+    rules at all — is allowed.  Matching is against path+query
+    (fragment excluded), '' → '/'.
+
+    Returns ``urls`` + (allowed boolean, matched_rule string — NULL
+    when nothing matched).
+
+    Plan: one equi-join on host (rule tables are tiny per host —
+    broadcast in practice), the per-URL argmax window; match flags and
+    rule lengths are int-coalesced so ORDER BY needs no NULL-ordering
+    dialect agreement."""
+    from pyspark.sql import Window
+
+    path = F.regexp_extract(F.col(url_col), _ROBOTS_PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    u = urls.withColumn("_host", url_host(F.col(url_col))).withColumn(
+        "_path", path
+    )
+    j = u.join(rules, u["_host"] == rules["host"], "left")
+    m = (
+        F.when(
+            F.col("like_pat").isNotNull(),
+            F.like(F.col("_path"), F.col("like_pat"), F.lit("!")),
+        )
+        .otherwise(F.lit(False))
+        .cast("int")
+    )
+    j = (
+        j.withColumn("_m", m)
+        .withColumn("_rlen0", F.coalesce(F.col("rlen"), F.lit(-1)))
+        .withColumn(
+            "_al0", F.coalesce(F.col("allow").cast("int"), F.lit(0))
+        )
+    )
+    w = Window.partitionBy(*[u[c] for c in id_cols]).orderBy(
+        F.col("_m").desc(),
+        F.col("_rlen0").desc(),
+        F.col("_al0").desc(),
+        F.col("rpath").asc(),
+    )
+    best = j.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        *[u[c] for c in id_cols],
+        F.col(url_col),
+        F.when(F.col("_m") == 1, F.col("allow"))
+        .otherwise(F.lit(True))
+        .alias("allowed"),
+        F.when(F.col("_m") == 1, F.col("rpath")).alias("matched_rule"),
+    )

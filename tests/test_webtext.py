@@ -309,3 +309,95 @@ class TestUrlDedupKeepLatest:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSitemap:
+    def test_entries_with_optional_lastmod(self, spark):
+        from capelinker_spark.operators.webtext import sitemap_entries
+
+        xml = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://a.example/p1</loc>"
+            "<lastmod>2024-01-01</lastmod></url>"
+            "<url><loc>\n https://a.example/p2 \n</loc></url>"
+            "<url><lastmod>2024-02-02</lastmod></url>"  # no loc: dropped
+            "</urlset>"
+        )
+        df = spark.createDataFrame([(1, xml)], "doc_id long, xml string")
+        rows = {
+            r.loc: r.lastmod
+            for r in sitemap_entries(df, xml_col="xml").collect()
+        }
+        assert rows == {
+            "https://a.example/p1": "2024-01-01",
+            "https://a.example/p2": None,
+        }
+
+
+class TestRobots:
+    ROBOTS = "\n".join([
+        "# rules",
+        "User-agent: capebot",
+        "Disallow: /private/",
+        "Allow: /private/pub*",
+        "Disallow: /*.gif$",
+        "",
+        "User-agent: *",
+        "Disallow: /",
+    ])
+
+    def _allowed(self, spark, robots_txt, urls, agent="capebot"):
+        from capelinker_spark.operators.webtext import (
+            parse_robots_rules,
+            robots_allowed,
+        )
+
+        r = spark.createDataFrame(
+            [("a.example", robots_txt)], "host string, robots_txt string"
+        )
+        u = spark.createDataFrame(
+            [(i, f"https://a.example{p}") for i, p in enumerate(urls)],
+            "doc_id long, url string",
+        )
+        rules = parse_robots_rules(r, agent=agent)
+        out = robots_allowed(u, rules)
+        return {r.url.split(".example", 1)[1]: (r.allowed, r.matched_rule)
+                for r in out.collect()}
+
+    def test_agent_group_beats_star_longest_match_wins(self, spark):
+        got = self._allowed(
+            spark, self.ROBOTS,
+            ["/private/doc", "/private/pub/x", "/img/x.gif", "/ok", ""],
+        )
+        assert got["/private/doc"] == (False, "/private/")
+        # allow is longer than the disallow -> least restrictive wins
+        assert got["/private/pub/x"] == (True, "/private/pub*")
+        assert got["/img/x.gif"] == (False, "/*.gif$")
+        assert got["/ok"] == (True, None)
+        assert got[""] == (True, None)  # '' matched as '/'
+
+    def test_star_group_applies_to_unknown_agent(self, spark):
+        got = self._allowed(
+            spark, self.ROBOTS, ["/anything"], agent="strangerbot"
+        )
+        assert got["/anything"] == (False, "/")
+
+    def test_anchor_matches_exact_end_only(self, spark):
+        txt = "User-agent: *\nDisallow: /p$\n"
+        got = self._allowed(spark, txt, ["/p", "/p/x", "/pq"])
+        assert got["/p"] == (False, "/p$")
+        assert got["/p/x"] == (True, None)
+        assert got["/pq"] == (True, None)
+
+    def test_empty_disallow_and_no_rules_host(self, spark):
+        got = self._allowed(
+            spark, "User-agent: capebot\nDisallow:\n", ["/x"]
+        )
+        assert got["/x"] == (True, None)
+
+    def test_like_metachars_in_rule_are_literal(self, spark):
+        txt = "User-agent: *\nDisallow: /a%b_\n"
+        got = self._allowed(spark, txt, ["/a%b_c", "/aXb_c", "/a%bXc"])
+        assert got["/a%b_c"] == (False, "/a%b_")
+        assert got["/aXb_c"] == (True, None)   # % is literal, not LIKE-any
+        assert got["/a%bXc"] == (True, None)   # _ is literal, not LIKE-one
