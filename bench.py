@@ -255,6 +255,8 @@ HEADLINE_QUERIES = [
     "wt3_host_pagerank",
     "wt4_anchor_agg",
     "dd13_url_dedup_keep_latest",
+    "wt6_robots_allowed",
+    "f17_soft_tfidf",
 ]
 
 

@@ -5764,6 +5764,79 @@ def _register_dd13_oracle() -> None:
 _register_dd13_oracle()
 
 
+@register(
+    "dd14_snapshot_change_stats",
+    """WITH p AS (SELECT doc_id,
+            'http://h' || (doc_id % 5)::VARCHAR || '.example/art/'
+              || (doc_id % 150)::VARCHAR AS url,
+            CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS ts,
+            'v' || ((doc_id * 7) % 3)::VARCHAR AS content
+          FROM documents),
+        w AS (SELECT url, ts, content,
+                lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
+                  AS prev
+              FROM p),
+        s AS (SELECT url,
+                CAST(count(*) AS BIGINT) AS n_snapshots,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+              FROM w GROUP BY url)
+       SELECT url, n_snapshots, n_changes,
+              CASE WHEN n_snapshots > 1
+                   THEN CAST(n_changes AS DOUBLE)
+                        / CAST(n_snapshots - 1 AS DOUBLE)
+                   ELSE 0.0 END AS change_rate
+       FROM s""",
+)
+def dd14_snapshot_change_stats(spark, sf_dir):
+    """DD14: snapshot change statistics — the recrawl-scheduling signal
+    that pairs with dd13's keep-latest collapse: per URL, how many
+    captures exist and how often consecutive captures actually changed
+    (content compared in (ts, doc_id) order — the deterministic
+    capture order). change_rate = changes / (snapshots − 1), ONE
+    int/int IEEE division. Plan: the lag window and the count/sum
+    aggregate stack on the same hashpartitioning(url) exchange; at
+    crawl scale this is the same canonical-URL partitioning dd13
+    already established. Planted content cycles v0/v1/v2 so per-URL
+    histories mix changed and unchanged consecutive pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    p = d.select(
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"),
+            F.lit(".example/art/"), (i % 150).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + (i * 37) % 100000).cast("long").alias("ts"),
+        F.concat(F.lit("v"), ((i * 7) % 3).cast("string")).alias("content"),
+        "doc_id",
+    )
+    w = Window.partitionBy("url").orderBy(F.col("ts").asc(), F.col("doc_id").asc())
+    s = (
+        p.withColumn("_prev", F.lag("content").over(w))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col("content") != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+        )
+    )
+    return s.select(
+        "url", "n_snapshots", "n_changes",
+        F.when(
+            F.col("n_snapshots") > 1,
+            F.col("n_changes").cast("double")
+            / (F.col("n_snapshots") - 1).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("change_rate"),
+    )
+
+
 # wt5 planted sitemap XML: entry 1 full (loc + lastmod), entry 2 loc only
 # with surrounding whitespace/newlines inside <loc>, an even-id entry with
 # NO loc (must drop), entry 3 with padded lastmod. Shared fragments.
@@ -6172,7 +6245,11 @@ _register_f17_oracle()
 # 5): ts11/wt2/wt3/wt4/dd13/f17 IN (never checked — the webtext front
 # end, link graph, crawl dedup, SoftTFIDF); dd9/dd10/dd11/tok1/ann1/cu1
 # OUT (all r5-driver-green, their query paths unchanged this round and
-# green in today's 126/126 full sweep).
+# green in today's 126/126 full sweep). Ninth amendment: wt5/wt6 IN
+# (never checked — sitemap + robots.txt crawl frontier); cu4 (r5-green,
+# its stages re-earn through cu7's row) and p7 (r4-green, full-sweep
+# covered) OUT. Tenth: dd14 IN (never checked), p9 OUT (r4-green,
+# trivial concat, full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -6194,11 +6271,10 @@ _DRIVER_WINDOW = [
     # graph + crawl dedup + SoftTFIDF
     "ts11_html_extract", "wt2_extract_links", "wt3_host_pagerank",
     "wt4_anchor_agg", "dd13_url_dedup_keep_latest", "f17_soft_tfidf",
-    # round-6-touched implementations
-    "cu4_full_curation",
-    # the 33-query cohort whose last driver row is round 4
-    "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
-    "f9_cos_uniqueness",
+    "wt5_sitemap_parse", "wt6_robots_allowed",
+    "dd14_snapshot_change_stats",
+    # r04-cohort re-earners
+    "f8_jw_uniqueness", "f9_cos_uniqueness",
 ]
 
 

@@ -444,6 +444,17 @@ def main():
         _fmt(f17),
     ))
 
+    wt6 = QUERIES["wt6_robots_allowed"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "robots.txt politeness matcher (wt6)",
+        "Look for: the robots-line windows (lag, running group sum, "
+        "group/host flags) ALL stacked on `hashpartitioning(host)`, the "
+        "URL side joining the tiny rule table on host (broadcastable), "
+        "LIKE-with-escape matching (no per-row regex compile), and one "
+        "per-URL argmax window — no Python anywhere.",
+        _fmt(wt6),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
