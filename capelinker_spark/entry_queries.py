@@ -5477,6 +5477,7 @@ _WT2_HTML_SQL = (
     "'<a href=\"#top\">top</a><a href=\"mailto:x@y.example\">mail</a>' || "
     "CASE WHEN doc_id % 2 = 0 "
     "THEN '<a href=\"ftp://files.example/f\">ftp</a>' ELSE '' END || "
+    "'<a href=/u/' || (doc_id % 6)::VARCHAR || ' rel=nofollow>unq</a>' || "
     "'<a name=\"noref\">skip</a></body></html>'"
 )
 
@@ -5505,6 +5506,8 @@ def _wt2_html_spark(text, i):
         F.lit('<a href="#top">top</a><a href="mailto:x@y.example">mail</a>'),
         F.when(i % 2 == 0, F.lit('<a href="ftp://files.example/f">ftp</a>'))
         .otherwise(F.lit("")),
+        F.lit("<a href=/u/"), (i % 6).cast("string"),
+        F.lit(" rel=nofollow>unq</a>"),
         F.lit('<a name="noref">skip</a></body></html>'),
     )
 
@@ -5538,9 +5541,21 @@ def wt2_extract_links(spark, sf_dir):
     return links.select("doc_id", "href", "link_url", "anchor")
 
 
-def _register_wt2_oracle() -> None:
+def _wt2_links_cte_sql() -> str:
+    """The wt2 extraction pipeline as a shared CTE chain ending in ``rs``
+    (doc_id, href, link_url, anchor — link_url still nullable).  ONE
+    definition consumed by BOTH the wt2 and wt4 oracles so the two can
+    never drift (review finding, session 5).  The unquote is conditional:
+    quoted values lose their quote pair, HTML5-legal unquoted values pass
+    through as written — mirroring webtext._unquote."""
     pat = WT.HTML_ANCHOR.replace("'", "''")
-    ORACLES["wt2_extract_links"] = f"""WITH h AS (
+    q2 = chr(34)            # double-quote character
+    q1 = chr(39) * 4        # SQL literal '' '' -> one single quote
+    unq = (
+        "CASE WHEN substr(z[1], 1, 1) IN ('" + q2 + "', " + q1 + ") "
+        "THEN substr(z[1], 2, length(z[1]) - 2) ELSE z[1] END"
+    )
+    return f"""h AS (
           SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT2_HTML_SQL} AS html
           FROM documents),
         arrs AS (SELECT doc_id, base,
@@ -5548,13 +5563,16 @@ def _register_wt2_oracle() -> None:
                    regexp_extract_all(html, '{pat}', 2) AS bs
                  FROM h),
         ex AS (SELECT doc_id, base, unnest(list_zip(hs, bs)) AS z FROM arrs),
-        lk AS (SELECT doc_id, base,
-                 substr(z[1], 2, length(z[1]) - 2) AS href, z[2] AS body
+        lk AS (SELECT doc_id, base, {unq} AS href, z[2] AS body
                FROM ex),
         rs AS (SELECT doc_id, href,
                  {WT.resolve_href_sql('base', 'href')} AS link_url,
                  {WT.strip_markup_sql('body')} AS anchor
-               FROM lk)
+               FROM lk)"""
+
+
+def _register_wt2_oracle() -> None:
+    ORACLES["wt2_extract_links"] = f"""WITH {_wt2_links_cte_sql()}
        SELECT doc_id, href, link_url, anchor FROM rs
        WHERE link_url IS NOT NULL"""
 
@@ -5620,22 +5638,7 @@ def wt3_host_pagerank(spark, sf_dir):
 
 
 def _register_wt4_oracle() -> None:
-    pat = WT.HTML_ANCHOR.replace("'", "''")
-    ORACLES["wt4_anchor_agg"] = f"""WITH h AS (
-          SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT2_HTML_SQL} AS html
-          FROM documents),
-        arrs AS (SELECT doc_id, base,
-                   regexp_extract_all(html, '{pat}', 1) AS hs,
-                   regexp_extract_all(html, '{pat}', 2) AS bs
-                 FROM h),
-        ex AS (SELECT doc_id, base, unnest(list_zip(hs, bs)) AS z FROM arrs),
-        lk AS (SELECT doc_id, base,
-                 substr(z[1], 2, length(z[1]) - 2) AS href, z[2] AS body
-               FROM ex),
-        rs AS (SELECT doc_id,
-                 {WT.resolve_href_sql('base', 'href')} AS link_url,
-                 {WT.strip_markup_sql('body')} AS anchor
-               FROM lk),
+    ORACLES["wt4_anchor_agg"] = f"""WITH {_wt2_links_cte_sql()},
         g AS (SELECT link_url, anchor, CAST(count(*) AS BIGINT) AS c
               FROM rs WHERE link_url IS NOT NULL
               GROUP BY link_url, anchor),
@@ -6004,7 +6007,7 @@ def _register_wt6_oracle() -> None:
           FROM region),
         lines AS (SELECT host, generate_subscripts(ls, 1) AS pos,
                          unnest(ls) AS raw
-                  FROM (SELECT host, string_split_regex(txt, '\\r*\\n')
+                  FROM (SELECT host, string_split_regex(txt, '\\r\\n|\\r|\\n')
                           AS ls FROM robots)),
         c AS (SELECT host, pos,
                 regexp_replace(regexp_replace(raw, '#.*', ''),
@@ -6051,7 +6054,7 @@ def _register_wt6_oracle() -> None:
                  FROM documents),
         up AS (SELECT doc_id, url,
                  lower(regexp_extract(url,
-                   '(?i)^https?://([^/:?#]*)', 1)) AS host,
+                   '(?i)^https?://(?:[^/?#]*@)?([^/:?#]*)', 1)) AS host,
                  CASE WHEN regexp_extract(url,
                         '(?i)^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
                       ELSE regexp_extract(url,

@@ -109,7 +109,7 @@ def extract_html(
 # <a> elements without an href (pure anchors) never match.
 HTML_ANCHOR = (
     "(?is)<a\\b[^>]*\\bhref[ \\t]*=[ \\t]*"
-    "(\"[^\"]*\"|'[^']*')[^>]*>(.*?)</a[ \\t]*>"
+    "(\"[^\"]*\"|'[^']*'|[^ \\t\\r\\n>'\"][^ \\t\\r\\n>]*)[^>]*>(.*?)</a[ \\t]*>"
 )
 # Absolute http(s) reference / any-scheme reference classifiers for
 # RFC 3986-lite resolution (see resolve_href).
@@ -118,7 +118,9 @@ _ANY_SCHEME = "(?i)^[a-z][a-z0-9+.-]*:"
 _ORIGIN_RE = "(?i)^(https?://[^/?#]*)"
 _BASE_SCHEME_RE = "(?i)^(https?):"
 _BASE_DIR_RE = "^(.*/)"
-_HOST_OF_URL_RE = "(?i)^https?://([^/:?#]*)"
+# host = authority after the LAST '@' (userinfo excluded — greedy
+# [^/?#]*@ cannot cross the path), before any ':' port
+_HOST_OF_URL_RE = "(?i)^https?://(?:[^/?#]*@)?([^/:?#]*)"
 
 
 def anchor_parts(col: Column) -> tuple[Column, Column]:
@@ -131,8 +133,10 @@ def anchor_parts(col: Column) -> tuple[Column, Column]:
 
 
 def _unquote(h: Column) -> Column:
-    """Drop the surrounding quote pair captured by HTML_ANCHOR."""
-    return h.substr(F.lit(2), F.length(h) - 2)
+    """Drop the surrounding quote pair captured by HTML_ANCHOR; unquoted
+    (HTML5-legal) href values pass through as written."""
+    quoted = h.startswith('"') | h.startswith("'")
+    return F.when(quoted, h.substr(F.lit(2), F.length(h) - 2)).otherwise(h)
 
 
 def strip_markup(col: Column) -> Column:
@@ -179,6 +183,14 @@ def resolve_href(base: Column, href: Column) -> Column:
     scheme = F.lower(F.regexp_extract(base, _BASE_SCHEME_RE, 1))
     origin = F.regexp_extract(base, _ORIGIN_RE, 1)
     basedir = F.regexp_extract(base, _BASE_DIR_RE, 1)
+    # a path-less base ('https://example.com') captures only 'https://'
+    # as its "directory" — RFC 3986 5.3 merges a relative reference
+    # against '/' then, so fall back whenever the captured dir does not
+    # extend past the origin
+    basedir = F.when(
+        F.length(basedir) <= F.length(origin),
+        F.concat(origin, F.lit("/")),
+    ).otherwise(basedir)
     return (
         F.when(href.rlike(_ABS_HTTP), href)
         .when(href.rlike(_ANY_SCHEME), F.lit(None).cast("string"))
@@ -203,7 +215,11 @@ def resolve_href_sql(base: str, href: str) -> str:
         WHEN {href} LIKE '/%'
           THEN regexp_extract({base}, '{_ORIGIN_RE}', 1) || {href}
         WHEN {href} LIKE '#%' OR {href} = '' THEN NULL
-        ELSE regexp_extract({base}, '{_BASE_DIR_RE}', 1) || {href}
+        ELSE CASE WHEN length(regexp_extract({base}, '{_BASE_DIR_RE}', 1))
+                       <= length(regexp_extract({base}, '{_ORIGIN_RE}', 1))
+                  THEN regexp_extract({base}, '{_ORIGIN_RE}', 1) || '/'
+                  ELSE regexp_extract({base}, '{_BASE_DIR_RE}', 1) END
+             || {href}
       END"""
 
 
@@ -482,6 +498,10 @@ def sitemap_entries(
 # robots.txt (RFC 9309 — crawl politeness; the frontier's allow filter)
 # ---------------------------------------------------------------------------
 
+# RFC 9309 allows CR, LF, and CRLF line terminators; splitting on all
+# three also guarantees no line retains a '\r', so the $ in
+# ROBOTS_TRIM_RE never sees one (the engine-wide bare-$ convention).
+ROBOTS_LINE_SPLIT = "\r\n|\r|\n"
 ROBOTS_UA_RE = "(?i)^user-agent[ \\t]*:"
 ROBOTS_UA_VAL_RE = "(?i)^user-agent[ \\t]*:[ \\t]*([^ \\t]*)"
 ROBOTS_RULE_RE = "(?i)^(allow|disallow)[ \\t]*:[ \\t]*([^ \\t]*)"
@@ -535,7 +555,7 @@ def parse_robots_rules(
     agent_l = agent.lower()
     lines = df.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(robots_col), "\r*\n")).alias(
+        F.posexplode(F.split(F.col(robots_col), ROBOTS_LINE_SPLIT)).alias(
             "_pos", "_raw"
         ),
     )
@@ -646,8 +666,7 @@ def robots_allowed(
         F.col("_rn") == 1
     )
     return best.select(
-        *[u[c] for c in id_cols],
-        F.col(url_col),
+        *[u[c] for c in urls.columns],
         F.when(F.col("_m") == 1, F.col("allow"))
         .otherwise(F.lit(True))
         .alias("allowed"),

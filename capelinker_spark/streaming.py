@@ -763,16 +763,26 @@ def stream_url_dedup(
 
     from capelinker_spark.operators.urls import normalize_url
 
+    if keep_versions < 2:
+        # a replayed batch folds from the newest version BELOW its id;
+        # with only 1 retained version that prior is already pruned and
+        # the replay would silently restart from empty state
+        raise ValueError("keep_versions must be >= 2 (replay safety)")
+
     spark = pages_stream.sparkSession
     cur_dir = os.path.join(state_dir, "current")
 
     def _versions() -> list[int]:
+        # only COMMITTED versions count: Spark's parquet committer writes
+        # _SUCCESS last, so a crash mid-write leaves a marker-less dir
+        # that both the fold and the reader must skip
         if not os.path.isdir(cur_dir):
             return []
         return sorted(
             int(d[8:])
             for d in os.listdir(cur_dir)
             if d.startswith("version=")
+            and os.path.exists(os.path.join(cur_dir, d, "_SUCCESS"))
         )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -833,6 +843,7 @@ def read_url_dedup_state(spark, state_dir: str) -> DataFrame:
         int(d[8:])
         for d in (os.listdir(cur_dir) if os.path.isdir(cur_dir) else [])
         if d.startswith("version=")
+        and os.path.exists(os.path.join(cur_dir, d, "_SUCCESS"))
     )
     if not vs:
         raise FileNotFoundError(f"no url-dedup state under {state_dir}")

@@ -780,3 +780,39 @@ def test_stream_url_dedup_matches_batch(spark, tmp_path):
     got2, want2 = stream_result(), batch_result(batches + [wave4])
     assert got2 == want2
     assert got2["http://a.example.com/p?a=1&b=2"] == (7, 99, 4)
+
+
+def test_stream_url_dedup_guards(spark, tmp_path):
+    """keep_versions < 2 is replay-unsafe and must raise; an uncommitted
+    (no _SUCCESS) version directory is invisible to the reader."""
+    import os
+
+    import pytest as _pytest
+
+    from capelinker_spark.streaming import (
+        read_url_dedup_state,
+        stream_url_dedup,
+    )
+
+    schema = "doc_id long, url string, warc_ts long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "https://a.example/p", 10)], schema
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    with _pytest.raises(ValueError, match="keep_versions"):
+        stream_url_dedup(
+            stream, str(tmp_path / "ck"), str(tmp_path / "st"),
+            keep_versions=1,
+        )
+
+    # committed version 0, then a crash-torn version 1 without _SUCCESS
+    state = str(tmp_path / "state2")
+    q = stream_url_dedup(stream, str(tmp_path / "ck2"), state)
+    q.awaitTermination()
+    torn = os.path.join(state, "current", "version=99")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    got = read_url_dedup_state(spark, state).collect()
+    assert [(r.doc_id, r.n_snapshots) for r in got] == [(1, 1)]

@@ -401,3 +401,76 @@ class TestRobots:
         assert got["/a%b_c"] == (False, "/a%b_")
         assert got["/aXb_c"] == (True, None)   # % is literal, not LIKE-any
         assert got["/a%bXc"] == (True, None)   # _ is literal, not LIKE-one
+
+
+class TestReviewFixesSession5:
+    def test_robots_cr_only_line_endings(self, spark):
+        # RFC 9309 allows bare-CR terminators; a CR-only file must parse
+        from capelinker_spark.operators.webtext import (
+            parse_robots_rules,
+            robots_allowed,
+        )
+
+        r = spark.createDataFrame(
+            [("a.example", "User-agent: *\rDisallow: /private/\r")],
+            "host string, robots_txt string",
+        )
+        u = spark.createDataFrame(
+            [(1, "https://a.example/private/x")], "doc_id long, url string"
+        )
+        (row,) = robots_allowed(u, parse_robots_rules(r)).collect()
+        assert row.allowed is False and row.matched_rule == "/private/"
+
+    def test_url_host_excludes_userinfo_and_port(self, spark):
+        from capelinker_spark.operators.webtext import url_host
+
+        df = spark.createDataFrame(
+            [("https://alice@Example.COM/p",),
+             ("https://u:p@example.com:8443/x",),
+             ("https://plain.example/x",)],
+            "u string",
+        )
+        got = [r.h for r in df.select(url_host(F.col("u")).alias("h")).collect()]
+        assert got == ["example.com", "example.com", "plain.example"]
+
+    def test_resolve_href_pathless_base(self, spark):
+        from capelinker_spark.operators.webtext import resolve_href
+
+        df = spark.createDataFrame(
+            [("https://example.com", "about.html")], "base string, h string"
+        )
+        (row,) = df.select(
+            resolve_href(F.col("base"), F.col("h")).alias("r")
+        ).collect()
+        assert row.r == "https://example.com/about.html"
+
+    def test_unquoted_href_extracted(self, spark):
+        from capelinker_spark.operators.webtext import links_from_html
+
+        df = spark.createDataFrame(
+            [(1, "https://a.example/d/p.html",
+              "<a href=/u/1 rel=nofollow>unq</a><a href=rel2>r</a>")],
+            "doc_id long, url string, html string",
+        )
+        got = {r.href: r.link_url for r in links_from_html(df).collect()}
+        assert got == {
+            "/u/1": "https://a.example/u/1",
+            "rel2": "https://a.example/d/rel2",
+        }
+
+    def test_robots_allowed_passes_through_columns(self, spark):
+        from capelinker_spark.operators.webtext import (
+            parse_robots_rules,
+            robots_allowed,
+        )
+
+        r = spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /x/\n")],
+            "host string, robots_txt string",
+        )
+        u = spark.createDataFrame(
+            [(1, "https://a.example/x/p", 777)],
+            "doc_id long, url string, warc_ts long",
+        )
+        (row,) = robots_allowed(u, parse_robots_rules(r)).collect()
+        assert row.warc_ts == 777 and row.allowed is False
