@@ -5840,6 +5840,106 @@ def dd14_snapshot_change_stats(spark, sf_dir):
     )
 
 
+_IR_QT_SQL = """(VALUES
+                ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
+                ('q2', 'window'), ('q2', 'agg'),
+                ('q3', 'customer'), ('q3', 'stream'), ('q3', 'vector'))
+              AS t(query_id, term)"""
+
+
+@register(
+    "ir3_bm25f_anchor_topk",
+    f"""WITH body AS (SELECT doc_id, text FROM documents),
+       anch AS (SELECT doc_id,
+                  'ref ' || substr(coalesce(text, ''), 41, 60) AS text
+                FROM documents),
+       bp AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                      '[a-z0-9]+')) AS term FROM body)
+              GROUP BY doc_id, term),
+       bdl AS (SELECT doc_id, sum(tf) AS dl FROM bp GROUP BY doc_id),
+       bavg AS (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id)::DOUBLE
+                  AS avgdl FROM bp),
+       bq AS (SELECT doc_id, term,
+                CAST(floor((1.0 * tf::DOUBLE
+                    / (0.25 + 0.75 * dl::DOUBLE / avgdl))
+                  * 1000000.0 + 0.5) AS BIGINT) AS tq
+              FROM bp JOIN bdl USING (doc_id), bavg),
+       ap AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                      '[a-z0-9]+')) AS term FROM anch)
+              GROUP BY doc_id, term),
+       adl AS (SELECT doc_id, sum(tf) AS dl FROM ap GROUP BY doc_id),
+       aavg AS (SELECT sum(tf)::DOUBLE / count(DISTINCT doc_id)::DOUBLE
+                  AS avgdl FROM ap),
+       aq AS (SELECT doc_id, term,
+                CAST(floor((2.0 * tf::DOUBLE
+                    / (1.0 + 0.0 * dl::DOUBLE / avgdl))
+                  * 1000000.0 + 0.5) AS BIGINT) AS tq
+              FROM ap JOIN adl USING (doc_id), aavg),
+       comb AS (SELECT doc_id, term, CAST(sum(tq) AS BIGINT) AS tq
+                FROM (SELECT * FROM bq UNION ALL SELECT * FROM aq)
+                GROUP BY doc_id, term),
+       nstats AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+                  FROM comb),
+       dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                 FROM comb GROUP BY term),
+       idf AS (SELECT term,
+                 CAST(floor(ln((nstats.n - df + 0.5) / (df + 0.5) + 1.0)
+                      * 1000000.0 + 0.5) AS BIGINT) AS q
+               FROM dfreq, nstats),
+       qt AS (SELECT * FROM {_IR_QT_SQL}),
+       m AS (SELECT qt.query_id, comb.doc_id,
+                    comb.tq::DOUBLE / 1000000.0 AS tt, idf.q
+             FROM comb JOIN qt USING (term) JOIN idf USING (term)),
+       sc AS (SELECT query_id, doc_id,
+                CAST(sum(CAST(round(q::DOUBLE * (tt / (1.2 + tt)), 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) / 1000000.0 AS score
+              FROM m GROUP BY query_id, doc_id),
+       r AS (SELECT query_id, doc_id, score,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC)
+                      AS rank
+             FROM sc)
+       SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+       FROM r WHERE rank <= 10""",
+)
+def ir3_bm25f_anchor_topk(spark, sf_dir):
+    """IR3: simple BM25F (ir.bm25f_topk; Robertson & Zaragoza 2009 §6)
+    over two fields — body text (w=1, b=0.75) and an anchor-text field
+    (w=2, b=0: anchors conventionally skip length normalization) — the
+    web-retrieval ranking shape where field-weighted evidence combines
+    BEFORE saturation, so anchor hits lift a page the way summing two
+    BM25 scores cannot. In production the anchor field is wt4's
+    per-target consensus-anchor table; the driver plant derives it
+    deterministically from the documents corpus. Exactness: per-field
+    normalized tf floor-quantized to LONG 1e-6 units (cross-field sum
+    integral under any partitioning, ONE de-scaling division), then the
+    ir1 oracle recipe (CPython-log Robertson idf over any-field df,
+    round-6 DECIMAL contribution sums)."""
+    from capelinker_spark.operators.ir import bm25f_topk
+
+    d = _t(spark, sf_dir, "documents")
+    body = d.select("doc_id", "text")
+    anch = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("ref "),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 41, 60),
+        ).alias("text"),
+    )
+    qt = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "join"), ("q1", "fast"),
+         ("q2", "window"), ("q2", "agg"),
+         ("q3", "customer"), ("q3", "stream"), ("q3", "vector")],
+        "query_id string, term string",
+    )
+    return bm25f_topk(
+        [(body, 1.0, 0.75), (anch, 2.0, 0.0)],
+        qt, k=10, idf_quant=1_000_000,
+    )
+
+
 # wt5 planted sitemap XML: entry 1 full (loc + lastmod), entry 2 loc only
 # with surrounding whitespace/newlines inside <loc>, an even-id entry with
 # NO loc (must drop), entry 3 with padded lastmod. Shared fragments.
@@ -6252,7 +6352,8 @@ _register_f17_oracle()
 # (never checked — sitemap + robots.txt crawl frontier); cu4 (r5-green,
 # its stages re-earn through cu7's row) and p7 (r4-green, full-sweep
 # covered) OUT. Tenth: dd14 IN (never checked), p9 OUT (r4-green,
-# trivial concat, full-sweep covered).
+# trivial concat, full-sweep covered). Eleventh: ir3 IN (never
+# checked — BM25F), f8 OUT (r4-green, full-sweep covered).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -6275,9 +6376,9 @@ _DRIVER_WINDOW = [
     "ts11_html_extract", "wt2_extract_links", "wt3_host_pagerank",
     "wt4_anchor_agg", "dd13_url_dedup_keep_latest", "f17_soft_tfidf",
     "wt5_sitemap_parse", "wt6_robots_allowed",
-    "dd14_snapshot_change_stats",
-    # r04-cohort re-earners
-    "f8_jw_uniqueness", "f9_cos_uniqueness",
+    "dd14_snapshot_change_stats", "ir3_bm25f_anchor_topk",
+    # r04-cohort re-earner
+    "f9_cos_uniqueness",
 ]
 
 

@@ -235,3 +235,126 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def bm25f_topk(
+    fields: list,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    term_col: str = "term",
+    idf_quant: int | None = None,
+    tf_quant: int = 1_000_000,
+) -> DataFrame:
+    """Simple BM25F (Robertson & Zaragoza 2009 §6) — multi-field BM25,
+    THE web-retrieval ranking shape: per field f the term frequency is
+    length-normalized and field-weighted BEFORE saturation,
+
+        tf~_f = w_f · tf_f / (1 − b_f + b_f · dl_f/avgdl_f)
+        score = Σ_t idf(t) · T / (k1 + T),   T = Σ_f tf~_f
+
+    so a strong anchor-text field lifts a document the way per-field
+    BM25 summation cannot (saturation applies to the COMBINED evidence).
+    ``fields`` is a list of ``(docs_df, weight, b_f)`` — canonically
+    ``[(body, 1.0, 0.75), (anchors, 2.0, 0.0)]`` with the anchor field
+    built from wt4's per-target anchor aggregation (anchors
+    conventionally skip length normalization: b_f = 0).
+
+    idf is Robertson idf over document frequency in ANY field; N is the
+    distinct-document count across fields — both ride lazily (1-row
+    broadcast frames, no driver action).
+
+    Exactness: per-field ``tf~`` is ONE deterministic IEEE chain floor-
+    quantized to ``tf_quant`` LONG units; the cross-field sum is a LONG
+    sum (order-independent for any number of fields); ``T`` is ONE
+    de-scaling division. ``idf_quant`` selects the oracle tier (CPython
+    log, round-6 DECIMAL(38,6) contribution sums — the ir1 recipe);
+    None is the production tier (JVM log, plain double sum).
+
+    Scale shape: one postings shuffle per field (map-side combinable),
+    one (id, term) hash-agg for the combine, broadcast query terms —
+    the corpus never shuffles on the term key; per-query top-k window.
+    """
+    if not fields:
+        raise ValueError("bm25f_topk needs at least one field")
+    parts = []
+    for fdf, weight, b_f in fields:
+        post = postings(fdf, text_col, id_col)
+        stats = post.groupBy().agg(
+            (
+                F.sum("tf").cast("double")
+                / F.count_distinct(id_col).cast("double")
+            ).alias("_avgdl")
+        )
+        tfn = (
+            F.lit(float(weight))
+            * F.col("tf").cast("double")
+            / (
+                F.lit(1.0 - b_f)
+                + F.lit(float(b_f))
+                * F.col("dl").cast("double")
+                / F.col("_avgdl")
+            )
+        )
+        parts.append(
+            post.crossJoin(F.broadcast(stats)).select(
+                id_col,
+                "term",
+                F.floor(tfn * F.lit(float(tf_quant)) + F.lit(0.5))
+                .cast("long")
+                .alias("_tq"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    combined = u.groupBy(id_col, "term").agg(
+        F.sum("_tq").cast("long").alias("_tq")
+    )
+    stats_all = combined.groupBy().agg(
+        F.count_distinct(id_col).cast("long").alias("_n")
+    )
+    dfreq = (
+        combined.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .crossJoin(F.broadcast(stats_all))
+    )
+    if idf_quant:
+        idf = _idf_quantized(dfreq, idf_quant).select(
+            "term", F.col("_idfq").cast("double").alias("_idf")
+        )
+        scale = float(idf_quant)
+    else:
+        idf = dfreq.select(
+            "term",
+            F.log(
+                (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+                + 1.0
+            ).alias("_idf"),
+        )
+        scale = 1.0
+    q = query_terms.select(
+        F.col(query_id).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    tt = F.col("_tq").cast("double") / F.lit(float(tf_quant))
+    contrib = F.col("_idf") * (tt / (F.lit(float(k1)) + tt))
+    matched = combined.join(F.broadcast(q), "term").join(idf, "term")
+    if idf_quant:
+        per_term = F.round(contrib, 6).cast("decimal(38,6)")
+        score = (F.sum(per_term).cast("double") / F.lit(scale)).alias(
+            "score"
+        )
+    else:
+        score = F.sum(contrib).alias("score")
+    scored = matched.groupBy("query_id", id_col).agg(score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -131,3 +131,51 @@ def test_rrf_fuse_integer_exact(spark):
 
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bm25f_anchor_boost_and_saturation(spark):
+    """A document matched only via its (weighted, b=0) anchor field
+    outranks a body-only match of equal body content; combined-then-
+    saturated evidence differs from summing two per-field BM25 runs."""
+    from capelinker_spark.operators.ir import bm25f_topk
+
+    body = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),
+         (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    anchors = spark.createDataFrame(
+        [(2, "alpha alpha"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    qt = spark.createDataFrame([("q", "alpha")], "query_id string, term string")
+    out = bm25f_topk(
+        [(body, 1.0, 0.75), (anchors, 2.0, 0.0)], qt, k=10,
+        idf_quant=1_000_000,
+    )
+    rows = {r.doc_id: (r.rank, r.score) for r in out.collect()}
+    # doc 2 = body hit + double anchor hit -> rank 1; doc 1 body-only
+    assert rows[2][0] == 1
+    assert rows[2][1] > rows[1][1]
+    # doc 3 matches ONLY through its anchor field yet still ranks
+    assert 3 in rows and rows[3][1] > 0
+
+    with __import__("pytest").raises(ValueError, match="at least one"):
+        bm25f_topk([], qt)
+
+
+def test_bm25f_empty_field_rows_absent(spark):
+    """Docs absent from a field simply contribute nothing from it."""
+    from capelinker_spark.operators.ir import bm25f_topk
+
+    body = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha")], "doc_id long, text string"
+    )
+    anchors = spark.createDataFrame([(2, "alpha")], "doc_id long, text string")
+    qt = spark.createDataFrame([("q", "alpha")], "query_id string, term string")
+    out = bm25f_topk(
+        [(body, 1.0, 0.75), (anchors, 1.0, 0.0)], qt, idf_quant=1_000_000
+    )
+    rows = {r.doc_id: r.score for r in out.collect()}
+    assert rows[2] > rows[1] > 0
