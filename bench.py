@@ -257,6 +257,8 @@ HEADLINE_QUERIES = [
     "dd13_url_dedup_keep_latest",
     "wt6_robots_allowed",
     "f17_soft_tfidf",
+    "ir3_bm25f_anchor_topk",
+    "dm5_weighted_sample",
 ]
 
 

@@ -5840,6 +5840,42 @@ def dd14_snapshot_change_stats(spark, sf_dir):
     )
 
 
+@register(
+    "dm5_weighted_sample",
+    """WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+            CAST('0x' || substr(md5('s5' || coalesce(doc_id::VARCHAR, '')),
+                               1, 10) AS BIGINT) AS h
+          FROM documents
+          WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+        kq AS (SELECT doc_id, w,
+                 CAST(floor(ln((h + 1)::DOUBLE / 1099511627776.0) / w
+                            * 1000000000.0) AS BIGINT) AS _prio
+               FROM p)
+       SELECT doc_id, w, _prio FROM kq
+       ORDER BY _prio DESC, doc_id ASC LIMIT 50""",
+)
+def dm5_weighted_sample(spark, sf_dir):
+    """DM5: weighted sampling without replacement (mixing.weighted_
+    sample_topk; Efraimidis-Spirakis priority sampling) — k=50 docs
+    drawn with probability proportional to length (w = n_chars; in
+    production w is a quality or DSIR importance score). Oracle tier:
+    u = (md5-10-hex + 1)/2^40 (power-of-two division, IEEE-exact),
+    priority ln(u)/w computed by CPython libm (bit-identical to
+    DuckDB's ln — the ir1 precedent), floor-quantized to LONG 1e-9
+    units, (priority DESC, doc_id ASC) tie-break. The global top-k
+    compiles to TakeOrderedAndProject — per-partition heaps, NO
+    single-partition exchange."""
+    from capelinker_spark.operators.mixing import weighted_sample_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("w")
+    )
+    out = weighted_sample_topk(
+        d, weight_col="w", k=50, key_col="doc_id", seed="s5"
+    )
+    return out.select("doc_id", "w", "_prio")
+
+
 _IR_QT_SQL = """(VALUES
                 ('q1', 'spark'), ('q1', 'join'), ('q1', 'fast'),
                 ('q2', 'window'), ('q2', 'agg'),
@@ -6353,7 +6389,10 @@ _register_f17_oracle()
 # its stages re-earn through cu7's row) and p7 (r4-green, full-sweep
 # covered) OUT. Tenth: dd14 IN (never checked), p9 OUT (r4-green,
 # trivial concat, full-sweep covered). Eleventh: ir3 IN (never
-# checked — BM25F), f8 OUT (r4-green, full-sweep covered).
+# checked — BM25F), f8 OUT (r4-green, full-sweep covered). Twelfth:
+# dm5 IN (never checked — weighted sampling), f9 OUT (r4-green,
+# full-sweep covered; the r04 re-earner cohort returns in round 7,
+# where the never-checked backlog is finally empty).
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
@@ -6377,8 +6416,7 @@ _DRIVER_WINDOW = [
     "wt4_anchor_agg", "dd13_url_dedup_keep_latest", "f17_soft_tfidf",
     "wt5_sitemap_parse", "wt6_robots_allowed",
     "dd14_snapshot_change_stats", "ir3_bm25f_anchor_topk",
-    # r04-cohort re-earner
-    "f9_cos_uniqueness",
+    "dm5_weighted_sample",
 ]
 
 

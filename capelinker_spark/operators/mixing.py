@@ -21,7 +21,8 @@ no driver work — the rule rides inside the scan's codegen stage.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_DIGITS = 5  # md5 prefix length: rate granularity 1/16^5
@@ -270,4 +271,89 @@ def token_budget_mix(
     return sample_to_rates(
         df, class_col, rates, key_col, default_rate=1.0, seed=seed,
         method=method,
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "",
+    method: str = "md5",
+    quant: int = 10**9,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
+    priority sampling): each row draws a deterministic uniform u from
+    its key and wins a slot if its priority ``ln(u)/w`` is among the k
+    largest — equivalent to sampling k rows with probability
+    proportional to weight, and the standard shape for importance- or
+    quality-weighted corpus selection (DSIR-style: w = quality or
+    domain-relevance score). Rows with NULL or non-positive weight are
+    excluded (weight 0 = never sampled).
+
+    Deterministic and rerun-stable like every sampling rule in this
+    module: u is a pure function of (seed, key), never rand().
+
+    * ``method='md5'`` — the cross-engine oracle tier: u = (h+1)/2^40
+      from a 10-hex md5 digest (the division is by a POWER OF TWO, so u
+      is IEEE-exact), the log runs in CPython via one Arrow-batched UDF
+      (libm — bit-identical to DuckDB's ``ln``; the ir1 idf precedent),
+      and the priority is floor-quantized to LONG ``quant`` units with
+      a (priority DESC, key ASC) tie-break.
+    * ``method='xxhash64'`` — the production tier: 64-bit hash uniform
+      + JVM ``F.log``, identical plan, zero Python.
+
+    Plan: global top-k compiles to ``TakeOrderedAndProject`` (NO
+    single-partition exchange — per-partition heaps then a k-row
+    merge); ``group_col`` switches to a per-group row_number window
+    (stratified selection), one hash exchange on the group key."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    w = F.col(weight_col).cast("double")
+    base = df.where(w.isNotNull() & (w > 0))
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(""))
+    if method == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 10), 16, 10
+        ).cast("long")
+
+        @pandas_udf("long")
+        def _prio(hh: pd.Series, ww: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    int(math.floor(
+                        math.log((int(x) + 1) / 1099511627776.0) / y
+                        * float(quant)
+                    ))
+                    for x, y in zip(hh, ww)
+                ]
+            )
+
+        kq = _prio(h, w)
+    elif method == "xxhash64":
+        h = F.pmod(
+            F.xxhash64(key, F.lit(hash(seed) & 0x7FFFFFFF)),
+            F.lit(1 << 40),
+        )
+        u = (h + 1).cast("double") / F.lit(float(1 << 40))
+        kq = F.floor(F.log(u) / w * F.lit(float(quant))).cast("long")
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    scored = base.withColumn("_prio", kq)
+    if group_col is None:
+        return scored.orderBy(
+            F.col("_prio").desc(), F.col(key_col).asc()
+        ).limit(k)
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("_prio").desc(), F.col(key_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
     )

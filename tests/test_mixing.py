@@ -242,3 +242,63 @@ def test_token_budget_mix_hits_budget(spark):
     for lang in ("en", "de"):
         want = min(budget * 0.5, totals[lang])
         assert abs(got[lang] - want) / want < 0.1, (lang, got[lang], want)
+
+
+class TestWeightedSampleTopk:
+    def _docs(self, spark):
+        rows = [(i, 100.0 if i < 10 else 1.0) for i in range(110)]
+        return spark.createDataFrame(rows, "doc_id long, w double")
+
+    def test_heavy_weights_dominate_and_deterministic(self, spark):
+        from capelinker_spark.operators.mixing import weighted_sample_topk
+
+        d = self._docs(spark)
+        got1 = {r.doc_id for r in
+                weighted_sample_topk(d, "w", 10, "doc_id", seed="a").collect()}
+        got2 = {r.doc_id for r in
+                weighted_sample_topk(d, "w", 10, "doc_id", seed="a").collect()}
+        assert got1 == got2  # rerun-stable
+        # 10 docs carry 100x the weight of the other 100: expect most
+        # of the k=10 slots to go to them (P[majority] is overwhelming)
+        heavy = sum(1 for i in got1 if i < 10)
+        assert heavy >= 6
+        # a different seed draws a different sample
+        got3 = {r.doc_id for r in
+                weighted_sample_topk(d, "w", 10, "doc_id", seed="b").collect()}
+        assert got3 != got1
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from capelinker_spark.operators.mixing import weighted_sample_topk
+
+        d = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "doc_id long, w double",
+        )
+        got = {r.doc_id for r in
+               weighted_sample_topk(d, "w", 10, "doc_id").collect()}
+        assert got == {1, 5}
+
+    def test_stratified_per_group(self, spark):
+        from capelinker_spark.operators.mixing import weighted_sample_topk
+
+        d = spark.createDataFrame(
+            [(i, float(i % 7 + 1), "g%d" % (i % 3)) for i in range(60)],
+            "doc_id long, w double, grp string",
+        )
+        out = weighted_sample_topk(
+            d, "w", 5, "doc_id", group_col="grp"
+        ).groupBy("grp").count().collect()
+        assert {r.grp: r["count"] for r in out} == {
+            "g0": 5, "g1": 5, "g2": 5
+        }
+
+    def test_global_topk_no_single_partition_exchange(self, spark):
+        from capelinker_spark.operators.mixing import weighted_sample_topk
+
+        d = self._docs(spark).repartition(4)
+        plan = (
+            weighted_sample_topk(d, "w", 10, "doc_id", method="xxhash64")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange SinglePartition" not in plan
