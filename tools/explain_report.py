@@ -455,6 +455,28 @@ def main():
         _fmt(wt6),
     ))
 
+    ir3 = QUERIES["ir3_bm25f_anchor_topk"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "BM25F anchor-boosted retrieval (ir3)",
+        "Look for: one postings HashAggregate pair per field, the "
+        "cross-field combine as ONE more (id, term) hash agg over the "
+        "union, 1-row `BroadcastExchange`s for avgdl/N (lazy scalars), "
+        "the query-term broadcast join, and ONE ArrowEvalPython (the "
+        "CPython-log idf over the distinct-term table only).",
+        _fmt(ir3),
+    ))
+
+    dm5 = QUERIES["dm5_weighted_sample"](spark, "/root/testdata/sf0.001")
+    sections.append((
+        "Weighted sampling without replacement (dm5)",
+        "Look for: `TakeOrderedAndProject` as the top node — the global "
+        "top-k is per-partition heaps + a k-row merge, NO "
+        "`Exchange SinglePartition`; one ArrowEvalPython computes the "
+        "CPython-libm priority (oracle tier; the xxhash64 tier is "
+        "all-native).",
+        _fmt(dm5),
+    ))
+
     out = ["# EXPLAIN — physical plans of the key operators\n"]
     out.append(
         "Generated by `python tools/explain_report.py` (local[4], sf0.001 "
