@@ -5767,14 +5767,35 @@ def _register_dd13_oracle() -> None:
 _register_dd13_oracle()
 
 
-@register(
-    "dd14_snapshot_change_stats",
-    """WITH p AS (SELECT doc_id,
+def _dd14_pages_spark(spark, sf_dir):
+    """Spark twin of _DD14_PAGES_SQL (shared by dd14 and wt7)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), (i % 5).cast("string"),
+            F.lit(".example/art/"), (i % 150).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + (i * 37) % 100000).cast("long").alias("ts"),
+        F.concat(
+            F.lit("v"), (((i * i) % 7) % 3).cast("string")
+        ).alias("content"),
+    )
+
+
+# the dd14/wt7 shared crawl-snapshot plant (one definition, two oracles)
+_DD14_PAGES_SQL = """SELECT doc_id,
             'http://h' || (doc_id % 5)::VARCHAR || '.example/art/'
               || (doc_id % 150)::VARCHAR AS url,
             CAST(1700000000 + (doc_id * 37) % 100000 AS BIGINT) AS ts,
-            'v' || ((doc_id * 7) % 3)::VARCHAR AS content
-          FROM documents),
+            'v' || (((doc_id * doc_id) % 7) % 3)::VARCHAR AS content
+          FROM documents"""
+
+
+@register(
+    "dd14_snapshot_change_stats",
+    f"""WITH p AS ({_DD14_PAGES_SQL}),
         w AS (SELECT url, ts, content,
                 lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
                   AS prev
@@ -5800,19 +5821,11 @@ def dd14_snapshot_change_stats(spark, sf_dir):
     int/int IEEE division. Plan: the lag window and the count/sum
     aggregate stack on the same hashpartitioning(url) exchange; at
     crawl scale this is the same canonical-URL partitioning dd13
-    already established. Planted content cycles v0/v1/v2 so per-URL
-    histories mix changed and unchanged consecutive pairs."""
-    d = _t(spark, sf_dir, "documents").select("doc_id")
-    i = F.col("doc_id")
-    p = d.select(
-        F.concat(
-            F.lit("http://h"), (i % 5).cast("string"),
-            F.lit(".example/art/"), (i % 150).cast("string"),
-        ).alias("url"),
-        (F.lit(1700000000) + (i * 37) % 100000).cast("long").alias("ts"),
-        F.concat(F.lit("v"), ((i * 7) % 3).cast("string")).alias("content"),
-        "doc_id",
-    )
+    already established. Planted content follows a quadratic
+    version cycle (the linear *7 form was invariant across the 150-id
+    snapshot stride — every pair compared equal), so per-URL histories
+    genuinely mix changed and unchanged consecutive pairs."""
+    p = _dd14_pages_spark(spark, sf_dir)
     w = Window.partitionBy("url").orderBy(F.col("ts").asc(), F.col("doc_id").asc())
     s = (
         p.withColumn("_prev", F.lag("content").over(w))
@@ -5837,6 +5850,42 @@ def dd14_snapshot_change_stats(spark, sf_dir):
         )
         .otherwise(F.lit(0.0))
         .alias("change_rate"),
+    )
+
+
+@register(
+    "a15_grouped_percentiles",
+    """SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              quantile_cont(n_chars, 0.25) AS p25,
+              quantile_cont(n_chars, 0.5) AS median,
+              quantile_cont(n_chars, 0.75) AS p75,
+              quantile_cont(n_chars, 0.9) AS p90,
+              quantile_cont(n_chars, 0.75) - quantile_cont(n_chars, 0.25)
+                AS iqr
+       FROM documents GROUP BY source""",
+)
+def a15_grouped_percentiles(spark, sf_dir):
+    """A15: exact grouped percentiles — the distribution-profiling agg
+    the preflight QA battery (A3) lacks: per source, the p25/50/75/90
+    document-length quantiles and the IQR (outlier fence input). Spark's
+    exact `percentile` and DuckDB's `quantile_cont` both compute the
+    type-7 (linear, (n−1)p rank) estimator; on an integer column the
+    interpolation `lo + (hi−lo)·frac` is the identical IEEE chain —
+    probed bit-equal across all 20 groups before registering. Exact
+    percentile sorts values per group — fine for bounded per-group
+    cardinality (per-source stats); at unbounded group size the
+    approx_percentile sketch is the scale tier (documented, not
+    registered — it is engine-specific by construction)."""
+    d = _t(spark, sf_dir, "documents")
+    pct = lambda p: F.percentile("n_chars", F.lit(p))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("median"),
+        pct(0.75).alias("p75"),
+        pct(0.9).alias("p90"),
+        (pct(0.75) - pct(0.25)).alias("iqr"),
     )
 
 
@@ -6123,25 +6172,26 @@ def _wt6_tables(spark, sf_dir):
     return robots, urls
 
 
-def _register_wt6_oracle() -> None:
-    txt_case = "CASE r_regionkey " + " ".join(
+def _robots_txt_case(robots_dict: dict) -> str:
+    """CASE r_regionkey → chr(10)-joined robots.txt body (shared line
+    lists, SQL side)."""
+    return "CASE r_regionkey " + " ".join(
         "WHEN {} THEN {}".format(
             k, " || chr(10) || ".join("'" + l.replace("'", "''") + "'"
                                       for l in ls)
         )
-        for k, ls in _WT6_ROBOTS.items()
+        for k, ls in robots_dict.items()
     ) + " END"
-    url_case = "CASE doc_id % 8 " + " ".join(
-        f"WHEN {n} THEN {sql}" for n, (sql, _) in
-        enumerate(_WT6_URL_ARMS[:-1])
-    ) + f" ELSE {_WT6_URL_ARMS[-1][0]} END"
+
+
+def _robots_rules_cte_sql() -> str:
+    """The RFC 9309 parse chain (webtext.parse_robots_rules mirror) as a
+    CTE fragment from ``lines`` to ``r2`` (host, allow, rpath, rlen,
+    like_pat). Expects a prior CTE named ``robots`` with (host, txt).
+    ONE definition consumed by the wt6 AND wt7 oracles."""
     rule_re = "(?i)^(allow|disallow)[ \\t]*:[ \\t]*([^ \\t]*)"
     esc = "replace(replace(replace(rpath, '!', '!!'), '%', '!%'), '_', '!_')"
-    ORACLES["wt6_robots_allowed"] = f"""WITH robots AS (
-          SELECT 'h' || r_regionkey::VARCHAR || '.example' AS host,
-                 {txt_case} AS txt
-          FROM region),
-        lines AS (SELECT host, generate_subscripts(ls, 1) AS pos,
+    return f"""lines AS (SELECT host, generate_subscripts(ls, 1) AS pos,
                          unnest(ls) AS raw
                   FROM (SELECT host, string_split_regex(txt, '\\r\\n|\\r|\\n')
                           AS ls FROM robots)),
@@ -6183,7 +6233,19 @@ def _register_wt6_oracle() -> None:
                       THEN replace(substr({esc}, 1, length({esc}) - 1),
                                    '*', '%')
                       ELSE replace({esc}, '*', '%') || '%' END AS like_pat
-               FROM rules WHERE verb <> '' AND rpath <> ''),
+               FROM rules WHERE verb <> '' AND rpath <> '')"""
+
+
+def _register_wt6_oracle() -> None:
+    url_case = "CASE doc_id % 8 " + " ".join(
+        f"WHEN {n} THEN {sql}" for n, (sql, _) in
+        enumerate(_WT6_URL_ARMS[:-1])
+    ) + f" ELSE {_WT6_URL_ARMS[-1][0]} END"
+    ORACLES["wt6_robots_allowed"] = f"""WITH robots AS (
+          SELECT 'h' || r_regionkey::VARCHAR || '.example' AS host,
+                 {_robots_txt_case(_WT6_ROBOTS)} AS txt
+          FROM region),
+        {_robots_rules_cte_sql()},
         urls AS (SELECT doc_id,
                    'https://h' || (doc_id % 5)::VARCHAR || '.example'
                    || {url_case} AS url
@@ -6231,6 +6293,160 @@ def wt6_robots_allowed(spark, sf_dir):
 
 
 _register_wt6_oracle()
+
+
+# wt7 planted robots: rules that actually bite the /art/ URL space —
+# k=0 a prefix disallow, k=1 a longest-match allow carve-out under a
+# full disallow, k=2 everything disallowed, k=3 a foreign agent (no
+# rules apply), k=4 an anchored exact disallow plus a prefix disallow.
+_WT7_ROBOTS = {
+    0: ["User-agent: *", "Disallow: /art/1"],
+    1: ["User-agent: capebot", "Disallow: /", "Allow: /art/"],
+    2: ["User-agent: *", "Disallow: /"],
+    3: ["User-agent: otherbot", "Disallow: /"],
+    4: ["User-agent: *", "Disallow: /art/4$", "Disallow: /art/9"],
+}
+
+
+def _wt7_robots_spark(spark, sf_dir):
+    txt = None
+    for k, ls in _WT7_ROBOTS.items():
+        arm = F.lit("\n".join(ls))
+        txt = (
+            F.when(F.col("r_regionkey") == k, arm)
+            if txt is None
+            else txt.when(F.col("r_regionkey") == k, arm)
+        )
+    return _t(spark, sf_dir, "region").select(
+        F.concat(
+            F.lit("h"), F.col("r_regionkey").cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        txt.alias("robots_txt"),
+    )
+
+
+@register("wt7_crawl_frontier", None)
+def wt7_crawl_frontier(spark, sf_dir):
+    """WT7: the crawl-frontier composition — recrawl prioritization the
+    way a scheduler actually computes it: per canonical URL the dd14
+    snapshot history (capture count, consecutive-change rate, last
+    capture time), gated by RFC 9309 robots politeness (wt6's parser —
+    disallowed URLs never enter the frontier), ranked per host by
+    (change_rate DESC — churny pages first, last_ts ASC — stalest
+    first, url ASC), top 3 per host. Hosts with everything disallowed
+    contribute nothing; an anchored/prefix disallow removes exactly its
+    URLs. Plan: the stats windows/aggregate stack on
+    hashpartitioning(url), the rule join keys on host (tiny,
+    broadcastable), one per-host ranking window."""
+    from capelinker_spark.operators.webtext import (
+        parse_robots_rules,
+        robots_allowed,
+        url_host,
+    )
+
+    pages = _dd14_pages_spark(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy(
+        F.col("ts").asc(), F.col("doc_id").asc()
+    )
+    stats = (
+        pages.withColumn("_prev", F.lag("content").over(w))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col("content") != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+            F.max("ts").alias("last_ts"),
+        )
+        .withColumn(
+            "change_rate",
+            F.when(
+                F.col("n_snapshots") > 1,
+                F.col("n_changes").cast("double")
+                / (F.col("n_snapshots") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    rules = parse_robots_rules(
+        _wt7_robots_spark(spark, sf_dir), agent="capebot"
+    )
+    gated = robots_allowed(stats, rules, url_col="url", id_cols=("url",))
+    frontier = gated.where(F.col("allowed")).withColumn(
+        "host", url_host(F.col("url"))
+    )
+    rw = Window.partitionBy("host").orderBy(
+        F.col("change_rate").desc(), F.col("last_ts").asc(),
+        F.col("url").asc(),
+    )
+    return (
+        frontier.withColumn("priority_rank", F.row_number().over(rw))
+        .where(F.col("priority_rank") <= 3)
+        .select(
+            "host", "url", "n_snapshots", "change_rate", "last_ts",
+            "priority_rank",
+        )
+    )
+
+
+def _register_wt7_oracle() -> None:
+    ORACLES["wt7_crawl_frontier"] = f"""WITH p AS ({_DD14_PAGES_SQL}),
+        wlag AS (SELECT url, ts, content,
+                lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
+                  AS prev
+              FROM p),
+        st AS (SELECT url,
+                CAST(count(*) AS BIGINT) AS n_snapshots,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                CAST(max(ts) AS BIGINT) AS last_ts
+              FROM wlag GROUP BY url),
+        sr AS (SELECT url, n_snapshots, n_changes, last_ts,
+                CASE WHEN n_snapshots > 1
+                     THEN CAST(n_changes AS DOUBLE)
+                          / CAST(n_snapshots - 1 AS DOUBLE)
+                     ELSE 0.0 END AS change_rate
+              FROM st),
+        robots AS (
+          SELECT 'h' || r_regionkey::VARCHAR || '.example' AS host,
+                 {_robots_txt_case(_WT7_ROBOTS)} AS txt
+          FROM region),
+        {_robots_rules_cte_sql()},
+        up AS (SELECT url, n_snapshots, change_rate, last_ts,
+                 lower(regexp_extract(url,
+                   '(?i)^https?://(?:[^/?#]*@)?([^/:?#]*)', 1)) AS host,
+                 CASE WHEN regexp_extract(url,
+                        '(?i)^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
+                      ELSE regexp_extract(url,
+                        '(?i)^https?://[^/?#]*([^#]*)', 1) END AS path
+               FROM sr),
+        j AS (SELECT up.*, r2.allow, r2.rpath,
+                CASE WHEN r2.like_pat IS NOT NULL
+                          AND up.path LIKE r2.like_pat ESCAPE '!'
+                     THEN 1 ELSE 0 END AS m,
+                coalesce(r2.rlen, -1) AS rlen0,
+                coalesce(CASE WHEN r2.allow THEN 1 ELSE 0 END, 0) AS al0
+              FROM up LEFT JOIN r2 USING (host)),
+        b AS (SELECT *, row_number() OVER (PARTITION BY url
+                ORDER BY m DESC, rlen0 DESC, al0 DESC, rpath ASC) AS rn
+              FROM j),
+        gate AS (SELECT host, url, n_snapshots, change_rate, last_ts
+                 FROM b WHERE rn = 1
+                   AND (CASE WHEN m = 1 THEN allow ELSE TRUE END)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY host
+                ORDER BY change_rate DESC, last_ts ASC, url ASC)
+                  AS priority_rank
+              FROM gate)
+       SELECT host, url, n_snapshots, change_rate, last_ts,
+              CAST(priority_rank AS INT) AS priority_rank
+       FROM r WHERE priority_rank <= 3"""
+
+
+_register_wt7_oracle()
 
 
 def _register_f17_oracle() -> None:
@@ -6392,7 +6608,10 @@ _register_f17_oracle()
 # checked — BM25F), f8 OUT (r4-green, full-sweep covered). Twelfth:
 # dm5 IN (never checked — weighted sampling), f9 OUT (r4-green,
 # full-sweep covered; the r04 re-earner cohort returns in round 7,
-# where the never-checked backlog is finally empty).
+# where the never-checked backlog is finally empty). Post-close
+# additions a15/wt7 stay OUTSIDE the window (it already holds 50
+# never-checked rows) — they are full-sweep-verified now and rotate in
+# with round 7's window.
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
