@@ -5854,6 +5854,59 @@ def dd14_snapshot_change_stats(spark, sf_dir):
 
 
 @register(
+    "qa1_psi_drift",
+    """WITH bse AS (SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+        cur AS (SELECT n_chars + 60 AS v FROM documents
+                WHERE doc_id % 2 = 1),
+        cb AS (SELECT CASE WHEN v IS NULL THEN -1
+                 ELSE least(greatest(CAST(floor(v / 50) AS BIGINT), 0), 19)
+                 END AS bucket,
+                 CAST(count(*) AS BIGINT) AS c_base
+               FROM bse GROUP BY 1),
+        cc AS (SELECT CASE WHEN v IS NULL THEN -1
+                 ELSE least(greatest(CAST(floor(v / 50) AS BIGINT), 0), 19)
+                 END AS bucket,
+                 CAST(count(*) AS BIGINT) AS c_cur
+               FROM cur GROUP BY 1),
+        j AS (SELECT bucket,
+                coalesce(c_base, 0) AS c_base,
+                coalesce(c_cur, 0) AS c_cur
+              FROM cb FULL JOIN cc USING (bucket)),
+        t AS (SELECT *,
+                CAST(sum(c_base) OVER () AS BIGINT) AS nb,
+                CAST(sum(c_cur) OVER () AS BIGINT) AS nc,
+                CAST(count(*) OVER () AS BIGINT) AS b
+              FROM j)
+       SELECT bucket, c_base, c_cur,
+              round(((c_base + 1)::DOUBLE / (nb + b)::DOUBLE
+                     - (c_cur + 1)::DOUBLE / (nc + b)::DOUBLE)
+                    * ln(((c_base + 1)::DOUBLE / (nb + b)::DOUBLE)
+                         / ((c_cur + 1)::DOUBLE / (nc + b)::DOUBLE)), 9)
+                AS psi_term
+       FROM t""",
+)
+def qa1_psi_drift(spark, sf_dir):
+    """QA1: Population Stability Index drift report (qa.preflight.
+    psi_drift) — the distribution monitor a production pipeline runs
+    between crawls or training mixes. Base = even-id documents, current
+    = odd-id documents with a planted +60-char length shift, so the
+    report shows genuine bucket-level drift. Laplace-smoothed integer
+    counts (empty buckets well-defined, no float ε), per-bucket term
+    computed in CPython libm over the ≤21-row bucket table (the
+    ir1/fs2 bounded-Arrow recipe — bit-identical to DuckDB's ln), the
+    distributed work two combinable hash aggs. Per-bucket terms kept
+    (drift LOCATION, not just the scalar)."""
+    from capelinker_spark.qa.preflight import psi_drift
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 2 == 0).select("n_chars")
+    cur = d.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("n_chars") + 60).alias("n_chars")
+    )
+    return psi_drift(base, cur, "n_chars", bucket_width=50, n_buckets=20)
+
+
+@register(
     "a15_grouped_percentiles",
     """SELECT source,
               CAST(count(*) AS BIGINT) AS n_docs,

@@ -187,3 +187,41 @@ def test_sessionize_gap_rule(spark):
     assert stats[(1, 1)] == (3, 1200)  # 20 min + 0.5 s floors to 1200
     assert stats[(1, 2)] == (1, 0)
     assert stats[(2, 1)] == (2, 0)
+
+
+class TestPsiDrift:
+    def test_identical_distributions_near_zero_and_shift_detected(self, spark):
+        from pyspark.sql import functions as F
+
+        from capelinker_spark.qa.preflight import psi_drift
+
+        base = spark.range(1000).select((F.col("id") % 500).alias("v"))
+        same = spark.range(1000).select((F.col("id") % 500).alias("v"))
+        shifted = spark.range(1000).select(
+            ((F.col("id") % 500) + 300).alias("v")
+        )
+        psi_same = sum(
+            r.psi_term
+            for r in psi_drift(base, same, "v", bucket_width=50).collect()
+        )
+        psi_shift = sum(
+            r.psi_term
+            for r in psi_drift(base, shifted, "v", bucket_width=50).collect()
+        )
+        assert psi_same < 0.01          # identical -> stable
+        assert psi_shift > 0.25         # +300 shift -> flagged as shifted
+        assert psi_shift > psi_same * 10
+
+    def test_null_bucket_and_empty_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from capelinker_spark.qa.preflight import psi_drift
+
+        base = spark.createDataFrame([(10,), (None,), (20,)], "v int")
+        cur = spark.createDataFrame([(10,), (20,), (30,)], "v int")
+        rows = {r.bucket: r for r in
+                psi_drift(base, cur, "v", bucket_width=10).collect()}
+        assert -1 in rows               # NULLs get their own bucket
+        assert rows[-1].c_base == 1 and rows[-1].c_cur == 0
+        # smoothing keeps every term finite
+        assert all(abs(r.psi_term) < 10 for r in rows.values())
