@@ -335,8 +335,14 @@ def weighted_sample_topk(
 
         kq = _prio(h, w)
     elif method == "xxhash64":
+        # a STABLE integer from the seed string — Python's hash() is
+        # salted per process (PYTHONHASHSEED) and would break the
+        # rerun-stability contract
+        import zlib
+
+        seed_int = zlib.crc32(str(seed).encode())
         h = F.pmod(
-            F.xxhash64(key, F.lit(hash(seed) & 0x7FFFFFFF)),
+            F.xxhash64(key, F.lit(seed_int)),
             F.lit(1 << 40),
         )
         u = (h + 1).cast("double") / F.lit(float(1 << 40))

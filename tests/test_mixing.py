@@ -302,3 +302,30 @@ class TestWeightedSampleTopk:
         )
         assert "TakeOrderedAndProject" in plan
         assert "Exchange SinglePartition" not in plan
+
+
+def test_weighted_sample_xxhash_seed_is_process_stable(spark):
+    """The xxhash64 tier's seed must not depend on Python's per-process
+    string hashing — assert against the pinned crc32 derivation."""
+    import zlib
+
+    from capelinker_spark.operators.mixing import weighted_sample_topk
+
+    d = spark.createDataFrame(
+        [(i, 1.0) for i in range(50)], "doc_id long, w double"
+    )
+    got = [r.doc_id for r in
+           weighted_sample_topk(d, "w", 5, "doc_id", seed="s",
+                                method="xxhash64").collect()]
+    # recompute expected with the documented derivation
+    from pyspark.sql import functions as F
+    seed_int = zlib.crc32(b"s")
+    h = F.pmod(F.xxhash64(F.col("doc_id").cast("string"),
+                          F.lit(seed_int)), F.lit(1 << 40))
+    u = (h + 1).cast("double") / F.lit(float(1 << 40))
+    kq = F.floor(F.log(u) / F.col("w") * F.lit(1e9)).cast("long")
+    want = [r.doc_id for r in
+            d.withColumn("_p", kq).orderBy(F.col("_p").desc(),
+                                           F.col("doc_id").asc())
+             .limit(5).collect()]
+    assert got == want
