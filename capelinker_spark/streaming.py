@@ -848,3 +848,149 @@ def read_url_dedup_state(spark, state_dir: str) -> DataFrame:
     if not vs:
         raise FileNotFoundError(f"no url-dedup state under {state_dir}")
     return spark.read.parquet(os.path.join(cur_dir, f"version={vs[-1]}"))
+
+
+def stream_snapshot_stats(
+    pages_stream: DataFrame,
+    checkpoint_dir: str,
+    state_dir: str,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    content_col: str = "content",
+    tie_col: str = "doc_id",
+    keep_versions: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Incremental snapshot change statistics — the streaming analog of
+    batch dd14 and the state the crawl frontier (wt7) reads: per URL,
+    capture count, consecutive-change count (in (ts, tie) capture
+    order), last capture time, change rate.
+
+    Change counting is NOT an associative fold (a late-arriving middle
+    snapshot rewrites its neighbours' comparisons), so unlike
+    stream_url_dedup this operator keeps the RAW (url, ts, fp, tie)
+    capture log in append-only per-batch dirs and, each micro-batch,
+    recomputes stats ONLY for the URLs that batch touches — the
+    affected-key recompute discipline of incremental CC. Stream ≡
+    batch therefore holds EXACTLY under any batch boundaries, arrival
+    order, or replays (a replayed batch overwrites its own log dir and
+    its own stats version; both discoveries are _SUCCESS-gated).
+
+    State layout: ``snapshots/batch=<id>/`` capture-log parquet (the
+    content column is stored as an xxhash64 fingerprint — change
+    detection needs equality only) and ``stats/version=<id>/`` the
+    merged stats table (``keep_versions`` retained, >= 2 for replay
+    safety). At crawl scale partition both by the canonical URL so the
+    affected-key semi-join and the recompute co-locate; compact the
+    log on the dedup cadence.
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    if keep_versions < 2:
+        raise ValueError("keep_versions must be >= 2 (replay safety)")
+
+    spark = pages_stream.sparkSession
+    snap_dir = os.path.join(state_dir, "snapshots")
+    stats_dir = os.path.join(state_dir, "stats")
+
+    def _committed(base: str, prefix: str) -> list[int]:
+        if not os.path.isdir(base):
+            return []
+        n = len(prefix)
+        return sorted(
+            int(d[n:])
+            for d in os.listdir(base)
+            if d.startswith(prefix)
+            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = batch_df.select(
+            url_col, ts_col, tie_col,
+            F.xxhash64(F.col(content_col)).alias("_fp"),
+        )
+        out_snap = os.path.join(snap_dir, f"batch={batch_id}")
+        rows.write.mode("overwrite").parquet(out_snap)
+        affected = (
+            spark.read.parquet(out_snap).select(url_col).distinct()
+        )
+        log_dirs = [
+            os.path.join(snap_dir, f"batch={v}")
+            for v in _committed(snap_dir, "batch=")
+            if v <= batch_id
+        ]
+        history = spark.read.parquet(*log_dirs).join(
+            F.broadcast(affected), url_col, "left_semi"
+        )
+        w = Window.partitionBy(url_col).orderBy(
+            F.col(ts_col).asc(), F.col(tie_col).asc()
+        )
+        fresh = (
+            history.withColumn("_prev", F.lag("_fp").over(w))
+            .groupBy(url_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_snapshots"),
+                F.sum(
+                    F.when(
+                        F.col("_prev").isNotNull()
+                        & (F.col("_fp") != F.col("_prev")),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_changes"),
+                F.max(ts_col).alias("last_ts"),
+            )
+            .withColumn(
+                "change_rate",
+                F.when(
+                    F.col("n_snapshots") > 1,
+                    F.col("n_changes").cast("double")
+                    / (F.col("n_snapshots") - 1).cast("double"),
+                ).otherwise(F.lit(0.0)),
+            )
+        )
+        prior_vs = [v for v in _committed(stats_dir, "version=")
+                    if v < batch_id]
+        if prior_vs:
+            prior = spark.read.parquet(
+                os.path.join(stats_dir, f"version={prior_vs[-1]}")
+            ).join(F.broadcast(affected), url_col, "left_anti")
+            merged = prior.unionByName(fresh)
+        else:
+            merged = fresh
+        out_stats = os.path.join(stats_dir, f"version={batch_id}")
+        merged.write.mode("overwrite").parquet(out_stats)
+        for v in _committed(stats_dir, "version=")[:-keep_versions]:
+            shutil.rmtree(
+                os.path.join(stats_dir, f"version={v}"),
+                ignore_errors=True,
+            )
+
+    writer = (
+        pages_stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_snapshot_stats(spark, state_dir: str) -> DataFrame:
+    """Latest stats table written by stream_snapshot_stats."""
+    import os
+
+    base = os.path.join(state_dir, "stats")
+    vs = sorted(
+        int(d[8:])
+        for d in (os.listdir(base) if os.path.isdir(base) else [])
+        if d.startswith("version=")
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+    if not vs:
+        raise FileNotFoundError(f"no snapshot stats under {state_dir}")
+    return spark.read.parquet(os.path.join(base, f"version={vs[-1]}"))

@@ -816,3 +816,94 @@ def test_stream_url_dedup_guards(spark, tmp_path):
         fh.write(b"not parquet")
     got = read_url_dedup_state(spark, state).collect()
     assert [(r.doc_id, r.n_snapshots) for r in got] == [(1, 1)]
+
+
+def test_stream_snapshot_stats_matches_batch(spark, tmp_path):
+    """Incremental per-URL snapshot stats ≡ the batch recompute over the
+    union, with OUT-OF-ORDER arrivals (a late middle snapshot rewrites
+    its neighbours' change comparisons — the case an associative fold
+    cannot get right) and an idempotent restart wave."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from capelinker_spark.streaming import (
+        read_snapshot_stats,
+        stream_snapshot_stats,
+    )
+
+    schema = "doc_id long, url string, ts long, content string"
+    batches = [
+        [(1, "u1", 10, "a"), (2, "u1", 30, "b"), (3, "u2", 10, "x")],
+        # ts=20 arrives LATE and lands BETWEEN u1's two existing
+        # snapshots; content 'a' makes the 10->20 step unchanged and
+        # the 20->30 step changed (was: one changed step 10->30)
+        [(4, "u1", 20, "a"), (5, "u2", 20, "x")],
+        [(6, "u3", 5, "q")],
+    ]
+    src = str(tmp_path / "pages")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state = str(tmp_path / "state")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_snapshot_stats(stream, str(tmp_path / "ckpt"), state)
+        q.awaitTermination()
+
+    def batch_stats(waves):
+        df = spark.createDataFrame([r for b in waves for r in b], schema)
+        w = Window.partitionBy("url").orderBy(
+            F.col("ts").asc(), F.col("doc_id").asc()
+        )
+        return {
+            r.url: (r.n_snapshots, r.n_changes, r.last_ts)
+            for r in (
+                df.withColumn("_fp", F.xxhash64("content"))
+                .withColumn("_prev", F.lag("_fp").over(w))
+                .groupBy("url")
+                .agg(
+                    F.count(F.lit(1)).alias("n_snapshots"),
+                    F.sum(
+                        F.when(
+                            F.col("_prev").isNotNull()
+                            & (F.col("_fp") != F.col("_prev")),
+                            1,
+                        ).otherwise(0)
+                    ).alias("n_changes"),
+                    F.max("ts").alias("last_ts"),
+                )
+            ).collect()
+        }
+
+    def stream_stats():
+        return {
+            r.url: (r.n_snapshots, r.n_changes, r.last_ts)
+            for r in read_snapshot_stats(spark, state).collect()
+        }
+
+    run_stream()
+    got, want = stream_stats(), batch_stats(batches)
+    assert got == want
+    # the late-arrival semantics specifically: u1 history a@10, a@20,
+    # b@30 -> exactly ONE changed consecutive step
+    assert got["u1"] == (3, 1, 30)
+    assert got["u2"] == (2, 0, 20)
+
+    # restart: a fourth wave touching u1 again + a fresh url
+    wave4 = [(7, "u1", 40, "c"), (8, "u4", 1, "z")]
+    spark.createDataFrame(wave4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()
+    got2, want2 = stream_stats(), batch_stats(batches + [wave4])
+    assert got2 == want2
+    assert got2["u1"] == (4, 2, 40)
+    # untouched urls carried forward from the prior version
+    assert got2["u3"] == (1, 0, 5)
