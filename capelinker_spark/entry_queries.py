@@ -6502,6 +6502,120 @@ def _register_wt7_oracle() -> None:
 _register_wt7_oracle()
 
 
+_WT8_HTML_SQL = (
+    "'<html><head><title>t</title>' || "
+    "CASE doc_id % 4 "
+    "WHEN 0 THEN '<link rel=\"canonical\" href=\"https://site' || "
+    "((doc_id * 3) % 23)::VARCHAR || '.example/c/' || "
+    "(doc_id % 97)::VARCHAR || '\">' "
+    "WHEN 1 THEN '<link href=''/canon/' || (doc_id % 50)::VARCHAR || "
+    "''' rel=canonical>' "
+    "WHEN 3 THEN '<link rel=\"canonical\" href=\"#frag\">' "
+    "ELSE '' END || "
+    "CASE doc_id % 3 "
+    "WHEN 0 THEN '<meta name=robots content=\"noindex, follow\">' "
+    "WHEN 1 THEN '<meta content=''NOFOLLOW'' name=\"robots\">' "
+    "ELSE '' END || "
+    "'</head><body><p>x</p></body></html>'"
+)
+
+
+def _wt8_html_spark(i):
+    canon = (
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://site'),
+                ((i * 3) % 23).cast("string"), F.lit(".example/c/"),
+                (i % 97).cast("string"), F.lit('">'),
+            ),
+        )
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("<link href='/canon/"), (i % 50).cast("string"),
+                F.lit("' rel=canonical>"),
+            ),
+        )
+        .when(i % 4 == 3, F.lit('<link rel="canonical" href="#frag">'))
+        .otherwise(F.lit(""))
+    )
+    meta = (
+        F.when(i % 3 == 0,
+               F.lit('<meta name=robots content="noindex, follow">'))
+        .when(i % 3 == 1,
+              F.lit('<meta content=\'NOFOLLOW\' name="robots">'))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("<html><head><title>t</title>"), canon, meta,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+
+
+@register("wt8_page_index_hints", None)
+def wt8_page_index_hints(spark, sf_dir):
+    """WT8: in-page indexing hints (webtext.page_index_hints) — the
+    self-declared dedup key (rel=canonical, BOTH attribute orders,
+    resolved against the page URL; fragment-only → NULL) and robots
+    meta directives (noindex/nofollow, comma-separated,
+    case-insensitive, either attribute order) every crawler honors
+    before content dedup. Downstream groups by
+    coalesce(canonical_url, url) to consolidate crawl duplicates.
+    Map-only; oracle mirrors both alternation groups and the resolve
+    chain."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        _wt2_base_spark(i).alias("url"),
+        _wt8_html_spark(i).alias("html"),
+    )
+    return WT.page_index_hints(pages, html_col="html", base_col="url")
+
+
+def _register_wt8_oracle() -> None:
+    can = WT.HTML_CANONICAL.replace("'", "''")
+    rob = WT.HTML_META_ROBOTS.replace("'", "''")
+
+    def first_group(pat: str) -> str:
+        return (f"CASE WHEN regexp_extract(html, '{pat}', 1) <> '' "
+                f"THEN regexp_extract(html, '{pat}', 1) "
+                f"ELSE regexp_extract(html, '{pat}', 2) END")
+
+    q2 = chr(34)
+    q1 = chr(39) * 4
+    unq = ("CASE WHEN substr({h}, 1, 1) IN ('" + q2 + "', " + q1 + ") "
+           "THEN substr({h}, 2, length({h}) - 2) ELSE {h} END")
+    ORACLES["wt8_page_index_hints"] = f"""WITH h AS (
+          SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT8_HTML_SQL} AS html
+          FROM documents),
+        e AS (SELECT doc_id, base,
+                {first_group(can)} AS rawc,
+                {first_group(rob)} AS rawm
+              FROM h),
+        u AS (SELECT doc_id, base,
+                CASE WHEN rawc <> ''
+                     THEN {unq.format(h='rawc')} END AS chref,
+                CASE WHEN rawm <> ''
+                     THEN lower({unq.format(h='rawm')}) ELSE '' END AS d
+              FROM e)
+       SELECT doc_id, base AS url,
+              CASE WHEN chref IS NOT NULL
+                   THEN {WT.resolve_href_sql('base', 'chref')} END
+                AS canonical_url,
+              list_contains(list_transform(string_split(d, ','),
+                                           x -> trim(x)), 'noindex')
+                AS noindex,
+              list_contains(list_transform(string_split(d, ','),
+                                           x -> trim(x)), 'nofollow')
+                AS nofollow
+       FROM u"""
+
+
+_register_wt8_oracle()
+
+
 def _register_f17_oracle() -> None:
     jwd = duckdb_jw_sql("a._w", "b._w", 0.1)
     wsq = WORDS_SQL.format(c="name")

@@ -672,3 +672,71 @@ def robots_allowed(
         .alias("allowed"),
         F.when(F.col("_m") == 1, F.col("rpath")).alias("matched_rule"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-page indexing hints: rel=canonical and meta robots
+# ---------------------------------------------------------------------------
+
+# <link ... rel="canonical" ... href="..."> with either attribute order;
+# RE2 has no lookaround, so both orders are spelled out. Quoted hrefs
+# only (the wt2 unquoted relaxation matters for body links, not for the
+# head's machine-written link tags — documented scope).
+HTML_CANONICAL = (
+    "(?is)<link\\b[^>]*\\brel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
+    "[^>]*\\bhref[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')[^>]*>"
+    "|<link\\b[^>]*\\bhref[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')"
+    "[^>]*\\brel[ \\t]*=[ \\t]*[\"']?canonical[\"']?[^>]*>"
+)
+HTML_META_ROBOTS = (
+    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']?robots[\"']?"
+    "[^>]*\\bcontent[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')[^>]*>"
+    "|<meta\\b[^>]*\\bcontent[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')"
+    "[^>]*\\bname[ \\t]*=[ \\t]*[\"']?robots[\"']?[^>]*>"
+)
+
+
+def _first_group(col: Column, pattern: str) -> Column:
+    """First match's captured value across a two-alternative pattern
+    (group 1 for attribute order A, group 2 for order B) — whichever is
+    non-empty, still quoted."""
+    g1 = F.regexp_extract(col, pattern, 1)
+    g2 = F.regexp_extract(col, pattern, 2)
+    return F.when(g1 != "", g1).otherwise(g2)
+
+
+def page_index_hints(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """The in-page dedup/indexing hints every crawler honors BEFORE
+    content dedup: ``rel=canonical`` (the page's self-declared dedup
+    key — resolved against the page URL like any reference, NULL when
+    absent or unresolvable) and robots meta directives (``noindex`` /
+    ``nofollow``, comma-separated, case-insensitive; absent meta means
+    indexable). First declaration wins when duplicated (the de-facto
+    crawler rule). Map-only — two regexp_extracts + the resolve chain;
+    downstream, group by ``coalesce(canonical_url, url)`` instead of
+    ``url`` to consolidate crawl duplicates the way dd13 groups
+    normalized URLs."""
+    raw_c = _first_group(F.col(html_col), HTML_CANONICAL)
+    canon = F.when(
+        raw_c != "", resolve_href(F.col(base_col), _unquote(raw_c))
+    )
+    raw_m = _first_group(F.col(html_col), HTML_META_ROBOTS)
+    directives = F.when(raw_m != "", F.lower(_unquote(raw_m))).otherwise(
+        F.lit("")
+    )
+    has = lambda d: F.array_contains(
+        F.transform(F.split(directives, ","), lambda x: F.trim(x)),
+        d,
+    )
+    return df.select(
+        *keep_cols,
+        F.col(base_col).alias("url"),
+        canon.alias("canonical_url"),
+        has("noindex").alias("noindex"),
+        has("nofollow").alias("nofollow"),
+    )

@@ -528,3 +528,31 @@ def test_crawl_end_to_end(spark, tmp_path):
     pr = pagerank(edges, src="src_host", dst="dst_host", iterations=2)
     nodes = {r.node for r in pr.collect()}
     assert nodes == {"a.example", "b.example"}
+
+
+class TestPageIndexHints:
+    def test_both_orders_resolution_and_directives(self, spark):
+        from capelinker_spark.operators.webtext import page_index_hints
+
+        rows = [
+            (1, "https://a.example/d/p.html",
+             '<link rel="canonical" href="/c/1"><meta name=robots '
+             'content="NOINDEX, nofollow">'),
+            (2, "https://a.example/d/p.html",
+             "<link href='https://b.example/x' rel=canonical>"),
+            (3, "https://a.example/d/p.html",
+             '<link rel="canonical" href="#top">'),       # unresolvable
+            (4, "https://a.example/d/p.html", "<p>none</p>"),
+            # first declaration wins when duplicated
+            (5, "https://a.example/d/p.html",
+             '<link rel="canonical" href="/first">'
+             '<link rel="canonical" href="/second">'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        got = {r.doc_id: (r.canonical_url, r.noindex, r.nofollow)
+               for r in page_index_hints(df).collect()}
+        assert got[1] == ("https://a.example/c/1", True, True)
+        assert got[2] == ("https://b.example/x", False, False)
+        assert got[3] == (None, False, False)
+        assert got[4] == (None, False, False)
+        assert got[5][0] == "https://a.example/first"
