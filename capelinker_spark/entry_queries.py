@@ -5784,6 +5784,29 @@ def _dd14_pages_spark(spark, sf_dir):
     )
 
 
+def _snapshot_stats_sql(src: str) -> str:
+    """SQL twin of urls.snapshot_change_stats over CTE ``src`` (doc_id,
+    url, ts, content): CTE fragment ending in ``sr`` (url, n_snapshots,
+    n_changes, last_ts, change_rate). ONE definition for the dd14 and
+    wt7 oracles (review finding, session 5)."""
+    return f"""wlag AS (SELECT url, ts, content,
+                lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
+                  AS prev
+              FROM {src}),
+        st AS (SELECT url,
+                CAST(count(*) AS BIGINT) AS n_snapshots,
+                CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+                CAST(max(ts) AS BIGINT) AS last_ts
+              FROM wlag GROUP BY url),
+        sr AS (SELECT url, n_snapshots, n_changes, last_ts,
+                CASE WHEN n_snapshots > 1
+                     THEN CAST(n_changes AS DOUBLE)
+                          / CAST(n_snapshots - 1 AS DOUBLE)
+                     ELSE 0.0 END AS change_rate
+              FROM st)"""
+
+
 # the dd14/wt7 shared crawl-snapshot plant (one definition, two oracles)
 _DD14_PAGES_SQL = """SELECT doc_id,
             'http://h' || (doc_id % 5)::VARCHAR || '.example/art/'
@@ -5796,21 +5819,8 @@ _DD14_PAGES_SQL = """SELECT doc_id,
 @register(
     "dd14_snapshot_change_stats",
     f"""WITH p AS ({_DD14_PAGES_SQL}),
-        w AS (SELECT url, ts, content,
-                lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
-                  AS prev
-              FROM p),
-        s AS (SELECT url,
-                CAST(count(*) AS BIGINT) AS n_snapshots,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
-              FROM w GROUP BY url)
-       SELECT url, n_snapshots, n_changes,
-              CASE WHEN n_snapshots > 1
-                   THEN CAST(n_changes AS DOUBLE)
-                        / CAST(n_snapshots - 1 AS DOUBLE)
-                   ELSE 0.0 END AS change_rate
-       FROM s""",
+        {_snapshot_stats_sql('p')}
+       SELECT url, n_snapshots, n_changes, change_rate FROM sr""",
 )
 def dd14_snapshot_change_stats(spark, sf_dir):
     """DD14: snapshot change statistics — the recrawl-scheduling signal
@@ -5825,31 +5835,11 @@ def dd14_snapshot_change_stats(spark, sf_dir):
     version cycle (the linear *7 form was invariant across the 150-id
     snapshot stride — every pair compared equal), so per-URL histories
     genuinely mix changed and unchanged consecutive pairs."""
+    from capelinker_spark.operators.urls import snapshot_change_stats
+
     p = _dd14_pages_spark(spark, sf_dir)
-    w = Window.partitionBy("url").orderBy(F.col("ts").asc(), F.col("doc_id").asc())
-    s = (
-        p.withColumn("_prev", F.lag("content").over(w))
-        .groupBy("url")
-        .agg(
-            F.count(F.lit(1)).alias("n_snapshots"),
-            F.sum(
-                F.when(
-                    F.col("_prev").isNotNull()
-                    & (F.col("content") != F.col("_prev")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_changes"),
-        )
-    )
-    return s.select(
-        "url", "n_snapshots", "n_changes",
-        F.when(
-            F.col("n_snapshots") > 1,
-            F.col("n_changes").cast("double")
-            / (F.col("n_snapshots") - 1).cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("change_rate"),
+    return snapshot_change_stats(p).select(
+        "url", "n_snapshots", "n_changes", "change_rate"
     )
 
 
@@ -5950,8 +5940,7 @@ def a15_grouped_percentiles(spark, sf_dir):
           FROM documents
           WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
         kq AS (SELECT doc_id, w,
-                 CAST(floor(ln((h + 1)::DOUBLE / 1099511627776.0) / w
-                            * 1000000000.0) AS BIGINT) AS _prio
+                 ln((h + 1)::DOUBLE / 1099511627776.0) / w AS _prio
                FROM p)
        SELECT doc_id, w, _prio FROM kq
        ORDER BY _prio DESC, doc_id ASC LIMIT 50""",
@@ -5963,8 +5952,9 @@ def dm5_weighted_sample(spark, sf_dir):
     production w is a quality or DSIR importance score). Oracle tier:
     u = (md5-10-hex + 1)/2^40 (power-of-two division, IEEE-exact),
     priority ln(u)/w computed by CPython libm (bit-identical to
-    DuckDB's ln — the ir1 precedent), floor-quantized to LONG 1e-9
-    units, (priority DESC, doc_id ASC) tie-break. The global top-k
+    DuckDB's ln — the ir1 precedent) kept as a FULL-PRECISION double
+    (a quantized LONG overflows int64 for small weights — review
+    find), (priority DESC, doc_id ASC) tie-break. The global top-k
     compiles to TakeOrderedAndProject — per-partition heaps, NO
     single-partition exchange."""
     from capelinker_spark.operators.mixing import weighted_sample_topk
@@ -6398,33 +6388,9 @@ def wt7_crawl_frontier(spark, sf_dir):
         url_host,
     )
 
-    pages = _dd14_pages_spark(spark, sf_dir)
-    w = Window.partitionBy("url").orderBy(
-        F.col("ts").asc(), F.col("doc_id").asc()
-    )
-    stats = (
-        pages.withColumn("_prev", F.lag("content").over(w))
-        .groupBy("url")
-        .agg(
-            F.count(F.lit(1)).alias("n_snapshots"),
-            F.sum(
-                F.when(
-                    F.col("_prev").isNotNull()
-                    & (F.col("content") != F.col("_prev")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_changes"),
-            F.max("ts").alias("last_ts"),
-        )
-        .withColumn(
-            "change_rate",
-            F.when(
-                F.col("n_snapshots") > 1,
-                F.col("n_changes").cast("double")
-                / (F.col("n_snapshots") - 1).cast("double"),
-            ).otherwise(F.lit(0.0)),
-        )
-    )
+    from capelinker_spark.operators.urls import snapshot_change_stats
+
+    stats = snapshot_change_stats(_dd14_pages_spark(spark, sf_dir))
     rules = parse_robots_rules(
         _wt7_robots_spark(spark, sf_dir), agent="capebot"
     )
@@ -6448,22 +6414,7 @@ def wt7_crawl_frontier(spark, sf_dir):
 
 def _register_wt7_oracle() -> None:
     ORACLES["wt7_crawl_frontier"] = f"""WITH p AS ({_DD14_PAGES_SQL}),
-        wlag AS (SELECT url, ts, content,
-                lag(content) OVER (PARTITION BY url ORDER BY ts, doc_id)
-                  AS prev
-              FROM p),
-        st AS (SELECT url,
-                CAST(count(*) AS BIGINT) AS n_snapshots,
-                CAST(sum(CASE WHEN prev IS NOT NULL AND content <> prev
-                              THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
-                CAST(max(ts) AS BIGINT) AS last_ts
-              FROM wlag GROUP BY url),
-        sr AS (SELECT url, n_snapshots, n_changes, last_ts,
-                CASE WHEN n_snapshots > 1
-                     THEN CAST(n_changes AS DOUBLE)
-                          / CAST(n_snapshots - 1 AS DOUBLE)
-                     ELSE 0.0 END AS change_rate
-              FROM st),
+        {_snapshot_stats_sql('p')},
         robots AS (
           SELECT 'h' || r_regionkey::VARCHAR || '.example' AS host,
                  {_robots_txt_case(_WT7_ROBOTS)} AS txt
@@ -6505,17 +6456,17 @@ _register_wt7_oracle()
 _WT8_HTML_SQL = (
     "'<html><head><title>t</title>' || "
     "CASE doc_id % 4 "
-    "WHEN 0 THEN '<link rel=\"canonical\" href=\"https://site' || "
+    "WHEN 0 THEN '<link rel=\"alternate canonical\" href=\"https://site' || "
     "((doc_id * 3) % 23)::VARCHAR || '.example/c/' || "
     "(doc_id % 97)::VARCHAR || '\">' "
     "WHEN 1 THEN '<link href=''/canon/' || (doc_id % 50)::VARCHAR || "
     "''' rel=canonical>' "
     "WHEN 3 THEN '<link rel=\"canonical\" href=\"#frag\">' "
-    "ELSE '' END || "
+    "ELSE '<link rel=\"canonicalfoo\" href=\"/decoy\">' END || "
     "CASE doc_id % 3 "
     "WHEN 0 THEN '<meta name=robots content=\"noindex, follow\">' "
     "WHEN 1 THEN '<meta content=''NOFOLLOW'' name=\"robots\">' "
-    "ELSE '' END || "
+    "ELSE '<meta name=robots2 content=\"noindex\">' END || "
     "'</head><body><p>x</p></body></html>'"
 )
 
@@ -6525,7 +6476,7 @@ def _wt8_html_spark(i):
         F.when(
             i % 4 == 0,
             F.concat(
-                F.lit('<link rel="canonical" href="https://site'),
+                F.lit('<link rel="alternate canonical" href="https://site'),
                 ((i * 3) % 23).cast("string"), F.lit(".example/c/"),
                 (i % 97).cast("string"), F.lit('">'),
             ),
@@ -6538,14 +6489,14 @@ def _wt8_html_spark(i):
             ),
         )
         .when(i % 4 == 3, F.lit('<link rel="canonical" href="#frag">'))
-        .otherwise(F.lit(""))
+        .otherwise(F.lit('<link rel="canonicalfoo" href="/decoy">'))
     )
     meta = (
         F.when(i % 3 == 0,
                F.lit('<meta name=robots content="noindex, follow">'))
         .when(i % 3 == 1,
               F.lit('<meta content=\'NOFOLLOW\' name="robots">'))
-        .otherwise(F.lit(""))
+        .otherwise(F.lit('<meta name=robots2 content="noindex">'))
     )
     return F.concat(
         F.lit("<html><head><title>t</title>"), canon, meta,
@@ -6574,34 +6525,45 @@ def wt8_page_index_hints(spark, sf_dir):
     return WT.page_index_hints(pages, html_col="html", base_col="url")
 
 
-def _register_wt8_oracle() -> None:
-    can = WT.HTML_CANONICAL.replace("'", "''")
-    rob = WT.HTML_META_ROBOTS.replace("'", "''")
-
-    def first_group(pat: str) -> str:
-        return (f"CASE WHEN regexp_extract(html, '{pat}', 1) <> '' "
-                f"THEN regexp_extract(html, '{pat}', 1) "
-                f"ELSE regexp_extract(html, '{pat}', 2) END")
-
+def _wt8_attr_sql(tag: str, name: str) -> str:
+    """DuckDB mirror of webtext.tag_attr: whole-token attribute value of
+    ``name`` inside tag expression ``tag`` (quoted either way or an
+    unquoted HTML5 token), NULL when absent."""
+    pat = WT._ATTR_VAL_RE.format(name=name).replace("'", "''")
+    raw = f"regexp_extract({tag}, '{pat}', 1)"
     q2 = chr(34)
     q1 = chr(39) * 4
-    unq = ("CASE WHEN substr({h}, 1, 1) IN ('" + q2 + "', " + q1 + ") "
-           "THEN substr({h}, 2, length({h}) - 2) ELSE {h} END")
+    return (f"CASE WHEN {raw} <> '' THEN "
+            f"CASE WHEN substr({raw}, 1, 1) IN ('" + q2 + "', " + q1 + ") "
+            f"THEN substr({raw}, 2, length({raw}) - 2) ELSE {raw} END END")
+
+
+def _register_wt8_oracle() -> None:
+    link_pat = WT.HTML_LINK_TAG.replace("'", "''")
+    meta_pat = WT.HTML_META_TAG.replace("'", "''")
+    rel = _wt8_attr_sql("t", "rel")
+    nm = _wt8_attr_sql("t", "name")
+    href = _wt8_attr_sql("ctag", "href")
+    content = _wt8_attr_sql("mtag", "content")
     ORACLES["wt8_page_index_hints"] = f"""WITH h AS (
           SELECT doc_id, {_WT2_BASE_SQL} AS base, {_WT8_HTML_SQL} AS html
           FROM documents),
-        e AS (SELECT doc_id, base,
-                {first_group(can)} AS rawc,
-                {first_group(rob)} AS rawm
-              FROM h),
+        tg AS (SELECT doc_id, base,
+                 list_filter(regexp_extract_all(html, '{link_pat}', 0),
+                   t -> list_contains(
+                          string_split_regex(
+                            lower(coalesce({rel}, '')),
+                            '[ \\t\\r\\n]+'),
+                          'canonical'))[1] AS ctag,
+                 list_filter(regexp_extract_all(html, '{meta_pat}', 0),
+                   t -> lower(coalesce({nm}, '')) = 'robots')[1] AS mtag
+               FROM h),
         u AS (SELECT doc_id, base,
-                CASE WHEN rawc <> ''
-                     THEN {unq.format(h='rawc')} END AS chref,
-                CASE WHEN rawm <> ''
-                     THEN lower({unq.format(h='rawm')}) ELSE '' END AS d
-              FROM e)
+                {href} AS chref,
+                lower(coalesce({content}, '')) AS d
+              FROM tg)
        SELECT doc_id, base AS url,
-              CASE WHEN chref IS NOT NULL
+              CASE WHEN chref IS NOT NULL AND chref <> ''
                    THEN {WT.resolve_href_sql('base', 'chref')} END
                 AS canonical_url,
               list_contains(list_transform(string_split(d, ','),
@@ -6776,9 +6738,10 @@ _register_f17_oracle()
 # dm5 IN (never checked — weighted sampling), f9 OUT (r4-green,
 # full-sweep covered; the r04 re-earner cohort returns in round 7,
 # where the never-checked backlog is finally empty). Post-close
-# additions a15/wt7 stay OUTSIDE the window (it already holds 50
-# never-checked rows) — they are full-sweep-verified now and rotate in
-# with round 7's window.
+# additions a15, wt7, qa1_psi_drift, and wt8_page_index_hints stay
+# OUTSIDE the window (it already holds 50 never-checked rows) — all
+# four are full-sweep-verified EXACT and are the FIRST rotations into
+# round 7's window, ahead of the re-earner cohort.
 _DRIVER_WINDOW = [
     # round-6-new first
     "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",

@@ -281,7 +281,6 @@ def weighted_sample_topk(
     key_col: str,
     seed: str = "",
     method: str = "md5",
-    quant: int = 10**9,
     group_col: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
@@ -299,9 +298,13 @@ def weighted_sample_topk(
     * ``method='md5'`` — the cross-engine oracle tier: u = (h+1)/2^40
       from a 10-hex md5 digest (the division is by a POWER OF TWO, so u
       is IEEE-exact), the log runs in CPython via one Arrow-batched UDF
-      (libm — bit-identical to DuckDB's ``ln``; the ir1 idf precedent),
-      and the priority is floor-quantized to LONG ``quant`` units with
-      a (priority DESC, key ASC) tie-break.
+      (libm — bit-identical to DuckDB's ``ln``; the ir1 idf precedent).
+      The priority ``ln(u)/w`` stays a FULL-PRECISION DOUBLE — a
+      quantized-LONG form overflows int64 for small weights (w ≲ 1e-13,
+      routine for normalized importance scores) and a saturating clamp
+      would silently destroy weight-proportionality; the raw double is
+      already bit-identical across engines, ordered (priority DESC,
+      key ASC).
     * ``method='xxhash64'`` — the production tier: 64-bit hash uniform
       + JVM ``F.log``, identical plan, zero Python.
 
@@ -321,14 +324,11 @@ def weighted_sample_topk(
             F.substring(F.md5(F.concat(F.lit(seed), key)), 1, 10), 16, 10
         ).cast("long")
 
-        @pandas_udf("long")
+        @pandas_udf("double")
         def _prio(hh: pd.Series, ww: pd.Series) -> pd.Series:
             return pd.Series(
                 [
-                    int(math.floor(
-                        math.log((int(x) + 1) / 1099511627776.0) / y
-                        * float(quant)
-                    ))
+                    math.log((int(x) + 1) / 1099511627776.0) / y
                     for x, y in zip(hh, ww)
                 ]
             )
@@ -346,7 +346,7 @@ def weighted_sample_topk(
             F.lit(1 << 40),
         )
         u = (h + 1).cast("double") / F.lit(float(1 << 40))
-        kq = F.floor(F.log(u) / w * F.lit(float(quant))).cast("long")
+        kq = F.log(u) / w
     else:
         raise ValueError(f"unknown method {method!r}")
 

@@ -207,3 +207,50 @@ def dedup_urls_keep_latest(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def snapshot_change_stats(
+    df,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    fp_col: str = "content",
+    tie_col: str = "doc_id",
+):
+    """Per-URL capture-history statistics — THE one implementation
+    behind batch dd14, the wt7 crawl frontier, and the streaming
+    snapshot-stats fold: capture count, consecutive-change count
+    (fingerprints compared in deterministic (ts, tie) capture order),
+    last capture time, and change_rate = changes/(snapshots−1) as ONE
+    int/int IEEE division.
+
+    Plan: the lag window and the count/sum/max aggregate stack on the
+    same ``hashpartitioning(url)`` exchange — the canonical-URL
+    partitioning the crawl pipeline already uses everywhere."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    return (
+        df.withColumn("_prev", F.lag(fp_col).over(w))
+        .groupBy(url_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull()
+                    & (F.col(fp_col) != F.col("_prev")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .withColumn(
+            "change_rate",
+            F.when(
+                F.col("n_snapshots") > 1,
+                F.col("n_changes").cast("double")
+                / (F.col("n_snapshots") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

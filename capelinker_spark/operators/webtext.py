@@ -678,31 +678,28 @@ def robots_allowed(
 # In-page indexing hints: rel=canonical and meta robots
 # ---------------------------------------------------------------------------
 
-# <link ... rel="canonical" ... href="..."> with either attribute order;
-# RE2 has no lookaround, so both orders are spelled out. Quoted hrefs
-# only (the wt2 unquoted relaxation matters for body links, not for the
-# head's machine-written link tags — documented scope).
-HTML_CANONICAL = (
-    "(?is)<link\\b[^>]*\\brel[ \\t]*=[ \\t]*[\"']?canonical[\"']?"
-    "[^>]*\\bhref[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')[^>]*>"
-    "|<link\\b[^>]*\\bhref[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')"
-    "[^>]*\\brel[ \\t]*=[ \\t]*[\"']?canonical[\"']?[^>]*>"
-)
-HTML_META_ROBOTS = (
-    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']?robots[\"']?"
-    "[^>]*\\bcontent[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')[^>]*>"
-    "|<meta\\b[^>]*\\bcontent[ \\t]*=[ \\t]*(\"[^\"]*\"|'[^']*')"
-    "[^>]*\\bname[ \\t]*=[ \\t]*[\"']?robots[\"']?[^>]*>"
+# Tag-level extraction + attribute-value EQUALITY instead of one big
+# attribute-order regex: the naive `rel=["']?canonical["']?` form
+# prefix-matched unrelated values (rel=canonicalfoo, name=robots2 —
+# review find, session 5). A tag list is extracted first, then the
+# attribute value is parsed per tag (quoted either way or an unquoted
+# HTML5 token) and compared as a whole token, so boundaries are exact
+# by construction and attribute order is irrelevant.
+HTML_LINK_TAG = "(?is)<link\\b[^>]*>"
+HTML_META_TAG = "(?is)<meta\\b[^>]*>"
+# attribute name must not be preceded by a word-ish char (data-href
+# must not match href; \b alone passes the '-' boundary)
+_ATTR_VAL_RE = (
+    "(?is)(?:^|[^a-zA-Z0-9_-]){name}[ \\t]*=[ \\t]*"
+    "(\"[^\"]*\"|'[^']*'|[^ \\t>\"'][^ \\t>]*)"
 )
 
 
-def _first_group(col: Column, pattern: str) -> Column:
-    """First match's captured value across a two-alternative pattern
-    (group 1 for attribute order A, group 2 for order B) — whichever is
-    non-empty, still quoted."""
-    g1 = F.regexp_extract(col, pattern, 1)
-    g2 = F.regexp_extract(col, pattern, 2)
-    return F.when(g1 != "", g1).otherwise(g2)
+def tag_attr(tag: Column, name: str) -> Column:
+    """Value of attribute ``name`` within a single tag string — quoted
+    (either style) or an unquoted HTML5 token; NULL when absent."""
+    raw = F.regexp_extract(tag, _ATTR_VAL_RE.format(name=name), 1)
+    return F.when(raw != "", _unquote(raw))
 
 
 def page_index_hints(
@@ -714,20 +711,43 @@ def page_index_hints(
     """The in-page dedup/indexing hints every crawler honors BEFORE
     content dedup: ``rel=canonical`` (the page's self-declared dedup
     key — resolved against the page URL like any reference, NULL when
-    absent or unresolvable) and robots meta directives (``noindex`` /
-    ``nofollow``, comma-separated, case-insensitive; absent meta means
-    indexable). First declaration wins when duplicated (the de-facto
-    crawler rule). Map-only — two regexp_extracts + the resolve chain;
-    downstream, group by ``coalesce(canonical_url, url)`` instead of
-    ``url`` to consolidate crawl duplicates the way dd13 groups
-    normalized URLs."""
-    raw_c = _first_group(F.col(html_col), HTML_CANONICAL)
-    canon = F.when(
-        raw_c != "", resolve_href(F.col(base_col), _unquote(raw_c))
+    absent or unresolvable; ``rel`` treated as the HTML5 token LIST it
+    is) and robots meta directives (``noindex`` / ``nofollow``,
+    comma-separated, case-insensitive; absent meta means indexable).
+    First declaration wins when duplicated (the de-facto crawler rule).
+    Map-only — tag-list extraction, per-tag attribute parsing with
+    whole-token comparison (no prefix false-positives), the resolve
+    chain; downstream, group by ``coalesce(canonical_url, url)``
+    instead of ``url`` to consolidate crawl duplicates the way dd13
+    groups normalized URLs."""
+    ws_split = "[ \\t\\r\\n]+"
+    link_tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(HTML_LINK_TAG), F.lit(0)
     )
-    raw_m = _first_group(F.col(html_col), HTML_META_ROBOTS)
-    directives = F.when(raw_m != "", F.lower(_unquote(raw_m))).otherwise(
-        F.lit("")
+    canon_tags = F.filter(
+        link_tags,
+        lambda t: F.array_contains(
+            F.split(F.lower(F.coalesce(tag_attr(t, "rel"), F.lit(""))),
+                    ws_split),
+            "canonical",
+        ),
+    )
+    raw_c = tag_attr(F.try_element_at(canon_tags, F.lit(1)), "href")
+    canon = F.when(
+        raw_c.isNotNull() & (raw_c != ""),
+        resolve_href(F.col(base_col), raw_c),
+    )
+    meta_tags = F.regexp_extract_all(
+        F.col(html_col), F.lit(HTML_META_TAG), F.lit(0)
+    )
+    robots_tags = F.filter(
+        meta_tags,
+        lambda t: F.lower(F.coalesce(tag_attr(t, "name"), F.lit("")))
+        == "robots",
+    )
+    directives = F.lower(
+        F.coalesce(tag_attr(F.try_element_at(robots_tags, F.lit(1)), "content"),
+                   F.lit(""))
     )
     has = lambda d: F.array_contains(
         F.transform(F.split(directives, ","), lambda x: F.trim(x)),

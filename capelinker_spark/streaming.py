@@ -723,6 +723,25 @@ def stream_point_in_time_enrich(
     return writer.start()
 
 
+
+def _committed_versions(base: str, prefix: str) -> list[int]:
+    """Sorted ids of COMMITTED state dirs under ``base`` named
+    ``<prefix><id>``: Spark's parquet committer writes _SUCCESS last,
+    so a crash-torn write has no marker and must be invisible to both
+    folds and readers. THE one implementation of the convention."""
+    import os
+
+    if not os.path.isdir(base):
+        return []
+    n = len(prefix)
+    return sorted(
+        int(d[n:])
+        for d in os.listdir(base)
+        if d.startswith(prefix)
+        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
+    )
+
+
 def stream_url_dedup(
     pages_stream: DataFrame,
     checkpoint_dir: str,
@@ -773,17 +792,7 @@ def stream_url_dedup(
     cur_dir = os.path.join(state_dir, "current")
 
     def _versions() -> list[int]:
-        # only COMMITTED versions count: Spark's parquet committer writes
-        # _SUCCESS last, so a crash mid-write leaves a marker-less dir
-        # that both the fold and the reader must skip
-        if not os.path.isdir(cur_dir):
-            return []
-        return sorted(
-            int(d[8:])
-            for d in os.listdir(cur_dir)
-            if d.startswith("version=")
-            and os.path.exists(os.path.join(cur_dir, d, "_SUCCESS"))
-        )
+        return _committed_versions(cur_dir, "version=")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -839,12 +848,7 @@ def read_url_dedup_state(spark, state_dir: str) -> DataFrame:
     import os
 
     cur_dir = os.path.join(state_dir, "current")
-    vs = sorted(
-        int(d[8:])
-        for d in (os.listdir(cur_dir) if os.path.isdir(cur_dir) else [])
-        if d.startswith("version=")
-        and os.path.exists(os.path.join(cur_dir, d, "_SUCCESS"))
-    )
+    vs = _committed_versions(cur_dir, "version=")
     if not vs:
         raise FileNotFoundError(f"no url-dedup state under {state_dir}")
     return spark.read.parquet(os.path.join(cur_dir, f"version={vs[-1]}"))
@@ -896,17 +900,6 @@ def stream_snapshot_stats(
     snap_dir = os.path.join(state_dir, "snapshots")
     stats_dir = os.path.join(state_dir, "stats")
 
-    def _committed(base: str, prefix: str) -> list[int]:
-        if not os.path.isdir(base):
-            return []
-        n = len(prefix)
-        return sorted(
-            int(d[n:])
-            for d in os.listdir(base)
-            if d.startswith(prefix)
-            and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-        )
-
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -921,39 +914,21 @@ def stream_snapshot_stats(
         )
         log_dirs = [
             os.path.join(snap_dir, f"batch={v}")
-            for v in _committed(snap_dir, "batch=")
+            for v in _committed_versions(snap_dir, "batch=")
             if v <= batch_id
         ]
         history = spark.read.parquet(*log_dirs).join(
             F.broadcast(affected), url_col, "left_semi"
         )
-        w = Window.partitionBy(url_col).orderBy(
-            F.col(ts_col).asc(), F.col(tie_col).asc()
+        from capelinker_spark.operators.urls import (
+            snapshot_change_stats,
         )
-        fresh = (
-            history.withColumn("_prev", F.lag("_fp").over(w))
-            .groupBy(url_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_snapshots"),
-                F.sum(
-                    F.when(
-                        F.col("_prev").isNotNull()
-                        & (F.col("_fp") != F.col("_prev")),
-                        1,
-                    ).otherwise(0)
-                ).alias("n_changes"),
-                F.max(ts_col).alias("last_ts"),
-            )
-            .withColumn(
-                "change_rate",
-                F.when(
-                    F.col("n_snapshots") > 1,
-                    F.col("n_changes").cast("double")
-                    / (F.col("n_snapshots") - 1).cast("double"),
-                ).otherwise(F.lit(0.0)),
-            )
+
+        fresh = snapshot_change_stats(
+            history, url_col=url_col, ts_col=ts_col, fp_col="_fp",
+            tie_col=tie_col,
         )
-        prior_vs = [v for v in _committed(stats_dir, "version=")
+        prior_vs = [v for v in _committed_versions(stats_dir, "version=")
                     if v < batch_id]
         if prior_vs:
             prior = spark.read.parquet(
@@ -964,7 +939,7 @@ def stream_snapshot_stats(
             merged = fresh
         out_stats = os.path.join(stats_dir, f"version={batch_id}")
         merged.write.mode("overwrite").parquet(out_stats)
-        for v in _committed(stats_dir, "version=")[:-keep_versions]:
+        for v in _committed_versions(stats_dir, "version=")[:-keep_versions]:
             shutil.rmtree(
                 os.path.join(stats_dir, f"version={v}"),
                 ignore_errors=True,
@@ -985,12 +960,7 @@ def read_snapshot_stats(spark, state_dir: str) -> DataFrame:
     import os
 
     base = os.path.join(state_dir, "stats")
-    vs = sorted(
-        int(d[8:])
-        for d in (os.listdir(base) if os.path.isdir(base) else [])
-        if d.startswith("version=")
-        and os.path.exists(os.path.join(base, d, "_SUCCESS"))
-    )
+    vs = _committed_versions(base, "version=")
     if not vs:
         raise FileNotFoundError(f"no snapshot stats under {state_dir}")
     return spark.read.parquet(os.path.join(base, f"version={vs[-1]}"))

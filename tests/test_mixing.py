@@ -323,9 +323,29 @@ def test_weighted_sample_xxhash_seed_is_process_stable(spark):
     h = F.pmod(F.xxhash64(F.col("doc_id").cast("string"),
                           F.lit(seed_int)), F.lit(1 << 40))
     u = (h + 1).cast("double") / F.lit(float(1 << 40))
-    kq = F.floor(F.log(u) / F.col("w") * F.lit(1e9)).cast("long")
+    kq = F.log(u) / F.col("w")
     want = [r.doc_id for r in
             d.withColumn("_p", kq).orderBy(F.col("_p").desc(),
                                            F.col("doc_id").asc())
              .limit(5).collect()]
     assert got == want
+
+
+def test_weighted_sample_tiny_weights_not_degenerate(spark):
+    """Review regression: w ~ 1e-12 (normalized importance scores) must
+    keep weight-proportional selection — the old LONG quantization
+    overflowed int64 (md5 tier crashed in Arrow, xxhash tier saturated
+    every priority to one value)."""
+    from capelinker_spark.operators.mixing import weighted_sample_topk
+
+    rows = [(i, 1e-10 if i < 5 else 1e-12) for i in range(105)]
+    d = spark.createDataFrame(rows, "doc_id long, w double")
+    for method in ("md5", "xxhash64"):
+        out = weighted_sample_topk(d, "w", 5, "doc_id", seed="t",
+                                   method=method)
+        got = [r.doc_id for r in out.collect()]
+        # priorities must be distinct (no saturation plateau)
+        prios = [r._prio for r in out.collect()]
+        assert len(set(prios)) == 5, method
+        # the 100x-heavier docs should take most slots
+        assert sum(1 for i in got if i < 5) >= 3, method

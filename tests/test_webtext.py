@@ -556,3 +556,27 @@ class TestPageIndexHints:
         assert got[3] == (None, False, False)
         assert got[4] == (None, False, False)
         assert got[5][0] == "https://a.example/first"
+
+    def test_boundary_exact_and_token_list(self, spark):
+        # review regression: prefix look-alikes must NOT match; rel is
+        # an HTML5 token LIST; data-href must not read as href
+        from capelinker_spark.operators.webtext import page_index_hints
+
+        rows = [
+            (1, "https://a.example/p",
+             '<link rel="canonicalfoo" href="/no">'
+             '<meta name=robots2 content="noindex">'),
+            (2, "https://a.example/p",
+             '<link rel="alternate canonical" href="/yes">'),
+            (3, "https://a.example/p",
+             '<link rel=canonical data-href="/wrong" href="/right">'),
+            (4, "https://a.example/p",
+             '<meta name="robots-override" content="noindex">'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        got = {r.doc_id: (r.canonical_url, r.noindex)
+               for r in page_index_hints(df).collect()}
+        assert got[1] == (None, False)
+        assert got[2] == ("https://a.example/yes", False)
+        assert got[3][0] == "https://a.example/right"
+        assert got[4] == (None, False)
