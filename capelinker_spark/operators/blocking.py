@@ -695,6 +695,35 @@ def prefix_jaccard_pairs(
     array_intersect. No cartesian product, zero Python. Hash collisions
     only add candidates — verification is exact.
 
+    Identical-set collapsing: Jaccard is a function of the token SET
+    alone, so records are first grouped by their (lexicographically
+    sorted) token set and the whole join machinery runs over the
+    DISTINCT sets only, each weighted by its member count so document
+    frequencies (the prefix order and the ``max_token_freq`` cap
+    semantics) are still record-level. Verified set pairs expand back
+    to record pairs through the per-set member lists, and members of
+    the same set pair with each other directly at Jaccard 1.0
+    (≥ any threshold ≤ 1). On corpora where token sets repeat — near
+    duplicates being the whole point of the operator — the quadratic
+    candidate volume shrinks by the square of the duplication factor;
+    on all-unique corpora the grouping is one extra narrow
+    aggregation.
+
+    Positional filter (PPJoin, Xiao et al. WWW'08 §3.2): each prefix
+    token carries its 0-based position in the record's sorted token
+    list; a join row matching at positions (i, j) bounds the overlap by
+    ``1 + min(|x| − i − 1, |y| − j − 1)`` (every common token sorts at
+    or after the matched one), which must reach the minimum overlap
+    α = ⌈t·(|x|+|y|)/(1+t)⌉ — checked in the same quantized integer
+    arithmetic. Completeness: Jaccard ≥ t ⇒ overlap c ≥ t·|x| and
+    c ≥ t·|y|, so the pair's FIRST common token sits inside both
+    prefixes and its join row has zero prior overlap, making the bound
+    tight enough to survive; pruned rows are only ever non-first
+    co-occurrences or pairs whose true overlap is below α. The filter
+    runs inside the candidate join, BEFORE the pair-distinct — on
+    skew-heavy vocabularies it removes the bulk of the quadratic
+    bucket fan-out that the prefix filter alone lets through.
+
     Skew: ``max_token_freq`` drops tokens whose document frequency
     exceeds the cap from PREFIXES only (verification is untouched).
     Dropping prefix tokens can only lose candidates whose every prefix
@@ -720,13 +749,25 @@ def prefix_jaccard_pairs(
         df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
         .where(F.size("_t") > 0)
     )
-    tall = base.select("_id", F.explode("_t").alias("_tok"))
-    freq = tall.groupBy("_tok").agg(F.count("*").cast("long").alias("_df"))
-    # per-record tokens sorted rarest-first under the (df, token) total
+    # identical-set collapsing: one group row per DISTINCT token set
+    # (lexicographic sort = canonical form); the join below runs over
+    # groups, weighted so doc frequencies stay record-level
+    grp = base.groupBy(F.sort_array("_t").alias("_s")).agg(
+        F.min("_id").alias("_gid"),
+        F.collect_list("_id").alias("_members"),
+    )
+    tall = grp.select(
+        "_gid",
+        F.size("_members").alias("_w"),
+        F.explode("_s").alias("_tok"),
+    )
+    freq = tall.groupBy("_tok").agg(F.sum("_w").cast("long").alias("_df"))
+    # per-set tokens sorted rarest-first under the (df, token) total
     # order; sort_array makes the collect_list order irrelevant
     sorted_t = (
-        tall.join(freq, "_tok")
-        .groupBy("_id")
+        tall.select("_gid", "_tok")
+        .join(freq, "_tok")
+        .groupBy("_gid")
         .agg(
             F.transform(
                 F.sort_array(
@@ -736,7 +777,7 @@ def prefix_jaccard_pairs(
             ).alias("_ts")
         )
         .select(
-            "_id",
+            "_gid",
             "_ts",
             F.size("_ts").alias("_n"),
             # ceil(t*n) in exact integer arithmetic
@@ -748,58 +789,113 @@ def prefix_jaccard_pairs(
         )
     )
     pref = sorted_t.select(
-        "_id",
+        "_gid",
         "_n",
-        F.explode(F.slice("_ts", 1, F.col("_p"))).alias("_tok"),
+        F.posexplode(F.slice("_ts", 1, F.col("_p"))).alias("_i", "_tok"),
     )
     if max_token_freq is not None:
         pref = pref.join(
             freq.where(F.col("_df") <= max_token_freq), "_tok"
         ).drop("_df")
     pk = pref.select(
-        "_id", "_n", F.xxhash64("_tok").alias("_k")
+        "_gid",
+        "_n",
+        # tokens remaining at/after the matched position: 1 + (n - i - 1)
+        # upper-bounds the overlap through this co-occurrence (PPJoin
+        # positional filter; _i is posexplode's 0-based position)
+        (F.col("_n") - F.col("_i")).alias("_rem"),
+        F.xxhash64("_tok").alias("_k"),
     )
     pl = pk.select(
-        F.col("_id").alias("id_from"), F.col("_n").alias("_na"), "_k"
+        F.col("_gid").alias("_ga"),
+        F.col("_n").alias("_na"),
+        F.col("_rem").alias("_ra"),
+        "_k",
     )
     pr = pk.select(
-        F.col("_id").alias("id_to"), F.col("_n").alias("_nb"), "_k"
+        F.col("_gid").alias("_gb"),
+        F.col("_n").alias("_nb"),
+        F.col("_rem").alias("_rb"),
+        "_k",
     )
+    # minimum overlap α = ⌈t·(na+nb)/(1+t)⌉: bound ≥ α in the quantized
+    # integers ⟺ bound·(10⁶+q) ≥ q·(na+nb)
     cand = (
         pl.join(pr, "_k")
         .where(
-            (F.col("id_from") < F.col("id_to"))
+            (F.col("_ga") < F.col("_gb"))
             & (
                 F.greatest("_na", "_nb") * q
                 <= F.least("_na", "_nb") * F.lit(1_000_000)
             )
+            & (
+                F.least("_ra", "_rb") * F.lit(1_000_000 + q)
+                >= q * (F.col("_na") + F.col("_nb"))
+            )
         )
-        .select("id_from", "id_to")
+        .select("_ga", "_gb")
         .distinct()
     )
     a = sorted_t.select(
-        F.col("_id").alias("id_from"),
+        F.col("_gid").alias("_ga"),
         F.col("_ts").alias("_ta"),
         F.col("_n").alias("_la"),
     )
     b = sorted_t.select(
-        F.col("_id").alias("id_to"),
+        F.col("_gid").alias("_gb"),
         F.col("_ts").alias("_tb"),
         F.col("_n").alias("_lb"),
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     union = F.col("_la") + F.col("_lb") - F.col("n_common")
-    return (
-        cand.join(a, "id_from")
-        .join(b, "id_to")
+    # verified pairs of DISTINCT sets, similarity computed once per set
+    # pair, then expanded to all cross member pairs
+    set_pairs = (
+        cand.join(a, "_ga")
+        .join(b, "_gb")
         .withColumn("n_common", inter)
         .where(F.col("n_common") * 1_000_000 >= q * union)
         .select(
-            "id_from",
-            "id_to",
+            "_ga",
+            "_gb",
             F.col("n_common").cast("long").alias("n_common"),
             (
                 F.col("n_common").cast("double") / union.cast("double")
             ).alias("jaccard"),
         )
     )
+    ma = grp.select(F.col("_gid").alias("_ga"), F.col("_members").alias("_ma"))
+    mb = grp.select(F.col("_gid").alias("_gb"), F.col("_members").alias("_mb"))
+    cross = (
+        set_pairs.join(ma, "_ga")
+        .join(mb, "_gb")
+        .select("n_common", "jaccard", F.explode("_ma").alias("_ia"), "_mb")
+        .select("n_common", "jaccard", "_ia", F.explode("_mb").alias("_ib"))
+        .select(
+            F.least("_ia", "_ib").alias("id_from"),
+            F.greatest("_ia", "_ib").alias("id_to"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    # members of the SAME set: Jaccard exactly 1.0 ≥ any threshold ≤ 1;
+    # n_common = |set|, union = |set| — the same single IEEE division
+    within = (
+        grp.where(F.size("_members") >= 2)
+        .select(
+            F.size("_s").alias("_n"),
+            F.col("_members").alias("_ma"),
+            F.explode("_members").alias("_ia"),
+        )
+        .select("_n", "_ia", F.explode("_ma").alias("_ib"))
+        .where(F.col("_ia") < F.col("_ib"))
+        .select(
+            F.col("_ia").alias("id_from"),
+            F.col("_ib").alias("id_to"),
+            F.col("_n").cast("long").alias("n_common"),
+            (
+                F.col("_n").cast("double") / F.col("_n").cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
