@@ -180,8 +180,29 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Scan right-sizing (optimization guide §2.2/§6), opt-in per query:
+    # the driver test tables are single sub-11MB parquet files, so the
+    # scan plans 1-3 input splits and every per-row expression
+    # downstream (regex, shingling, explode) runs on 1-3 cores until the
+    # first exchange. ``fan=True`` spreads the scan across the session's
+    # cores with one round-robin exchange (~MB of shuffle here;
+    # filters/pruning still push through a Repartition to the scan) —
+    # measured 2-4x on the explode-heavy text queries, while the
+    # exchange's fixed ~0.3-0.5 s would be a net LOSS on light queries,
+    # so only queries whose single-core map work exceeds that opt in
+    # (A/B table in OPTIMIZATION_r07.md). Guarded to be a NO-OP at real
+    # scale, where the scan already carries >= cores splits — the
+    # production analog is sizing spark.sql.files.maxPartitionBytes /
+    # minPartitionNum per session.
+    if fan:
+        p = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < p:
+            df = df.repartition(p)
+    return df
 
 
 # -- S/P: scans, projections, filters, cleaning ------------------------------
@@ -900,8 +921,11 @@ _DOCS_PLUS_DUPS = (
 )
 
 
-def _docs_plus_dups(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+def _docs_plus_dups(spark, sf_dir, fan: bool = True):
+    # fan defaults True: the heavy consumers (dd3/dd6/dd8 and bench.py's
+    # frozen dd3_xxhash tier) all win 2-3x from the spread scan; the two
+    # light consumers (dd1, dd9) opt out below
+    d = _t(spark, sf_dir, "documents", fan=fan).select("doc_id", "text")
     exact = d.where(F.col("doc_id") < 40).select(
         (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
     )
@@ -923,7 +947,7 @@ def _docs_plus_dups(spark, sf_dir):
 )
 def dd1_exact_dedup(spark, sf_dir):
     """Exact dedup: md5 → min-id canonicalization (planted duplicates)."""
-    return DD.exact_duplicates(_docs_plus_dups(spark, sf_dir))
+    return DD.exact_duplicates(_docs_plus_dups(spark, sf_dir, fan=False))
 
 
 def _mh_sql(num: int) -> str:
@@ -2404,7 +2428,9 @@ def dd9_remove_dup_spans(spark, sf_dir):
     through whole; CLEAN TEXT is oracle-checked byte-for-byte."""
     from capelinker_spark.operators.dedup import remove_duplicate_spans
 
-    return remove_duplicate_spans(_docs_plus_dups(spark, sf_dir), n=8)
+    return remove_duplicate_spans(
+        _docs_plus_dups(spark, sf_dir, fan=False), n=8
+    )
 
 
 @register(
@@ -2642,7 +2668,7 @@ def ts8_top_ngram_fraction(spark, sf_dir):
     spammy; the within-doc counterpart of dd8's cross-doc signal). All
     occurrences counted (not distinct shingles); two combine-able
     aggregations; one IEEE division."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", fan=True).select("doc_id", "text")
     return TS.top_ngram_stats(d, n=2)
 
 
@@ -2678,7 +2704,7 @@ def ts9_bigram_lm_score(spark, sf_dir):
     DECIMAL (order-independent exact sum, immune to partition-order float
     drift) + ONE final IEEE division; ln ulps absorbed by the per-term
     rounding (the m1/cu3 convention)."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", fan=True).select("doc_id", "text")
     return TS.bigram_lm_scores(d)
 
 
@@ -2766,7 +2792,7 @@ def cu4_full_curation(spark, sf_dir):
     from capelinker_spark.operators.dedup import dedup_exact
     from capelinker_spark.operators.packing import assign_packed_sequences
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", fan=True).select("doc_id", "text")
     planted = d.where(F.col("doc_id") < 40).select(
         (F.col("doc_id") + 10_000_000_000).alias("doc_id"), "text"
     )
@@ -3206,7 +3232,7 @@ def cu5_domain_policy_curation(spark, sf_dir):
     )
     from capelinker_spark.operators.urls import registrable_domain
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _t(spark, sf_dir, "documents", fan=True).select("doc_id", "text")
     scored = model_quality_scores(
         d.withColumn("url", _planted_domain_url()), passthrough=("url",)
     )

@@ -374,6 +374,19 @@ class LinkagePipeline(StageRunner):
                 )
                 < F.lit(cfg.max_training_pairs)
             )
-        pdf = sample.select(*cols).toPandas()
+        # Arrow transfer for the driver collect (guide §6): all-double
+        # columns arrive bit-identical to the pickle path (verified:
+        # equal frames, dtypes, and trained weights) at roughly half the
+        # wall; scoped + restored so the session conf is untouched
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev = self.spark.conf.get(arrow_key, None)
+        self.spark.conf.set(arrow_key, "true")
+        try:
+            pdf = sample.select(*cols).toPandas()
+        finally:
+            if prev is None:
+                self.spark.conf.unset(arrow_key)
+            else:
+                self.spark.conf.set(arrow_key, prev)
         features = [c for c in cols if c != "correct"]
         return train_logistic(pdf, features, seed=cfg.seed)
