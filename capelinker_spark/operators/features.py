@@ -79,10 +79,23 @@ def add_cross_dist(
 
 def add_matches(dat: DataFrame, id_from: str = "persid_from") -> DataFrame:
     """Block-size feature: candidates per from-record
-    (vignettes/example.rmd:106, ``cnd[, matches := .N, by = persid_from]``)."""
-    return dat.withColumn(
-        "matches", F.count("*").over(Window.partitionBy(id_from))
+    (vignettes/example.rmd:106, ``cnd[, matches := .N, by = persid_from]``).
+
+    Computed as a narrow count aggregation joined back (null-safe, so a
+    NULL id group behaves exactly like the window form) instead of
+    ``count(*) over (partition by id)``: the window operator would SORT
+    the full feature width by the partition key, while the aggregate
+    runs on the key column alone and the join-back is a broadcast (or,
+    at scale, reuses the existing hash partitioning on ``id_from``) —
+    same values, one wide-row sort removed from the pipeline's widest
+    table (guide §2.4)."""
+    cnt = (
+        dat.groupBy(F.col(id_from).alias("_mk"))
+        .agg(F.count("*").alias("matches"))
     )
+    return dat.join(
+        cnt, F.col(id_from).eqNullSafe(F.col("_mk"))
+    ).drop("_mk")
 
 
 def add_gauss(

@@ -113,15 +113,29 @@ def bm25_topk(
     LAZILY (crossJoin of a 1-row frame — no eager driver action, the
     ts9/j4 lazy-scalar convention)."""
     post = postings(docs, text_col, id_col)
-    stats = post.groupBy().agg(
+    # corpus stats WITHOUT aggregating the postings table: N = docs with
+    # >= 1 token == count_distinct(id) over postings, and avgdl =
+    # total token instances / N == sum(tf)/count_distinct(id) — same
+    # LONG sums, same single division, over a plain size() scan with no
+    # explode and no (id, term) shuffle (guide §2.3: aggregate the
+    # cheapest equivalent input)
+    tl = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+    ).where(F.col("_dl") > 0)
+    stats = tl.groupBy().agg(
         F.count_distinct(id_col).cast("long").alias("_n"),
-        (F.sum("tf").cast("double")
+        (F.sum("_dl").cast("double")
          / F.count_distinct(id_col).cast("double")).alias("_avgdl"),
     )
-    # df from UNIQUE (doc, term) postings rows; _n rides via the 1-row
-    # stats frame so the quantizer sees it without a driver collect
+    q_terms = query_terms.select(F.col(term_col).alias("term")).distinct()
+    # df from UNIQUE (doc, term) postings rows, restricted to the QUERY
+    # terms — only those idf values are ever joined into `matched`, so
+    # the per-term aggregation (and the CPython idf quantizer below)
+    # runs over the query vocabulary instead of the corpus vocabulary;
+    # _n rides via the 1-row stats frame, no driver collect
     dfreq = (
-        post.groupBy("term").agg(F.count("*").cast("long").alias("_df"))
+        post.join(F.broadcast(q_terms), "term")
+        .groupBy("term").agg(F.count("*").cast("long").alias("_df"))
         .crossJoin(F.broadcast(stats))
     )
     if idf_quant:
@@ -283,9 +297,15 @@ def bm25f_topk(
     parts = []
     for fdf, weight, b_f in fields:
         post = postings(fdf, text_col, id_col)
-        stats = post.groupBy().agg(
+        # per-field avgdl from a plain size() scan (no explode, no
+        # (id, term) shuffle) — value-identical to aggregating the
+        # postings table, see bm25_topk
+        ftl = fdf.select(
+            F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+        ).where(F.col("_dl") > 0)
+        stats = ftl.groupBy().agg(
             (
-                F.sum("tf").cast("double")
+                F.sum("_dl").cast("double")
                 / F.count_distinct(id_col).cast("double")
             ).alias("_avgdl")
         )
@@ -317,8 +337,13 @@ def bm25f_topk(
     stats_all = combined.groupBy().agg(
         F.count_distinct(id_col).cast("long").alias("_n")
     )
+    # df restricted to the QUERY terms (only those idf values join into
+    # `matched`) — the per-term aggregation and the CPython quantizer
+    # run over the query vocabulary, not the corpus vocabulary
+    qt = query_terms.select(F.col(term_col).alias("term")).distinct()
     dfreq = (
-        combined.groupBy("term")
+        combined.join(F.broadcast(qt), "term")
+        .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("_df"))
         .crossJoin(F.broadcast(stats_all))
     )
