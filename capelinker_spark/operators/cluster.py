@@ -120,12 +120,15 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     sym = _ckpt(sym)
+    # initial labels stay a LAZY view over the checkpointed sym (one
+    # distinct): they are consumed only by iteration 0, whose two uses
+    # share the distinct's exchange at runtime — an eager checkpoint here
+    # would be one more whole-cluster materialization job for nothing
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    labels = _ckpt(labels)
 
     converged = False
     for it in range(max_iterations):
