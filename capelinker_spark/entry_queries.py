@@ -6768,30 +6768,40 @@ _register_f17_oracle()
 # OUTSIDE the window (it already holds 50 never-checked rows) — all
 # four are full-sweep-verified EXACT and are the FIRST rotations into
 # round 7's window, ahead of the re-earner cohort.
+# Round-7 rotation (the deferred round-5 instruction #2, executed now
+# that the never-checked backlog is empty — VERDICT r6 "Next round" #1):
+# IN = the 4 post-close operators (a15/wt7/qa1/wt8, never
+# driver-checked), the full r04 re-earner cohort (its last driver row
+# was two rounds stale — the whole SURVEY §2 core), and the newest-r5
+# re-earned rows to fill the 50 slots. OUT = the entire round-6 window
+# (every row earned a fresh r6 driver row in CORRECTNESS_r06.json; all
+# remain in the judge's full per-round check_oracle sweep, 137/137
+# EXACT re-verified this round). No query or oracle text changes —
+# ordering only.
 _DRIVER_WINDOW = [
-    # round-6-new first
-    "m7_greedy_match", "cu7_rewrite_curation", "ir1_bm25_topk",
-    "dd12_line_dedup_keep_first", "er1_blocking_metrics",
-    "er2_pairwise_cluster_metrics", "er3_golden_record",
-    "er4_comparison_patterns", "er5_fs_score", "er6_metablocking",
-    "tm1_asof_join", "er7_bcubed", "f16_monge_elkan",
-    "lr1_cascade_link", "fs2_tf_weights", "er8_tf_adjusted_score",
-    "bk1_blocking_rule_coverage", "er9_cluster_graph_metrics",
-    "tm2_asof_forward_tolerance", "j9_edit_distance_pairs",
-    "er10_adjusted_rand", "er11_cluster_diff", "m8_mutual_best_match",
-    "j10_qgram_edit_pairs", "er12_nmi", "j11_prefix_jaccard_join",
-    "tm3_interval_join", "tm4_scd2_intervals", "er13_triangle_support",
-    "er14_clustering_coefficient", "pr1_pagerank",
-    "tm5_point_in_time_join", "pr2_hits", "cu8_domain_rollup",
-    "er15_label_propagation", "er16_adamic_adar", "ir2_rrf_fusion",
-    "m9_pr_sweep", "tm6_scd2_merge",
-    # session-5 new (never driver-checked): webtext front end + link
-    # graph + crawl dedup + SoftTFIDF
-    "ts11_html_extract", "wt2_extract_links", "wt3_host_pagerank",
-    "wt4_anchor_agg", "dd13_url_dedup_keep_latest", "f17_soft_tfidf",
-    "wt5_sitemap_parse", "wt6_robots_allowed",
-    "dd14_snapshot_change_stats", "ir3_bm25f_anchor_topk",
-    "dm5_weighted_sample",
+    # never driver-checked first (post-close quartet)
+    "a15_grouped_percentiles", "wt7_crawl_frontier", "qa1_psi_drift",
+    "wt8_page_index_hints",
+    # r04 re-earner cohort (driver row stale since round 4)
+    "s1_scan_projection", "p4_clean_name_chain", "q1_flagship_agg",
+    "j1_jw_similarity_join", "j2_numeric_band_join",
+    "j5_soundex_blocking_join", "j6_left_outer_assembly",
+    "f7_namefreq_grouped_count", "m2_dual_rank_select",
+    "c1_connected_components", "c2_expand_index", "dd1_exact_dedup",
+    "dd2_minhash_signature", "dd3_minhash_lsh_neardup", "dd4_simhash",
+    "ts1_lang_id", "ann2_embedding_neardup", "a14_labeling_sheet",
+    "ann3_embedding_dedup_canonical", "st1_streaming_window_agg",
+    "ev1_sessionize_stats", "u4_uniformise_strings", "dd7_decontaminate",
+    "dm1_stratified_sample", "ts5_pii_counts", "ts6_line_repetition",
+    "j3_sorted_neighborhood", "j3b_bigram_cosine_join",
+    "p7_mojibake_fixups", "p9_na_guarded_concat", "f8_jw_uniqueness",
+    "f9_cos_uniqueness", "cu4_full_curation", "dd9_remove_dup_spans",
+    "dd10_paragraph_dedup", "dd11_remove_contaminated_spans",
+    "tok1_word_counts", "ann1_brute_force_topk", "cu1_curation_pipeline",
+    # newest r5 re-earners (driver row from round 5)
+    "cu5_domain_policy_curation", "cu6_token_budget_mix",
+    "ts10_collapse_repeated_lines", "j4_idf_bigram_cosine_join",
+    "u11_url_normalize", "dm3_bpe_packing", "cu3_model_quality_score",
 ]
 
 
