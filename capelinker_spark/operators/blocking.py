@@ -137,11 +137,12 @@ def sorted_neighborhood_pairs(
 
     A plain ``Window.orderBy`` with no partitionBy would funnel the whole
     table through ONE task (Exchange SinglePartition) — the round-1 plan
-    audit's scale-killer. Here every step is parallel: the only driver-side
-    data is one count per partition (≤ shuffle-partitions rows), and the
-    per-partition window runs on already-sorted data. The sorted frame is
-    persisted so the offset pass and the position pass see identical range
-    boundaries. Returns (id_from, id_to).
+    audit's scale-killer. Here every step is parallel and lazy: the
+    cross-partition offsets cumulate through a bounded triangular join
+    over one count per partition (≤ shuffle-partitions rows), the
+    per-partition window runs on already-sorted data, and the offset and
+    position passes see identical range boundaries by sharing one range
+    exchange (ReusedExchange). Returns (id_from, id_to).
     """
     from pyspark.sql import Window
 
@@ -156,34 +157,34 @@ def sorted_neighborhood_pairs(
     order = ["_k", "_side", "_id"]
     spark = u.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # checkpoint, not persist: both passes (offset collect + window) must
-    # see identical range boundaries, and checkpoint blocks are GC-cleaned
-    # by the ContextCleaner when the frame goes out of scope — persist()
-    # pinned one copy of the table per call for the whole session
-    # (round-3 review finding, shared with operators/packing.py).
-    # ``reliable_checkpoint=True`` writes to the reliable checkpoint dir
-    # instead of executor-local blocks — use it on clusters with executor
-    # churn, where a lost local block cannot be recomputed through the
-    # truncated lineage (same escape hatch as cluster.connected_components)
+    # Fully LAZY offsets (optimization round 7, shared recipe with
+    # operators/packing.py): the checkpoint is now LAZY (eager=False) —
+    # all passes share one checkpointed RDD so range boundaries and
+    # `_pid` stay a single materialized assignment, but nothing executes
+    # at plan-build time — and the driver collect is replaced by a
+    # bounded triangular join (<= shuffle-partitions rows) broadcast
+    # back. ``reliable_checkpoint=True`` writes to the reliable
+    # checkpoint dir instead of executor-local blocks — use it on
+    # clusters with executor churn, where a lost local block cannot be
+    # recomputed through the truncated lineage (same escape hatch as
+    # cluster.connected_components)
     srt = (
         u.repartitionByRange(n_part, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
     )
     srt = (
-        srt.checkpoint(eager=True)
+        srt.checkpoint(eager=False)
         if reliable_checkpoint
-        else srt.localCheckpoint(eager=True)
+        else srt.localCheckpoint(eager=False)
     )
-    part_counts = sorted(
-        (r["_pid"], r["_n"])
-        for r in srt.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    tot = srt.groupBy("_pid").agg(F.count("*").alias("_n"))
+    prev = tot.select(F.col("_pid").alias("_ppid"), F.col("_n").alias("_pn"))
+    off_df = (
+        tot.join(F.broadcast(prev), F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pn"), F.lit(0)).cast("long").alias("_off"))
     )
-    offsets, acc = [], 0
-    for pid, n in part_counts:
-        offsets.append((pid, acc))
-        acc += n
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order)
     pos = (
         srt.join(F.broadcast(off_df), "_pid")

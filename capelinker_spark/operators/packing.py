@@ -7,9 +7,11 @@ the textbook case where a naive ``Window.orderBy`` funnels the whole
 table through one task (Exchange SinglePartition). Here it reuses the
 distributed-offset pattern from ``blocking.sorted_neighborhood_pairs``:
 range-partition by the order key, per-partition running sums on sorted
-data, then one bounded collect of per-partition totals broadcast back as
-offsets. Every step is partition-parallel; the only driver data is one
-row per partition.
+data, with cross-partition offsets cumulated through a bounded
+triangular join over one row per partition and broadcast back. Every
+step is partition-parallel and LAZY — no driver collect, no eager
+materialization; the range exchange is shared between the totals and
+final passes (ReusedExchange).
 
 Exactness: counts and prefix sums are LONGS; the window id is integer
 division — bit-identical to a SQL ``SUM() OVER (ORDER BY ...)`` oracle.
@@ -47,33 +49,38 @@ def assign_packed_sequences(
     breaking the exact-long contract."""
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # checkpoint, not persist: both passes (totals collect + window) must
-    # see identical partition boundaries, AND the blocks are cleaned by
-    # the ContextCleaner once the frame is garbage-collected — persist()
-    # would pin one copy of the input per call for the whole session
-    # (round-3 review finding). ``reliable_checkpoint=True`` uses the
-    # reliable checkpoint dir for clusters with executor churn, where a
-    # lost executor-local block is unrecoverable through truncated lineage
+    # Fully LAZY distributed prefix sum (optimization round 7): the old
+    # form eagerly localCheckpoint-ed the range-partitioned input and
+    # collect()-ed per-partition totals to the driver at *plan build*
+    # time — a whole-input materialization before the query even ran.
+    # Now (1) the checkpoint is LAZY (eager=False): all passes share one
+    # checkpointed RDD, so `_pid` is still a single materialized
+    # assignment (range-bound sampling must not re-run per subtree —
+    # re-sampling shifts boundary rows and corrupts offsets, verified at
+    # sf0.1), but nothing executes until the query's own first action;
+    # and (2) per-partition totals cumulate through a bounded triangular
+    # join over <= n_part rows broadcast back instead of a driver
+    # collect. `reliable_checkpoint=True` writes to the reliable
+    # checkpoint dir for clusters with executor churn, where a lost
+    # executor-local block cannot be recomputed deterministically.
     srt = (
         df.repartitionByRange(n_part, order_col)
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
     )
     srt = (
-        srt.checkpoint(eager=True)
+        srt.checkpoint(eager=False)
         if reliable_checkpoint
-        else srt.localCheckpoint(eager=True)
+        else srt.localCheckpoint(eager=False)
     )
     cnt = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
-    totals = sorted(
-        (r["_pid"], r["_t"])
-        for r in srt.groupBy("_pid").agg(F.sum(cnt).alias("_t")).collect()
+    tot = srt.groupBy("_pid").agg(F.sum(cnt).alias("_t"))
+    prev = tot.select(F.col("_pid").alias("_ppid"), F.col("_t").alias("_pt"))
+    off_df = (
+        tot.join(F.broadcast(prev), F.col("_ppid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_pt"), F.lit(0)).cast("long").alias("_off"))
     )
-    offsets, acc = [], 0
-    for pid, t in totals:
-        offsets.append((pid, acc))
-        acc += t or 0
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
