@@ -251,6 +251,19 @@ def greedy_match(
             .select(id_from, id_to, score_col)
         )
         rem = checkpoint_truncated(rem)
+    else:
+        # the loop ran out of iterations with edges remaining: returning
+        # `out` here would be a silently PARTIAL matching, violating the
+        # documented equals-sequential-greedy contract — fail loudly
+        # instead, mirroring connected_components' convergence guard
+        # (round-6 advice item)
+        if not rem.isEmpty():
+            raise RuntimeError(
+                f"greedy_match did not drain the candidate pool in "
+                f"{max_iter} iterations — raise max_iter (edges remain; "
+                "returning a partial matching would silently violate the "
+                "sequential-greedy contract)"
+            )
     if out is None:
         return pairs.select(id_from, id_to, score_col).limit(0)
     return out
@@ -442,9 +455,13 @@ def apply_calibration(
     below the janino 64 KB codegen cliff that killed the cu5 CASE
     form; a 1000-arm chain would not, and would need the broadcast-
     table join instead). Scores outside every block (possible when
-    applying to NEW data whose buckets were empty in training) clamp
-    to the nearest block's probability — the standard isotonic
-    extension."""
+    applying to NEW data whose buckets were empty in training): below
+    the first block and in gaps BETWEEN blocks the score takes the
+    next-HIGHER block's probability (the first matching
+    ``b <= bucket_hi`` arm); above the last block it takes the last
+    block's probability. Monotonicity is preserved either way (round-6
+    advice item: the old wording claimed nearest-block clamping, which
+    the gap case does not do)."""
     if not table:
         raise ValueError("empty calibration table")
     b = F.least(

@@ -138,6 +138,29 @@ def test_greedy_match_empty_and_conflict(spark):
     assert got == {(1, 1), (2, 2)}
 
 
+def test_greedy_match_raises_on_iteration_exhaustion(spark):
+    """max_iter exhausted with edges remaining must RAISE, not return a
+    silently partial matching (round-6 advice item: mirror the
+    connected_components convergence guard)."""
+    import pytest
+
+    from capelinker_spark.operators.predict import greedy_match
+
+    # needs two passes: (1,1,.9) wins round 1, (2,2,.7) only in round 2
+    chain = spark.createDataFrame(
+        [(1, 1, 0.9), (2, 1, 0.8), (2, 2, 0.7)],
+        "id_from long, id_to long, predicted double",
+    )
+    with pytest.raises(RuntimeError, match="greedy_match did not drain"):
+        greedy_match(chain, max_iter=1).collect()
+    # with enough iterations the same pool drains fine
+    got = {
+        (r["id_from"], r["id_to"])
+        for r in greedy_match(chain, max_iter=3).collect()
+    }
+    assert got == {(1, 1), (2, 2)}
+
+
 def test_mutual_best_match_hand_computed(spark):
     """(1,a,.9) is reciprocal-best and kept; 2's best is a but a prefers
     1, so 2 stays unmatched (no cascade to weaker edges — the contrast
