@@ -163,16 +163,31 @@ def pairwise_cluster_metrics(
             "pairs_pred",
             "pairs_gold",
             "pairs_true",
+            # try_divide, not `/`: an all-singleton clustering (possible
+            # at tiny scale or after aggressive blocking) has ZERO
+            # within-cluster pairs, and ANSI-mode division then ABORTS
+            # the whole job; NULL is also exactly what the DuckDB oracle
+            # yields for 0/0 (round-7 inherited-state fix — values for
+            # nonzero denominators are bit-identical to plain division)
             F.round(
-                F.col("pairs_true") / F.col("pairs_pred").cast("double"), 6
+                F.try_divide(
+                    F.col("pairs_true"), F.col("pairs_pred").cast("double")
+                ),
+                6,
             ).alias("precision"),
             F.round(
-                F.col("pairs_true") / F.col("pairs_gold").cast("double"), 6
+                F.try_divide(
+                    F.col("pairs_true"), F.col("pairs_gold").cast("double")
+                ),
+                6,
             ).alias("recall"),
             F.round(
-                2.0
-                * F.col("pairs_true")
-                / (F.col("pairs_pred") + F.col("pairs_gold")).cast("double"),
+                F.try_divide(
+                    2.0 * F.col("pairs_true"),
+                    (F.col("pairs_pred") + F.col("pairs_gold")).cast(
+                        "double"
+                    ),
+                ),
                 6,
             ).alias("f1"),
         )
